@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed with a count() action (full plan, no driver collect of
+payload rows). Wall time includes plan + execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+# Headline set: every family of the engine — windowed agg, top-N, distinct,
+# joins, detection, TPC-H analytics, dedup, text, similarity.
+HEADLINE = [
+    "page_view",
+    "hot_items_topn",
+    "network_flow_topn",
+    "unique_visitors",
+    "uv_approx",
+    "app_marketing_by_channel",
+    "ad_clicks_by_geo",
+    "ad_blacklist_warnings",
+    "login_fail_consecutive",
+    "login_fail_threshold",
+    "order_timeout",
+    "tx_match",
+    "tx_match_window_join",
+    "tx_match_interval_join",
+    "user_sessions",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "order_priority_count",
+    "doc_dedup_exact",
+    "doc_ngram_jaccard",
+    "doc_minhash_lsh",
+    "doc_token_stats",
+    "knn_bruteforce",
+    "embedding_dedup_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_warehouse_flink_spark.registry import all_queries
+    from data_warehouse_flink_spark.session import get_spark
+
+    spark = get_spark("dwfs-bench")
+    queries = all_queries()
+
+    # Warm the JVM + parquet footers with a trivial action so the first
+    # measured query doesn't pay one-time startup costs.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.perf_counter()
+        q.spark_fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

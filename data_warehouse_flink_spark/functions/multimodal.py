@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns with a typed
+metadata struct; decode / feature-extraction run as Arrow-batched
+`mapInPandas` stages. The container ships no image/audio codecs, so the
+actual decode is stubbed (`NotImplementedError`) behind a deterministic fake
+featurizer — the Spark-side plumbing (schema, batch shape, partitioning) is
+real and tested.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, checksum long, "
+    "feat array<double>"
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decode would use PIL/libjpeg — not present in this container."""
+    raise NotImplementedError(
+        "image codecs are not installed; use fake_features for plumbing tests"
+    )
+
+
+def fake_features(payload: bytes, n: int = 8) -> list[float]:
+    """Deterministic stand-in featurizer: bucketed byte histogram, L1-normed."""
+    if not payload:
+        return [0.0] * n
+    hist = [0] * n
+    for b in payload:
+        hist[b % n] += 1
+    total = float(len(payload))
+    return [h / total for h in hist]
+
+
+def extract_features(media: DataFrame, n_feat: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    `mapInPandas` keeps batches columnar across the Python boundary; the
+    per-batch loop is pandas-vectorizable for a real featurizer. Partitioning
+    of the input is preserved — no shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(
+                        lambda b: zlib.crc32(b) & 0xFFFFFFFF
+                    ).astype("int64"),
+                    "feat": payloads.map(lambda b: fake_features(b, n_feat)),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as an opaque media payload so the
+    multimodal path is exercisable with the shipped testdata."""
+    return documents.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )

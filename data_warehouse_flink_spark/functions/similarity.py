@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Baseline: brute-force cosine top-k (exact; O(n·q) dot products, all JVM
+expressions — `F.aggregate`/`F.zip_with`, no Python). Scale paths:
+- label/IVF bucketing: restrict pairing to a coarse partition (here the
+  `label` column stands in for an IVF cell assignment);
+- random-hyperplane LSH: deterministic seeded planes → sign-bit bucket key;
+  only same-bucket candidates are ranked.
+
+Float determinism for the oracle: dots/norms are computed in DOUBLE and the
+cosine is rounded to 6 decimals *before* ranking, with vec_id tie-breaks, so
+engine-side summation-order differences (≪1e-9) cannot change the output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: str) -> Column:
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add `vecd` (double array) and `norm` columns."""
+    return df.withColumn("vecd", _as_double(vec_col)).withColumn(
+        "norm", F.sqrt(_dot("vecd", "vecd"))
+    )
+
+
+def cosine_rounded(left_vec: str, right_vec: str, left_norm: str, right_norm: str) -> Column:
+    dot = F.expr(
+        f"aggregate(zip_with({left_vec}, {right_vec}, (x, y) -> x * y), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return F.round(dot / (F.col(left_norm) * F.col(right_norm)), 6)
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The corpus side is the big side: it streams partition-local; queries are
+    broadcast. One shuffle for the per-query rank.
+    """
+    corpus = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vecd").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    qs = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vecd").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = cosine_rounded("qvec", "cvec", "qnorm", "cnorm").alias("cosine")
+    pairs = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def bucketed_dedup_cosine(
+    embeddings: DataFrame,
+    threshold: float,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, paired only within a
+    coarse bucket (IVF-cell stand-in) — the scale-path contract: candidate
+    generation is bucket-local, so cost is Σ_bucket |bucket|², not n²."""
+    vecs = with_norm(embeddings, vec_col).select(
+        F.col(id_col), F.col(bucket_col).alias("bucket"), "vecd", "norm"
+    )
+    a = vecs.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("bucket"),
+        F.col("vecd").alias("veca"),
+        F.col("norm").alias("norma"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("bucket"),
+        F.col("vecd").alias("vecb"),
+        F.col("norm").alias("normb"),
+    )
+    cos = cosine_rounded("veca", "vecb", "norma", "normb").alias("cosine")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("bucket", "vec_a", "vec_b", cos)
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def random_hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH bucket id per vector: sign bits against seeded random hyperplanes.
+
+    Planes are generated driver-side from a seeded RNG and embedded as
+    literals — deterministic across runs and executors.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    vecd = _as_double(vec_col)
+    bucket = None
+    tmp = embeddings.withColumn("vecd", vecd)
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[j]])
+        dot_j = F.expr(
+            f"aggregate(zip_with(vecd, array({','.join(str(float(v)) for v in planes[j])}), "
+            f"(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bit = F.when(dot_j > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    return tmp.withColumn("bucket", bucket.cast("long"))
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank only corpus vectors in the query's LSH bucket."""
+    corpus = random_hyperplane_buckets(embeddings, n_planes, dim).select(
+        F.col(id_col).alias("neighbor_id"),
+        "bucket",
+        F.col("vecd").alias("cvec"),
+    )
+    corpus = corpus.withColumn("cnorm", F.sqrt(_dot("cvec", "cvec")))
+    qs = random_hyperplane_buckets(queries, n_planes, dim).select(
+        F.col(id_col).alias("query_id"),
+        "bucket",
+        F.col("vecd").alias("qvec"),
+    )
+    qs = qs.withColumn("qnorm", F.sqrt(_dot("qvec", "qvec")))
+    cos = cosine_rounded("qvec", "cvec", "qnorm", "cnorm").alias("cosine")
+    pairs = (
+        corpus.join(qs, on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

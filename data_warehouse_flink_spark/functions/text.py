@@ -1,0 +1,99 @@
+"""Text-analysis operators for document tables at corpus scale.
+
+All hot-path expressions are JVM built-ins (split/filter/length/md5 — fully
+codegen'd, no Python); nothing here shuffles except explicit groupBys by the
+caller. Designed for a `documents(doc_id, text, ...)` table of arbitrary
+size: per-row ops scale linearly and partition-locally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deliberately tiny, deterministic stopword list (public, language-agnostic
+# demo set) — the scoring formula, not the list, is the operator.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+# Marker tokens per language for the n-gram/marker language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def token_count(text_col: str | Column = "text") -> Column:
+    """Whitespace token count as BIGINT (oracle-stable type)."""
+    return F.size(tokens(text_col)).cast("long")
+
+
+def stopword_count(text_col: str | Column = "text") -> Column:
+    toks = tokens(text_col)
+    in_set = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.size(in_set).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: lengths, token stats, stopword ratio.
+
+    All ratios are double divisions of exact integers → bit-identical across
+    engines; rounded to 6 for output stability.
+    """
+    n_tok = token_count(text_col)
+    n_stop = stopword_count(text_col)
+    n_chars = F.length(text_col).cast("long")
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_text"),
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stop_ratio"),
+        F.round(
+            (n_chars - (n_tok - F.lit(1))).cast("double") / n_tok, 6
+        ).alias("avg_token_len"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 over normalized text plus a
+    64-bit prefix fingerprint (hex) for cheap equality bucketing."""
+    norm = F.lower(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("md5_hex"),
+        F.substring(F.md5(norm), 1, 16).alias("fp64_hex"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: argmax of per-language marker counts.
+
+    Deterministic tie-break: higher count wins, then lexicographic language
+    code; all-zero → 'unk'. (The container has no real langid model; this is
+    the n-gram-heuristic family the reference-scale pipeline would use.)
+    """
+    toks = tokens(text_col)
+
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [
+        marker_count(markers).alias(lang)
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select("doc_id", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(lang) for lang in langs])
+    pred = F.lit("unk")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when((F.col(lang) == best) & (best > 0), F.lit(lang)).otherwise(
+            pred
+        )
+    return scored.select("doc_id", pred.alias("pred_lang"))

@@ -1,0 +1,115 @@
+"""Event-time window aggregation operators (SURVEY.md §2.3, W1-W8 / G1-G3).
+
+The reference hand-rolls incremental window counting with Flink
+``AggregateFunction`` + ``WindowFunction`` pairs (e.g. DW-Flink
+HotItemsAnalysis app/HotItems.scala:56-80). On Spark, ``groupBy(F.window(...))
+.agg(...)`` already does partial (map-side) + final aggregation through
+whole-stage codegen, so each of these is a thin declarative wrapper that keeps
+the semantics explicit and the output shape deterministic.
+
+Scale notes:
+- A sliding window of size S and slide s replicates each row S/s times
+  (identical to Flink's pane assignment). Keep S/s small (≤ 8) for hot paths;
+  the aggregation itself is a single hash-shuffle on (window, key).
+- Window bounds are emitted as epoch-second BIGINTs (`window_start_sec`,
+  `window_end_sec`) — deterministic across engines and timezone-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_window_bounds(df: DataFrame, keep: list[str]) -> DataFrame:
+    """Replace the `window` struct with epoch-second BIGINT bounds."""
+    return df.select(
+        F.unix_timestamp("window.start").alias("window_start_sec"),
+        F.unix_timestamp("window.end").alias("window_end_sec"),
+        *keep,
+    )
+
+
+def windowed_count(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str | None = None,
+    keys: list[str] | None = None,
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """Tumbling (W2) or sliding (W1) event-time count per key (W4/W5/W6/W7).
+
+    Reference parity: HotItems.scala:56-58 (1 h / 5 min sliding count per
+    item), PageView.scala:30-31 (1 h tumbling count). Catalyst plans this as
+    partial_count -> shuffle on (window, keys) -> final_count; no buffering,
+    matching the reference's "incremental aggregate" optimization for free.
+    """
+    keys = keys or []
+    win = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    agg = df.groupBy(win, *[F.col(k) for k in keys]).agg(
+        F.count("*").alias(count_alias)
+    )
+    return with_window_bounds(agg, keys + [count_alias])
+
+
+def windowed_distinct_count(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    distinct_col: str,
+    slide: str | None = None,
+    keys: list[str] | None = None,
+    alias: str = "uv",
+) -> DataFrame:
+    """Exact per-window distinct count (W8; UniqueVisitor.scala:31-48).
+
+    The reference buffers a whole-window ``Set[Long]``; Spark's
+    count(DISTINCT) expands to a two-phase aggregate (dedup then count) with
+    partial aggregation on both phases — no driver-side set.
+    """
+    keys = keys or []
+    win = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    agg = df.groupBy(win, *[F.col(k) for k in keys]).agg(
+        F.count_distinct(F.col(distinct_col)).alias(alias)
+    )
+    return with_window_bounds(agg, keys + [alias])
+
+
+def windowed_approx_distinct(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    distinct_col: str,
+    rsd: float = 0.02,
+    slide: str | None = None,
+    alias: str = "uv_approx",
+) -> DataFrame:
+    """Approximate per-window distinct (W9/W10; UvWithBloom.scala:74-113).
+
+    The reference offloads a 2^28-bit Bloom bitmap to Redis to dedup "100M+"
+    user ids. HyperLogLog++ (`approx_count_distinct`) is the Spark-native
+    replacement: fixed O(1/rsd^2) sketch per window, mergeable map-side,
+    no external store. At 100 TB this is the only sane UV path.
+    """
+    win = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    agg = df.groupBy(win).agg(
+        F.approx_count_distinct(F.col(distinct_col), rsd).alias(alias)
+    )
+    return with_window_bounds(agg, [alias])
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    aggs: list[Column],
+    slide: str | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """General windowed aggregation with caller-supplied aggregate columns."""
+    keys = keys or []
+    win = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    agg = df.groupBy(win, *[F.col(k) for k in keys]).agg(*aggs)
+    keep = [c for c in agg.columns if c != "window"]
+    return with_window_bounds(agg, keep)

@@ -1,0 +1,259 @@
+"""Training-data-pipeline queries over `documents` and `embeddings`.
+
+These are first-class engine capabilities beyond the reference's own surface
+(BASELINE.json north star): dedup, text analysis, similarity search,
+multimodal plumbing. SQL-expressible ones carry DuckDB oracles; the
+LSH/SimHash/mapInPandas paths are registered rows-only (deliberately — their
+contracts are probabilistic or non-relational).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_flink_spark.functions.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash_pairs,
+    simhash_signatures,
+    word_ngrams,
+)
+from data_warehouse_flink_spark.functions.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from data_warehouse_flink_spark.functions.similarity import (
+    bucketed_dedup_cosine,
+    knn_bruteforce,
+    knn_lsh,
+)
+from data_warehouse_flink_spark.functions.text import (
+    fingerprint,
+    language_id,
+    quality_features,
+)
+from data_warehouse_flink_spark.io import table
+from data_warehouse_flink_spark.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------- dedup ----
+@register(
+    "doc_dedup_exact",
+    oracle="""
+    SELECT md5(lower(text)) AS text_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on normalized content."""
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-bigram Jaccard ≥ 0.3 (exact baseline)."""
+    grams = word_ngrams(_docs(spark, sf_dir), n=2)
+    return jaccard_pairs(grams, threshold=0.3)
+
+
+@register("doc_minhash_lsh")
+def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (scale path).
+
+    Probabilistic recall → rows-only check; precision is exact because
+    candidates are re-verified with the true Jaccard.
+    """
+    return minhash_lsh_dedup(_docs(spark, sf_dir), ngram=2, threshold=0.3)
+
+
+@register("doc_simhash")
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 on 32-bit signatures)."""
+    sigs = simhash_signatures(_docs(spark, sf_dir), bits=32)
+    return simhash_pairs(sigs, max_hamming=3, bits=32)
+
+
+@register(
+    "embedding_dedup_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, vecd,
+             sqrt(list_sum(list_transform(vecd, x -> x * x))) AS norm
+      FROM v
+    )
+    SELECT a.label AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(range(1, 65),
+                   i -> a.vecd[i] * b.vecd[i])) / (a.norm * b.norm), 6)
+             AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(range(1, 65),
+            i -> a.vecd[i] * b.vecd[i])) / (a.norm * b.norm), 6) >= 0.9
+    """,
+)
+def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.9 within label buckets (IVF-ish)."""
+    return bucketed_dedup_cosine(_embs(spark, sf_dir), threshold=0.9)
+
+
+# ------------------------------------------------------------ similarity ----
+@register(
+    "knn_bruteforce",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, vecd,
+             sqrt(list_sum(list_transform(vecd, x -> x * x))) AS norm
+      FROM v
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+                     i -> q.vecd[i] * c.vecd[i])) / (q.norm * c.norm), 6)
+               AS cosine
+      FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+             AS BIGINT) AS rn
+    FROM pairs
+    QUALIFY rn <= 5
+    """,
+)
+def knn_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id < 20."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 20)
+    return knn_bruteforce(embs, queries, k=5)
+
+
+@register("knn_lsh")
+def knn_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane LSH buckets."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 20)
+    return knn_lsh(embs, queries, k=5, n_planes=8, dim=64)
+
+
+# ------------------------------------------------------------ text ops ----
+@register(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars_text,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','on','for','it')
+             ))::BIGINT AS n_stopwords,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','on','for','it')
+             )) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio,
+           ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                 AS DOUBLE) / len(string_split(text, ' ')), 6)
+             AS avg_token_len
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals (lengths, stopword ratio)."""
+    return quality_features(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(text)) AS md5_hex,
+           substr(md5(lower(text)), 1, 16) AS fp64_hex
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprints (md5 + 64-bit prefix)."""
+    return fingerprint(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_language_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '),
+            t -> t IN ('der','die','das','und','ist'))) AS de,
+        len(list_filter(string_split(text,' '),
+            t -> t IN ('the','a','of','and','is'))) AS en,
+        len(list_filter(string_split(text,' '),
+            t -> t IN ('el','la','los','y','es'))) AS es,
+        len(list_filter(string_split(text,' '),
+            t -> t IN ('le','la','les','et','est'))) AS fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(de, en, es, fr) = 0 THEN 'unk'
+                WHEN de = greatest(de, en, es, fr) THEN 'de'
+                WHEN en = greatest(de, en, es, fr) THEN 'en'
+                WHEN es = greatest(de, en, es, fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID heuristic (argmax, lexicographic ties)."""
+    return language_id(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------------ multimodal ----
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas.
+
+    Exercises the full multimodal plumbing (binary column + typed metadata +
+    batch UDF); the checksum/histogram featurizer is the deterministic stand-in
+    for the absent codecs. Rows-only check (mapInPandas is not ANSI SQL).
+    """
+    media = documents_as_media(_docs(spark, sf_dir))
+    feats = extract_features(media, n_feat=8)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "checksum",
+        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+    )

@@ -1,0 +1,613 @@
+"""The six reference job families, re-expressed over the driver's `events`
+table (event_id, ts, user_id, event_type ∈ {view,click,purchase,signup,error},
+value, props='{"k": <0..99>}').
+
+Analog mapping (reference entity → testdata column):
+- item / url        → user_id / derived page from props.k
+- behavior          → event_type ('view' ~ pv; 'error' ~ login fail;
+                      'signup' ~ order create / receipt; 'purchase' ~ pay)
+- channel           → 'ch' + (props.k % 5)
+- province          → nation of the customer with c_custkey = user_id
+
+Every query returns engine-neutral types (BIGINT epochs, BIGINT counts,
+DOUBLE rounded values) so the DuckDB oracle hash-matches exactly; see
+registry.py for the conventions. Reference citations are on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_flink_spark.io import table
+from data_warehouse_flink_spark.operators.detection import (
+    consecutive_event_pairs,
+    match_within_timeout,
+    running_count_blacklist,
+    sessionize,
+    threshold_in_window,
+)
+from data_warehouse_flink_spark.operators.joins import interval_join, window_join
+from data_warehouse_flink_spark.operators.topn import top_n_per_group
+from data_warehouse_flink_spark.operators.windows import (
+    windowed_approx_distinct,
+    windowed_count,
+    windowed_distinct_count,
+)
+from data_warehouse_flink_spark.registry import register
+
+HOUR_US = 3_600_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# PageView — DW-Flink NetworkFlowAnalysis app/PageView.scala:15-35
+# (filter behavior='pv' → 1 h tumbling count). W2/W7/P3.
+# --------------------------------------------------------------------------
+@register(
+    "page_view",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_sec,
+           (epoch_us(ts) // 3600000000) * 3600 + 3600 AS window_end_sec,
+           count(*) AS pv
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
+def page_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly page views: tumbling event-time window count."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    return windowed_count(ev, "ts", "1 hour", count_alias="pv")
+
+
+# --------------------------------------------------------------------------
+# HotItems — DW-Flink HotItemsAnalysis app/HotItems.scala:34-134
+# (1 h / 5 min sliding count per item, then per-window top-3). W1/G1/G3/T1/T3.
+# Slide widened to 15 min to keep the 4× row replication of pane assignment.
+# --------------------------------------------------------------------------
+@register(
+    "hot_items_topn",
+    oracle="""
+    WITH assigned AS (
+      SELECT ((epoch_us(ts) // 900000000) - g.k) * 900 AS window_start_sec,
+             user_id
+      FROM events CROSS JOIN generate_series(0, 3) g(k)
+      WHERE event_type = 'view'
+    ), counted AS (
+      SELECT window_start_sec + 3600 AS window_end_sec, user_id,
+             count(*) AS cnt
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT window_end_sec, user_id, cnt,
+           CAST(row_number() OVER (
+             PARTITION BY window_end_sec ORDER BY cnt DESC, user_id) AS BIGINT
+           ) AS rn
+    FROM counted
+    QUALIFY rn <= 3
+    """,
+)
+def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 hottest entities per 1 h sliding window (5→15 min slide)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    counts = windowed_count(
+        ev, "ts", "1 hour", slide="15 minutes", keys=["user_id"], count_alias="cnt"
+    )
+    ranked = top_n_per_group(
+        counts.select("window_end_sec", "user_id", "cnt"),
+        partition_cols=["window_end_sec"],
+        order_col="cnt",
+        n=3,
+        tiebreak_cols=["user_id"],
+    )
+    return ranked.withColumn("rn", F.col("rn").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# NetworkFlow — DW-Flink NetworkFlowAnalysis app/NetworkFlow.scala:34-140
+# (regex-filter urls, 10 min / 5 min sliding count per url, top-5). W1/T2/P5.
+# --------------------------------------------------------------------------
+@register(
+    "network_flow_topn",
+    oracle="""
+    WITH pages AS (
+      SELECT ts, 'page_' || CAST(CAST(props->>'$.k' AS INTEGER) % 20 AS VARCHAR)
+               AS url
+      FROM events
+      WHERE event_type IN ('view', 'click')
+    ), assigned AS (
+      SELECT ((epoch_us(ts) // 300000000) - g.k) * 300 AS window_start_sec, url
+      FROM pages CROSS JOIN generate_series(0, 1) g(k)
+      WHERE NOT regexp_matches(url, '\\.(css|js)$')
+    ), counted AS (
+      SELECT window_start_sec + 600 AS window_end_sec, url, count(*) AS cnt
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT window_end_sec, url, cnt,
+           CAST(row_number() OVER (
+             PARTITION BY window_end_sec ORDER BY cnt DESC, url) AS BIGINT
+           ) AS rn
+    FROM counted
+    QUALIFY rn <= 5
+    """,
+)
+def network_flow_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hot URLs per 10 min/5 min sliding window, css/js filtered out."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("view", "click"))
+    pages = ev.select(
+        "ts",
+        F.concat(
+            F.lit("page_"),
+            (F.get_json_object("props", "$.k").cast("int") % 20).cast("string"),
+        ).alias("url"),
+    ).filter(~F.col("url").rlike(r"\.(css|js)$"))
+    counts = windowed_count(
+        pages, "ts", "10 minutes", slide="5 minutes", keys=["url"], count_alias="cnt"
+    )
+    ranked = top_n_per_group(
+        counts.select("window_end_sec", "url", "cnt"),
+        partition_cols=["window_end_sec"],
+        order_col="cnt",
+        n=5,
+        tiebreak_cols=["url"],
+    )
+    return ranked.withColumn("rn", F.col("rn").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# UniqueVisitor — DW-Flink NetworkFlowAnalysis app/UniqueVisitor.scala:20-48
+# (1 h tumbling exact UV). W3/W8.
+# --------------------------------------------------------------------------
+@register(
+    "unique_visitors",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_sec,
+           (epoch_us(ts) // 3600000000) * 3600 + 3600 AS window_end_sec,
+           count(DISTINCT user_id) AS uv
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
+def unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly unique visitors: exact per-window distinct count."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    return windowed_distinct_count(ev, "ts", "1 hour", "user_id", alias="uv")
+
+
+# --------------------------------------------------------------------------
+# UvWithBloom — DW-Flink NetworkFlowAnalysis app/UvWithBloom.scala:27-113
+# (Redis-backed Bloom bitmap UV). W9/W10 → HyperLogLog++; approximate, so no
+# value oracle (driver does the rows-only check).
+# --------------------------------------------------------------------------
+@register("uv_approx")
+def uv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly approximate UV via HLL++ (replaces the Bloom+Redis bitmap)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    return windowed_approx_distinct(ev, "ts", "1 hour", "user_id", rsd=0.02)
+
+
+# --------------------------------------------------------------------------
+# AppMarketingByChannel — DW-Flink MarketAnalysis
+# app/AppMarketingByChannel.scala:20-51 (filter UNINSTALL, key by
+# (channel, behavior), 1 h sliding count). W1/W6/G2/P4/P6.
+# --------------------------------------------------------------------------
+@register(
+    "app_marketing_by_channel",
+    oracle="""
+    WITH marketing AS (
+      SELECT ts,
+             'ch' || CAST(CAST(props->>'$.k' AS INTEGER) % 5 AS VARCHAR)
+               AS channel,
+             event_type AS behavior
+      FROM events
+      WHERE event_type <> 'error'
+    ), assigned AS (
+      SELECT ((epoch_us(ts) // 900000000) - g.k) * 900 AS window_start_sec,
+             channel, behavior
+      FROM marketing CROSS JOIN generate_series(0, 3) g(k)
+    )
+    SELECT window_start_sec, window_start_sec + 3600 AS window_end_sec,
+           channel, behavior, count(*) AS cnt
+    FROM assigned
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def app_marketing_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing counts per (channel, behavior) over 1 h/15 min windows."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") != "error")
+    marketing = ev.select(
+        "ts",
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("int") % 5).cast("string"),
+        ).alias("channel"),
+        F.col("event_type").alias("behavior"),
+    )
+    return windowed_count(
+        marketing,
+        "ts",
+        "1 hour",
+        slide="15 minutes",
+        keys=["channel", "behavior"],
+        count_alias="cnt",
+    )
+
+
+# --------------------------------------------------------------------------
+# AppMarketing (total) — DW-Flink MarketAnalysis app/AppMarketing.scala:19-44
+# (filter UNINSTALL, dummy key, 1 h sliding total count). W1/W6.
+# --------------------------------------------------------------------------
+@register(
+    "app_marketing_total",
+    oracle="""
+    WITH assigned AS (
+      SELECT ((epoch_us(ts) // 900000000) - g.k) * 900 AS window_start_sec
+      FROM events CROSS JOIN generate_series(0, 3) g(k)
+      WHERE event_type <> 'error'
+    )
+    SELECT window_start_sec, window_start_sec + 3600 AS window_end_sec,
+           count(*) AS cnt
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def app_marketing_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total marketing event count per 1 h/15 min sliding window."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") != "error")
+    return windowed_count(ev, "ts", "1 hour", slide="15 minutes", count_alias="cnt")
+
+
+# --------------------------------------------------------------------------
+# AdStatisticByGeo — DW-Flink MarketAnalysis app/AdStatisticByGeo.scala:21-114
+# (per-province sliding window click counts). W1/W5/G1; province = nation of
+# the customer keyed by user_id, joined broadcast (dims are tiny).
+# --------------------------------------------------------------------------
+@register(
+    "ad_clicks_by_geo",
+    oracle="""
+    WITH clicks AS (
+      SELECT e.ts, n.n_name AS province
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE e.event_type = 'click'
+    ), assigned AS (
+      SELECT ((epoch_us(ts) // 900000000) - g.k) * 900 AS window_start_sec,
+             province
+      FROM clicks CROSS JOIN generate_series(0, 3) g(k)
+    )
+    SELECT window_start_sec, window_start_sec + 3600 AS window_end_sec,
+           province, count(*) AS cnt
+    FROM assigned GROUP BY 1, 2, 3
+    """,
+)
+def ad_clicks_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-province click counts over 1 h/15 min sliding windows.
+
+    The dim joins are explicitly broadcast: customer/nation are small at any
+    SF relative to the event stream, so no shuffle touches the fact table.
+    """
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    clicks = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("ts", F.col("n_name").alias("province"))
+    )
+    return windowed_count(
+        clicks, "ts", "1 hour", slide="15 minutes", keys=["province"],
+        count_alias="cnt",
+    )
+
+
+# --------------------------------------------------------------------------
+# Ad blacklist — DW-Flink MarketAnalysis app/AdStatisticByGeo.scala:71-111
+# (per-(user,ad) daily counter; one-time warning past the threshold). W11/C7.
+# Key analog: (user_id, day); threshold 5.
+# --------------------------------------------------------------------------
+@register(
+    "ad_blacklist_warnings",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, epoch_us(ts) AS warn_us,
+             row_number() OVER (
+               PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, day, warn_us FROM ranked WHERE rn = 6
+    """,
+)
+def ad_blacklist_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-time blacklist warning when a user exceeds 5 events in a day."""
+    ev = _events(spark, sf_dir)
+    flagged = running_count_blacklist(
+        ev, keys=["user_id"], ts_col="ts", order_cols=["ts", "event_id"],
+        max_count=5,
+    )
+    return flagged.filter(F.col("result_type") == "blacklist_warning").select(
+        "user_id", "day", F.unix_micros("ts").alias("warn_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# LoginFailWithCEP — DW-Flink LoginFailDetect app/LoginFailWithCEP.scala:19-62
+# (CEP: fail `next` fail within bound → warning). C1/C3 via lag().
+# --------------------------------------------------------------------------
+@register(
+    "login_fail_consecutive",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER w AS prev_type,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, epoch_us(prev_ts) AS first_fail_us,
+           epoch_us(ts) AS last_fail_us
+    FROM seq
+    WHERE event_type = 'error' AND prev_type = 'error'
+      AND epoch_us(ts) - epoch_us(prev_ts) <= 86400000000
+    """,
+)
+def login_fail_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two consecutive failures (errors) per user within 24 h → warning."""
+    ev = _events(spark, sf_dir)
+    return consecutive_event_pairs(
+        ev, key="user_id", ts_col="ts", order_cols=["ts", "event_id"],
+        match_value="error", value_col="event_type", max_gap_sec=86400,
+    )
+
+
+# --------------------------------------------------------------------------
+# LoginFail — DW-Flink LoginFailDetect app/LoginFail.scala:19-69
+# (≥ N fails per user within a bound → warning with first/last time). C2.
+# --------------------------------------------------------------------------
+@register(
+    "login_fail_threshold",
+    oracle="""
+    SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start_sec,
+           user_id, count(*) AS fail_cnt,
+           min(epoch_us(ts)) AS first_fail_us,
+           max(epoch_us(ts)) AS last_fail_us
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def login_fail_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≥2 failures (errors) per user per day window → warning row."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+    return threshold_in_window(
+        ev, key="user_id", ts_col="ts", size="1 day", min_count=2,
+        count_alias="fail_cnt",
+    )
+
+
+# --------------------------------------------------------------------------
+# OrderTimeout — DW-Flink OrderTimeoutDetect app/OrderTimeout.scala:24-64 and
+# OrderTimeoutWithoutCep.scala:38-111 (create followed by pay within t, else
+# timeout). C4/C5/C6 batch form; create ~ signup, pay ~ purchase, t = 24 h.
+# --------------------------------------------------------------------------
+@register(
+    "order_timeout",
+    oracle="""
+    WITH c AS (SELECT user_id, epoch_us(ts) AS create_us
+               FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, epoch_us(ts) AS pay_us
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.create_us, min(p.pay_us) AS pay_us,
+           CASE WHEN min(p.pay_us) IS NOT NULL
+                THEN 'payed' ELSE 'timeout' END AS result_type
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.pay_us > c.create_us
+     AND p.pay_us <= c.create_us + 86400000000
+    GROUP BY 1, 2
+    """,
+)
+def order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signups paid within 24 h vs timed out (earliest qualifying pay)."""
+    ev = _events(spark, sf_dir)
+    creates = ev.filter(F.col("event_type") == "signup")
+    pays = ev.filter(F.col("event_type") == "purchase")
+    return match_within_timeout(
+        creates, pays, key="user_id", create_ts="ts", pay_ts="ts",
+        timeout_sec=86400,
+    )
+
+
+# --------------------------------------------------------------------------
+# TxMatch — DW-Flink OrderTimeoutDetect app/TxMatch.scala:46-94
+# (stateful symmetric join: matches + unmatchedPays + unmatchedReceipts).
+# J1 batch semantics: FULL OUTER over (key, 1 h bucket) with a discriminator.
+# --------------------------------------------------------------------------
+@register(
+    "tx_match",
+    oracle="""
+    WITH pays AS (
+      SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS bucket_sec,
+             event_id AS pay_event_id, epoch_us(ts) AS pay_us
+      FROM events WHERE event_type = 'purchase'
+    ), receipts AS (
+      SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS bucket_sec,
+             event_id AS receipt_event_id, epoch_us(ts) AS receipt_us
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT COALESCE(p.user_id, r.user_id) AS user_id,
+           COALESCE(p.bucket_sec, r.bucket_sec) AS bucket_sec,
+           p.pay_event_id, p.pay_us, r.receipt_event_id, r.receipt_us,
+           CASE WHEN p.user_id IS NOT NULL AND r.user_id IS NOT NULL
+                  THEN 'matched'
+                WHEN p.user_id IS NOT NULL THEN 'unmatched_pay'
+                ELSE 'unmatched_receipt' END AS result_type
+    FROM pays p FULL OUTER JOIN receipts r
+      ON p.user_id = r.user_id AND p.bucket_sec = r.bucket_sec
+    """,
+)
+def tx_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pay/receipt reconciliation: matches plus both unmatched remainders."""
+    ev = _events(spark, sf_dir)
+    bucket = (F.expr("unix_micros(ts) div 3600000000") * 3600).alias("bucket_sec")
+    pays = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", bucket, F.col("event_id").alias("pay_event_id"),
+        F.unix_micros("ts").alias("pay_us"),
+    )
+    receipts = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", bucket, F.col("event_id").alias("receipt_event_id"),
+        F.unix_micros("ts").alias("receipt_us"),
+    )
+    j = pays.alias("l").join(
+        receipts.alias("r"),
+        on=[
+            F.col("l.user_id") == F.col("r.user_id"),
+            F.col("l.bucket_sec") == F.col("r.bucket_sec"),
+        ],
+        how="full_outer",
+    )
+    return j.select(
+        F.coalesce("l.user_id", "r.user_id").alias("user_id"),
+        F.coalesce("l.bucket_sec", "r.bucket_sec").alias("bucket_sec"),
+        "pay_event_id", "pay_us", "receipt_event_id", "receipt_us",
+        F.when(
+            F.col("l.user_id").isNotNull() & F.col("r.user_id").isNotNull(),
+            F.lit("matched"),
+        )
+        .when(F.col("l.user_id").isNotNull(), F.lit("unmatched_pay"))
+        .otherwise(F.lit("unmatched_receipt"))
+        .alias("result_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TxMatchWithJoin (window join) — DW-Flink OrderTimeoutDetect
+# app/TxMatchWithJoin.scala:42-47 (15 s tumbling window join → 15 min here).
+# J2.
+# --------------------------------------------------------------------------
+@register(
+    "tx_match_window_join",
+    oracle="""
+    WITH pays AS (
+      SELECT user_id, (epoch_us(ts) // 900000000) * 900 AS window_start_sec,
+             event_id AS pay_event_id, epoch_us(ts) AS pay_us
+      FROM events WHERE event_type = 'purchase'
+    ), receipts AS (
+      SELECT user_id, (epoch_us(ts) // 900000000) * 900 AS window_start_sec,
+             event_id AS receipt_event_id, epoch_us(ts) AS receipt_us
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.user_id, p.window_start_sec,
+           p.pay_event_id, p.pay_us, r.receipt_event_id, r.receipt_us
+    FROM pays p JOIN receipts r
+      ON p.user_id = r.user_id AND p.window_start_sec = r.window_start_sec
+    """,
+)
+def tx_match_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join of pays and receipts within the same 15 min tumbling window."""
+    ev = _events(spark, sf_dir)
+    pays = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pay_event_id"),
+        F.unix_micros("ts").alias("pay_us"),
+    )
+    receipts = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("receipt_event_id"),
+        F.unix_micros("ts").alias("receipt_us"),
+    )
+    lw = pays.withColumn("window", F.window("ts", "15 minutes"))
+    rw = receipts.withColumn("window", F.window("r_ts", "15 minutes"))
+    j = lw.join(rw, on=["user_id", "window"], how="inner")
+    return j.select(
+        "user_id",
+        F.unix_timestamp("window.start").alias("window_start_sec"),
+        "pay_event_id", "pay_us", "receipt_event_id", "receipt_us",
+    )
+
+
+# --------------------------------------------------------------------------
+# TxMatchWithJoin (interval join) — DW-Flink OrderTimeoutDetect
+# app/TxMatchWithJoin.scala:50-62 (between(-15 s, +20 s) → [-1 h, +2 h] at
+# this data density). J3.
+# --------------------------------------------------------------------------
+@register(
+    "tx_match_interval_join",
+    oracle="""
+    WITH pays AS (
+      SELECT user_id, event_id AS pay_event_id, epoch_us(ts) AS pay_us
+      FROM events WHERE event_type = 'purchase'
+    ), receipts AS (
+      SELECT user_id, event_id AS receipt_event_id, epoch_us(ts) AS receipt_us
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.user_id, p.pay_event_id, p.pay_us,
+           r.receipt_event_id, r.receipt_us
+    FROM pays p JOIN receipts r
+      ON p.user_id = r.user_id
+     AND r.receipt_us >= p.pay_us - 3600000000
+     AND r.receipt_us <= p.pay_us + 7200000000
+    """,
+)
+def tx_match_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: receipts within [-1 h, +2 h] of each pay, per user."""
+    ev = _events(spark, sf_dir)
+    pays = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pay_event_id"), F.col("ts"),
+    )
+    receipts = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("event_id").alias("receipt_event_id"),
+        F.col("ts"),
+    )
+    j = interval_join(
+        pays, receipts, key="user_id", left_ts="ts", right_ts="ts",
+        lower_sec=-3600, upper_sec=7200,
+    )
+    return j.select(
+        F.col("l.user_id").alias("user_id"),
+        "pay_event_id",
+        F.unix_micros("l.ts").alias("pay_us"),
+        "receipt_event_id",
+        F.unix_micros("r.ts").alias("receipt_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization — keyed-state pattern beyond the reference inventory
+# (SURVEY.md §2.8); batch form of `session_window`.
+# --------------------------------------------------------------------------
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions split at 6 h inactivity gaps, with span stats."""
+    ev = _events(spark, sf_dir)
+    sessions = sessionize(ev, key="user_id", ts_col="ts", gap_sec=21600)
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+    )

@@ -1,0 +1,260 @@
+"""TPC-H-style analytical queries over the driver's star schema.
+
+The reference has no SQL surface at all (SURVEY.md §0); these queries prove
+the batch-analytics side of the engine — multi-way joins, broadcast dims,
+grouped aggregation, top-N — which Catalyst plans with broadcast/SMJ + AQE.
+
+Float determinism: all money aggregates are summed as DECIMAL (exact and
+order-independent) and cast to DOUBLE at the end, so the DuckDB oracle
+hash-matches bit-for-bit. See registry.py conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_flink_spark.io import table
+from data_warehouse_flink_spark.registry import register
+
+
+def _dec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,6)")
+
+
+# --------------------------------------------------------------------------
+# Q1: pricing summary report — scan-heavy grouped aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
+                AS DOUBLE), 2) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: 8 aggregates over lineitem grouped by two flags."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    disc_factor = ((F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
+    charge_factor = (
+        (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    n = F.count("*")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias(
+            "sum_base_price"
+        ),
+        F.round(F.sum(_dec("l_extendedprice") * disc_factor).cast("double"), 2)
+        .alias("sum_disc_price"),
+        F.round(F.sum(_dec("l_extendedprice") * charge_factor).cast("double"), 2)
+        .alias("sum_charge"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 6).alias(
+            "avg_price"
+        ),
+        F.round(F.sum(_dec("l_discount")).cast("double") / n, 6).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3: shipping priority — 3-way join + grouped revenue + top-10.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue,
+           epoch(o.o_orderdate)::BIGINT AS orderdate_sec,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: top-10 open orders by revenue in one segment."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.round(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+        ).cast("double"),
+        2,
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_sec"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5: local supplier volume — 6-way join with broadcast dims.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation for intra-nation (customer=supplier nation) trade."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.round(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+        ).cast("double"),
+        2,
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6: forecasting revenue change — pure scan + filter + single agg.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from discounted small-quantity lineitems in one year."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Order priority distribution (Q4-flavored, no EXISTS needed by the schema).
+# --------------------------------------------------------------------------
+@register(
+    "order_priority_count",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY 1
+    """,
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: orders with at least one late-shipped lineitem, by priority.
+
+    The EXISTS becomes a LEFT SEMI join — Catalyst's native form; no
+    row explosion from multiple matching lineitems.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l,
+        on=[o.o_orderkey == l.l_orderkey, l.l_shipdate > o.o_orderdate],
+        how="left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))

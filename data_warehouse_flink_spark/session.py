@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]`` (one JVM), but every config here is chosen
+to also make sense on a large multi-executor cluster: AQE for runtime
+re-planning (skew joins, partition coalescing), UTC session timezone for
+deterministic event-time windows, Arrow for the Python boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "data_warehouse_flink_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    At cluster scale the same settings apply; only ``master`` and memory
+    sizing change (supplied by spark-submit, not hard-coded here).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    mem = os.environ.get("SPARK_GRAFT_MEM", "64g")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # local mode = single JVM: driver memory is the only memory knob.
+        .config("spark.driver.memory", mem)
+        # Shuffle parallelism ~ cores locally; AQE coalesces small partitions
+        # at runtime so an over-estimate is cheap on a real cluster.
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deterministic event-time semantics; DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for all pandas_udf / applyInPandas boundaries.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read it as a LongType of epoch-nanos
+        # and convert to a microsecond timestamp in io.table().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
