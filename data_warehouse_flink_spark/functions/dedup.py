@@ -134,9 +134,40 @@ def lsh_candidate_pairs(
     )
 
 
+def verify_jaccard_on_candidates(
+    candidates: DataFrame,
+    grams: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set only.
+
+    Attaches each side's full shingle set (collect_set → array) and computes
+    |A∩B| via array_intersect — cost is O(|candidates| · set size), never the
+    corpus-quadratic inverted-index join. This is what makes LSH the scale
+    path: verification is proportional to candidates, not to n².
+    """
+    sets = grams.groupBy(id_col).agg(F.collect_set("gram").alias("gs"))
+    a = sets.select(
+        F.col(id_col).alias("doc_a"), F.col("gs").alias("ga")
+    )
+    b = sets.select(
+        F.col(id_col).alias("doc_b"), F.col("gs").alias("gb")
+    )
+    common = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - common
+    jac = common.cast("double") / union
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
-    ngram: int = 2,
+    ngram: int = 3,
     threshold: float = 0.3,
     num_hashes: int = 64,
     bands: int = 16,
@@ -144,15 +175,15 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-dup pairs with exact Jaccard.
 
-    Candidates come from LSH bands only; exact Jaccard verifies them, so the
+    Candidates come from LSH bands only; exact Jaccard (array_intersect over
+    the candidate pairs, not the full inverted index) verifies them, so the
     result is a subset of the brute-force `jaccard_pairs` output with
     LSH-probabilistic recall — the standard web-scale dedup contract.
     """
     grams = word_ngrams(df, ngram, text_col)
     sigs = minhash_signatures(grams, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
-    exact = jaccard_pairs(grams, threshold)
-    return cands.join(exact, on=["doc_a", "doc_b"], how="inner")
+    return verify_jaccard_on_candidates(cands, grams, threshold)
 
 
 def simhash_signatures(

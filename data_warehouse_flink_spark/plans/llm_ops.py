@@ -67,9 +67,9 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), grams AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS gram
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
       FROM toks CROSS JOIN LATERAL (
-        SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
     ), common AS (
@@ -86,8 +86,13 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-bigram Jaccard ≥ 0.3 (exact baseline)."""
-    grams = word_ngrams(_docs(spark, sf_dir), n=2)
+    """Near-dup pairs by word-trigram Jaccard ≥ 0.3 (exact baseline).
+
+    Trigram shingles keep the inverted index selective (document frequency
+    per shingle stays low even with a small vocabulary), bounding the
+    candidate-pair explosion at Σ_gram df(gram)² — the scan-scale knob.
+    """
+    grams = word_ngrams(_docs(spark, sf_dir), n=3)
     return jaccard_pairs(grams, threshold=0.3)
 
 
@@ -98,7 +103,7 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probabilistic recall → rows-only check; precision is exact because
     candidates are re-verified with the true Jaccard.
     """
-    return minhash_lsh_dedup(_docs(spark, sf_dir), ngram=2, threshold=0.3)
+    return minhash_lsh_dedup(_docs(spark, sf_dir), ngram=3, threshold=0.3)
 
 
 @register("doc_simhash")

@@ -577,6 +577,36 @@ def tx_match_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PageView, streaming — same semantics as `page_view` but executed through
+# Structured Streaming (file replay → watermark → windowed agg → memory
+# sink). Same oracle as the batch query: the correctness gate itself checks
+# batch/stream equivalence. SURVEY.md §5.2.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_page_view",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_sec,
+           (epoch_us(ts) // 3600000000) * 3600 + 3600 AS window_end_sec,
+           count(*) AS pv
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
+def streaming_page_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly page views via Structured Streaming, run to completion."""
+    from data_warehouse_flink_spark.streaming.jobs import (
+        run_stream_to_table,
+        streaming_windowed_count,
+    )
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    stream = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    agg = streaming_windowed_count(stream, "ts", "1 hour", count_alias="pv")
+    return run_stream_to_table(agg, spark)
+
+
+# --------------------------------------------------------------------------
 # Sessionization — keyed-state pattern beyond the reference inventory
 # (SURVEY.md §2.8); batch form of `session_window`.
 # --------------------------------------------------------------------------

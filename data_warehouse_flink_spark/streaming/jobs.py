@@ -1,0 +1,114 @@
+"""Streaming job assembly: watermarked windowed aggregations, run helpers,
+and the foreachBatch top-N idiom (SURVEY.md §4.2).
+
+Every batch operator in ``operators/windows.py`` runs unchanged on a
+streaming DataFrame — Catalyst plans the same windowed aggregate with a
+state store behind it. The helpers here add the streaming-only pieces:
+watermark assignment (the reference's assignAscendingTimestamps /
+BoundedOutOfOrdernessTimestampExtractor, SURVEY.md §2.2 P7), sink wiring,
+and the two-query top-N idiom (rank-after-streaming-agg is not allowed in a
+single continuous query, exactly like the reference's second keyBy).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_flink_spark.operators.topn import top_n_per_group
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """P7: bounded-out-of-orderness watermark (ascending sources use '0
+    seconds', mirroring assignAscendingTimestamps)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def run_stream_to_table(
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    name: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and return
+    the materialized result as a batch DataFrame.
+
+    Uses availableNow semantics (process everything, then stop): the local
+    stand-in for a continuously running job; tests and the correctness gate
+    compare this output against the batch plan on the same data.
+    """
+    table = name or f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(table)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def streaming_windowed_count(
+    stream: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str | None = None,
+    keys: list[str] | None = None,
+    watermark: str = "0 seconds",
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """W1/W2 on a stream: watermarked sliding/tumbling count.
+
+    Same shape as operators.windows.windowed_count; update/complete output
+    mode reproduces the reference's per-pane emission (W10 FIRE_AND_PURGE
+    becomes update-mode emit-on-change for free).
+    """
+    keys = keys or []
+    wm = with_watermark(stream, ts_col, watermark)
+    win = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    agg = wm.groupBy(win, *[F.col(k) for k in keys]).agg(
+        F.count("*").alias(count_alias)
+    )
+    return agg.select(
+        F.unix_timestamp("window.start").alias("window_start_sec"),
+        F.unix_timestamp("window.end").alias("window_end_sec"),
+        *keys,
+        count_alias,
+    )
+
+
+def streaming_topn_foreachbatch(
+    counts: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    n: int,
+    tiebreak_cols: list[str],
+    sink: Callable[[DataFrame, int], None],
+) -> "object":
+    """T1/T2 streaming idiom: windowed counts → foreachBatch → rank → sink.
+
+    Spark disallows row_number over a streaming aggregate in one continuous
+    query (same reason the reference needs its second keyBy + ListState
+    buffer: ranking needs the window's final membership). The engine idiom:
+    emit the aggregate in update mode and rank inside foreachBatch, where
+    each micro-batch is a plain batch DataFrame. The sink callback receives
+    the ranked top-N for the windows updated in that batch.
+    """
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            ranked = top_n_per_group(
+                batch_df, partition_cols, order_col, n, tiebreak_cols
+            )
+            sink(ranked, epoch_id)
+
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,102 @@
+"""Streaming sources (SURVEY.md §2.1, S1-S4).
+
+- S1 Kafka: config builder only — the Kafka connector jar ships with real
+  clusters; here the reader is constructed lazily and gated so local tests
+  don't need a broker.
+- S2 file replay: the testdata parquet replayed as a stream — the local
+  stand-in for any append-only source, used by all streaming tests.
+- S3 generator: the reference's SimulatedEventSource
+  (DW-Flink/MarketAnalysis/.../source/SimulatedEventSource.scala:17-41)
+  re-expressed over the `rate` source with deterministic column synthesis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # epoch nanos (see io.table)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: replay the events table as a file stream (ns → µs ts like batch)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory; glob-filter to the one
+    # table file inside the sf dir.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def kafka_events(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1: Kafka source (DW-Flink HotItemsAnalysis app/HotItems.scala:37-48).
+
+    Returns value as string, matching the reference's SimpleStringSchema;
+    callers parse with `parse_csv_events` or from_json. Requires the
+    spark-sql-kafka package on the classpath (present on real clusters).
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value", "timestamp")
+    )
+
+
+def simulated_marketing_source(
+    spark: SparkSession, rows_per_second: int = 100
+) -> DataFrame:
+    """S3: deterministic rate-source synthesis of MarketingUserBehavior.
+
+    The reference draws random channel/behavior per event; here the draw is a
+    hash of the monotonically increasing rate `value`, which is deterministic
+    and replayable (same offsets → same rows).
+    """
+    channels = ["AppStore", "HuaweiStore", "XiaomiStore", "weibo", "wechat"]
+    behaviors = ["CLICK", "DOWNLOAD", "UPDATE", "INSTALL", "UNINSTALL"]
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    ch = F.element_at(
+        F.array(*[F.lit(c) for c in channels]),
+        (F.pmod(F.xxhash64("value", F.lit(1)), F.lit(len(channels))) + 1).cast(
+            "int"
+        ),
+    )
+    bh = F.element_at(
+        F.array(*[F.lit(b) for b in behaviors]),
+        (F.pmod(F.xxhash64("value", F.lit(2)), F.lit(len(behaviors))) + 1).cast(
+            "int"
+        ),
+    )
+    return rate.select(
+        F.sha1(F.concat(F.lit("uid-"), F.col("value").cast("string"))).alias(
+            "user_id"
+        ),
+        bh.alias("behavior"),
+        ch.alias("channel"),
+        F.col("timestamp").alias("ts"),
+    )

@@ -1,0 +1,222 @@
+"""Streaming layer tests: batch/stream duality (the batch plan is the oracle
+for the streaming run, SURVEY.md §5.2) and the stateful kernels' outcome
+classes including timer-driven timeouts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from conftest import SF_SMOKE
+from pyspark.sql import functions as F
+
+from data_warehouse_flink_spark.operators.windows import windowed_count
+from data_warehouse_flink_spark.io import table
+from data_warehouse_flink_spark.streaming.jobs import (
+    run_stream_to_table,
+    streaming_topn_foreachbatch,
+    streaming_windowed_count,
+)
+from data_warehouse_flink_spark.streaming.sources import stream_events
+from data_warehouse_flink_spark.streaming.state import (
+    login_fail_stream,
+    order_timeout_stream,
+    tx_match_stream,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+FAR = dt.datetime(2024, 6, 1, 0, 0, 0)  # sentinel: advances the watermark
+
+
+def sec(s: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+def write_replay(tmp_path, spark, rows: list[dict], schema: str) -> str:
+    """Write a main batch + a far-future sentinel file so the file stream
+    replays them as two micro-batches and event-time timers fire."""
+    out = str(tmp_path / "replay")
+    main = [r for r in rows if r["ts"] < FAR]
+    tail = [r for r in rows if r["ts"] >= FAR]
+    spark.createDataFrame(pd.DataFrame(main), schema=schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(out)
+    spark.createDataFrame(pd.DataFrame(tail), schema=schema).coalesce(
+        1
+    ).write.mode("append").parquet(out)
+    return out
+
+
+def read_replay(spark, path: str, schema: str):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def test_streaming_page_view_matches_batch(spark):
+    stream = stream_events(spark, SF_SMOKE).filter(F.col("event_type") == "view")
+    agg = streaming_windowed_count(stream, "ts", "1 hour", count_alias="pv")
+    got = (
+        run_stream_to_table(agg, spark)
+        .toPandas()
+        .sort_values(["window_start_sec"])
+        .reset_index(drop=True)
+    )
+    batch = table(spark, SF_SMOKE, "events").filter(F.col("event_type") == "view")
+    want = (
+        windowed_count(batch, "ts", "1 hour", count_alias="pv")
+        .toPandas()
+        .sort_values(["window_start_sec"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_sliding_count_matches_batch(spark):
+    stream = stream_events(spark, SF_SMOKE).filter(F.col("event_type") == "view")
+    agg = streaming_windowed_count(
+        stream, "ts", "1 hour", slide="15 minutes", keys=["user_id"]
+    )
+    got = (
+        run_stream_to_table(agg, spark)
+        .toPandas()
+        .sort_values(["window_start_sec", "user_id"])
+        .reset_index(drop=True)
+    )
+    batch = table(spark, SF_SMOKE, "events").filter(F.col("event_type") == "view")
+    want = (
+        windowed_count(batch, "ts", "1 hour", slide="15 minutes", keys=["user_id"])
+        .toPandas()
+        .sort_values(["window_start_sec", "user_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+ORDER_SCHEMA = "order_id long, event_type string, ts timestamp"
+
+
+def test_order_timeout_stream_classes(spark, tmp_path):
+    rows = [
+        {"order_id": 1, "event_type": "create", "ts": sec(0)},
+        {"order_id": 1, "event_type": "pay", "ts": sec(10)},
+        {"order_id": 2, "event_type": "create", "ts": sec(0)},  # never pays
+        {"order_id": 3, "event_type": "create", "ts": sec(0)},
+        {"order_id": 3, "event_type": "pay", "ts": sec(7200)},  # too late
+        {"order_id": 4, "event_type": "pay", "ts": sec(5)},  # no create
+        {"order_id": 999, "event_type": "create", "ts": FAR},  # sentinel
+    ]
+    path = write_replay(tmp_path, spark, rows, ORDER_SCHEMA)
+    stream = read_replay(spark, path, ORDER_SCHEMA)
+    out = order_timeout_stream(stream, timeout_sec=900)
+    got = run_stream_to_table(out, spark, output_mode="append").toPandas()
+    got = got[got.order_id != 999]
+    by_order = dict(zip(got.order_id, got.result_type))
+    assert by_order == {
+        1: "payed",
+        2: "timeout",
+        3: "payed_but_timeout",
+        4: "pay_without_create",
+    }
+    payed = got[got.order_id == 1].iloc[0]
+    assert payed.pay_us - payed.create_us == 10_000_000
+
+
+LOGIN_SCHEMA = "user_id long, status string, ts timestamp"
+
+
+def test_login_fail_stream(spark, tmp_path):
+    rows = [
+        # user 1: three rapid fails → one warning
+        {"user_id": 1, "status": "fail", "ts": sec(0)},
+        {"user_id": 1, "status": "fail", "ts": sec(1)},
+        {"user_id": 1, "status": "fail", "ts": sec(2)},
+        # user 2: fail, success resets, fail → no warning
+        {"user_id": 2, "status": "fail", "ts": sec(0)},
+        {"user_id": 2, "status": "success", "ts": sec(1)},
+        {"user_id": 2, "status": "fail", "ts": sec(2)},
+        # user 3: two fails too far apart → no warning
+        {"user_id": 3, "status": "fail", "ts": sec(0)},
+        {"user_id": 3, "status": "fail", "ts": sec(500)},
+        {"user_id": 999, "status": "success", "ts": FAR},
+    ]
+    path = write_replay(tmp_path, spark, rows, LOGIN_SCHEMA)
+    stream = read_replay(spark, path, LOGIN_SCHEMA)
+    out = login_fail_stream(stream, window_sec=2, min_count=3)
+    got = run_stream_to_table(out, spark, output_mode="append").toPandas()
+    assert list(got.user_id) == [1]
+    assert got.iloc[0].fail_cnt == 3
+    assert got.iloc[0].last_fail_us - got.iloc[0].first_fail_us == 2_000_000
+
+
+TX_SCHEMA = "tx_id string, ts timestamp"
+
+
+def test_tx_match_stream(spark, tmp_path):
+    pays = [
+        {"tx_id": "a", "ts": sec(0)},
+        {"tx_id": "b", "ts": sec(0)},  # no receipt
+        {"tx_id": "zz", "ts": FAR},  # sentinel
+    ]
+    receipts = [
+        {"tx_id": "a", "ts": sec(3)},
+        {"tx_id": "c", "ts": sec(0)},  # no pay
+        {"tx_id": "zz", "ts": FAR},
+    ]
+    p_path = write_replay(tmp_path / "p", spark, pays, TX_SCHEMA)
+    r_path = write_replay(tmp_path / "r", spark, receipts, TX_SCHEMA)
+    out = tx_match_stream(
+        read_replay(spark, p_path, TX_SCHEMA),
+        read_replay(spark, r_path, TX_SCHEMA),
+        timeout_sec=5,
+    )
+    got = run_stream_to_table(out, spark, output_mode="append").toPandas()
+    got = got[got.tx_id != "zz"]
+    by_tx = dict(zip(got.tx_id, got.result_type))
+    assert by_tx == {
+        "a": "matched",
+        "b": "unmatched_pay",
+        "c": "unmatched_receipt",
+    }
+
+
+def test_streaming_topn_foreachbatch(spark):
+    stream = stream_events(spark, SF_SMOKE).filter(F.col("event_type") == "view")
+    counts = streaming_windowed_count(
+        stream, "ts", "1 hour", slide="15 minutes", keys=["user_id"]
+    )
+    batches: list[pd.DataFrame] = []
+
+    def sink(ranked_df, epoch_id):
+        batches.append(ranked_df.toPandas())
+
+    q = streaming_topn_foreachbatch(
+        counts,
+        partition_cols=["window_end_sec"],
+        order_col="cnt",
+        n=3,
+        tiebreak_cols=["user_id"],
+        sink=sink,
+    )
+    q.awaitTermination()
+    got = (
+        pd.concat(batches, ignore_index=True)
+        .sort_values(["window_end_sec", "rn"])
+        .reset_index(drop=True)
+    )
+    from data_warehouse_flink_spark.plans.reference_jobs import hot_items_topn
+
+    want = (
+        hot_items_topn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["window_end_sec", "rn"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got.cnt.astype("int64"), want.cnt.astype("int64"), check_names=False
+    )
