@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "data_warehouse_flink_spark.plans.reference_jobs",
     "data_warehouse_flink_spark.plans.tpch",
     "data_warehouse_flink_spark.plans.llm_ops",
+    "data_warehouse_flink_spark.plans.analytics",
 )
 
 

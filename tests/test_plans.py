@@ -1,0 +1,63 @@
+"""Plan-quality guards: the physical plans the engine relies on at scale.
+
+These assert the *shape* Catalyst must produce — predicate pushdown into the
+parquet scan, column pruning, broadcast joins for dims, and the expected
+shuffle count — so a refactor that silently degrades a plan fails CI, not
+the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_SMOKE
+
+from data_warehouse_flink_spark.registry import all_queries
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = all_queries()[name].spark_fn(spark, SF_SMOKE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_page_view_pushdown_and_pruning(spark):
+    plan = formatted_plan(spark, "page_view")
+    assert "EqualTo(event_type,view)" in plan  # filter reached the scan
+    # column pruning: only ts + event_type are read
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "ts" in read and "event_type" in read
+    assert "user_id" not in read and "props" not in read
+
+
+def test_hot_items_has_two_shuffles(spark):
+    plan = formatted_plan(spark, "hot_items_topn")
+    # one exchange for the windowed agg, one for the per-window rank —
+    # mirroring the reference's two keyBys (HotItems.scala:56,59); more
+    # would mean a regression.
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    ]
+    assert len(exchanges) == 2, plan
+
+
+def test_tpch_q3_broadcasts_dims(spark):
+    plan = formatted_plan(spark, "tpch_q3")
+    assert "BroadcastHashJoin" in plan
+    # lineitem scan must not read all 15 columns
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    line_read = next(l for l in reads if "l_orderkey" in l)
+    assert "l_comment" not in line_read and "l_partkey" not in line_read
+    # date filters pushed down on both fact scans
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_ad_clicks_by_geo_broadcasts_dims(spark):
+    plan = formatted_plan(spark, "ad_clicks_by_geo")
+    # customer + nation both broadcast (AQE may print nodes twice)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
