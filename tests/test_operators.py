@@ -1,0 +1,143 @@
+"""Unit tests for operator-library pieces not already covered by the oracle
+gate: streaming stream-stream joins, salted joins, and the out-of-order
+replay property (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+from conftest import SF_SMOKE
+from pyspark.sql import functions as F
+
+from data_warehouse_flink_spark.operators.skew import salted_join
+from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+from data_warehouse_flink_spark.streaming.joins import (
+    stream_interval_join,
+    stream_window_join,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def sec(s: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _write_stream_dir(tmp_path, spark, rows, schema, name):
+    path = str(tmp_path / name)
+    spark.createDataFrame(pd.DataFrame(rows), schema=schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(schema).parquet(path)
+
+
+TX = "tx_id string, ts timestamp"
+
+
+def test_stream_window_join_matches_batch(spark, tmp_path):
+    pays = [
+        {"tx_id": "a", "ts": sec(1)},
+        {"tx_id": "b", "ts": sec(20)},
+        {"tx_id": "c", "ts": sec(3)},
+    ]
+    receipts = [
+        {"tx_id": "a", "ts": sec(5)},  # same 15 s bucket as pay a
+        {"tx_id": "b", "ts": sec(40)},  # different bucket -> no match
+        {"tx_id": "c", "ts": sec(14)},  # same bucket
+    ]
+    l = _write_stream_dir(tmp_path, spark, pays, TX, "p")
+    r = _write_stream_dir(tmp_path, spark, receipts, TX, "r")
+    j = stream_window_join(l, r, key="tx_id", left_ts="ts", right_ts="ts",
+                           size="15 seconds")
+    out = run_stream_to_table(
+        j.select("tx_id"), spark, output_mode="append"
+    ).toPandas()
+    assert sorted(out.tx_id) == ["a", "c"]
+
+
+def test_stream_interval_join(spark, tmp_path):
+    pays = [{"tx_id": "a", "ts": sec(10)}, {"tx_id": "b", "ts": sec(10)}]
+    receipts = [
+        {"tx_id": "a", "ts": sec(2)},  # 8 s before: inside [-15, +20]
+        {"tx_id": "b", "ts": sec(40)},  # 30 s after: outside
+    ]
+    l = _write_stream_dir(tmp_path, spark, pays, TX, "p2").withColumnRenamed(
+        "ts", "pay_ts"
+    )
+    r = _write_stream_dir(tmp_path, spark, receipts, TX, "r2").withColumnRenamed(
+        "ts", "receipt_ts"
+    )
+    j = stream_interval_join(
+        l, r, key="tx_id", left_ts="pay_ts", right_ts="receipt_ts",
+        lower_sec=-15, upper_sec=20,
+    )
+    out = run_stream_to_table(
+        j.select("l.tx_id"), spark, output_mode="append"
+    ).toPandas()
+    assert list(out.tx_id) == ["a"]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from data_warehouse_flink_spark.io import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    cust = table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    plain = ev.join(cust, ev.user_id == cust.c_custkey).groupBy(
+        "c_nationkey"
+    ).count()
+    salted = salted_join(
+        ev.withColumnRenamed("user_id", "c_custkey"),
+        cust,
+        key="c_custkey",
+        buckets=8,
+        salt_source="event_id",
+    ).groupBy("c_nationkey").count()
+    got = {r["c_nationkey"]: r["count"] for r in salted.collect()}
+    want = {r["c_nationkey"]: r["count"] for r in plain.collect()}
+    assert got == want
+
+
+def test_out_of_order_replay_invariance(spark, tmp_path):
+    """Bounded-disorder replay must not change windowed-agg results
+    (SURVEY.md §5.2 property). Deterministic seeds stand in for hypothesis
+    here — each seed is a different disorder pattern."""
+    from data_warehouse_flink_spark.streaming.jobs import (
+        streaming_windowed_count,
+    )
+
+    base = [
+        {"user_id": i % 5, "ts": sec(i * 7 + (i % 3))} for i in range(60)
+    ]
+    schema = "user_id long, ts timestamp"
+    batch_df = spark.createDataFrame(pd.DataFrame(base), schema=schema)
+    from data_warehouse_flink_spark.operators.windows import windowed_count
+
+    want = (
+        windowed_count(batch_df, "ts", "1 minute", keys=["user_id"])
+        .toPandas()
+        .sort_values(["window_start_sec", "user_id"])
+        .reset_index(drop=True)
+    )
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        # shuffle within a 10 s disorder bound: swap adjacent-ish rows
+        rows = sorted(
+            base,
+            key=lambda r: r["ts"] + dt.timedelta(seconds=rng.uniform(0, 10)),
+        )
+        stream = _write_stream_dir(
+            tmp_path, spark, rows, schema, f"ooo{seed}"
+        )
+        agg = streaming_windowed_count(
+            stream, "ts", "1 minute", keys=["user_id"], watermark="10 seconds"
+        )
+        got = (
+            run_stream_to_table(agg, spark)
+            .toPandas()
+            .sort_values(["window_start_sec", "user_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
