@@ -33,16 +33,20 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
-    """(doc_id, gram) pairs — distinct word n-gram shingles per doc."""
-    toks = F.split(F.col(text_col), " ")
+    """(doc_id, gram) pairs — distinct word n-gram shingles per doc.
+
+    The token array is materialized once per row before the transform;
+    putting split() inside the lambda would re-tokenize the document for
+    every shingle position (O(tokens²) per doc).
+    """
+    toked = df.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_toks")
+    )
     grams = F.expr(
-        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
     )
-    return (
-        df.select("doc_id", F.explode(grams).alias("gram"))
-        .distinct()
-    )
+    return toked.select("doc_id", F.explode(grams).alias("gram")).distinct()
 
 
 def jaccard_pairs(
@@ -73,19 +77,41 @@ def jaccard_pairs(
     )
 
 
+def _affine_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic odd multipliers + offsets for the affine hash family."""
+    import random
+
+    rng = random.Random(seed)
+    consts = []
+    for _ in range(num_hashes):
+        # 31-bit odd multiplier × 31-bit operand stays under 2^62: no
+        # overflow under ANSI arithmetic, no wrap-around needed.
+        a = rng.getrandbits(31) | 1
+        b = rng.getrandbits(31)
+        consts.append((a, b))
+    return consts
+
+
 def minhash_signatures(
     grams: DataFrame, num_hashes: int = 64, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(gram, seed=i). One narrow aggregation; signature is an array."""
-    hashes = F.array(
-        *[F.xxhash64(F.col("gram"), F.lit(i)) for i in range(num_hashes)]
+    """MinHash signature per doc: sig[i] = min over shingles of h_i(gram).
+
+    The shingle string is hashed ONCE (xxhash64); the k hash functions are
+    affine integer mixes h_i(g) = a_i·g + b_i over the 64-bit ring (odd a_i ⇒
+    bijection, the standard tabulation-free MinHash family). That keeps the
+    hot loop at one string hash + k multiply-adds per shingle, all inside
+    whole-stage codegen; the aggregation is a plain k-column min.
+    """
+    base = grams.select(
+        id_col,
+        F.xxhash64("gram").bitwiseAND(F.lit((1 << 31) - 1)).alias("g"),
     )
-    per_gram = grams.select(id_col, hashes.alias("hs"))
     mins = [
-        F.min(F.col("hs").getItem(i)).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.col("g") * F.lit(a) + F.lit(b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_affine_constants(num_hashes))
     ]
-    sig = per_gram.groupBy(id_col).agg(*mins)
+    sig = base.groupBy(id_col).agg(*mins)
     return sig.select(
         id_col,
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
