@@ -206,6 +206,177 @@ def login_fail_stream(
 
 
 # ---------------------------------------------------------------------------
+# C1/C3 — CEP strict sequence: fail immediately followed by fail within t.
+# Reference: DW-Flink LoginFailDetect app/LoginFailWithCEP.scala:38-59
+# (Pattern.begin("fail").next("fail").within(t)); state = last event only.
+# ---------------------------------------------------------------------------
+
+CONSEC_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("first_fail_us", T.LongType()),
+        T.StructField("last_fail_us", T.LongType()),
+    ]
+)
+CONSEC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_status", T.StringType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def make_consecutive_fail_fn(max_gap_sec: int, fail_value: str):
+    gap_us = max_gap_sec * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_status, last_us = state.get if state.exists else ("", 0)
+        out = []
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        for _, row in rows.iterrows():
+            ev_us = int(row["ts"].value // 1_000)
+            if (
+                row["status"] == fail_value
+                and last_status == fail_value
+                and ev_us - last_us <= gap_us
+            ):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": [user_id],
+                            "first_fail_us": [last_us],
+                            "last_fail_us": [ev_us],
+                        }
+                    )
+                )
+            last_status, last_us = row["status"], ev_us
+        state.update((last_status, last_us))
+        # state is only needed while a follow-up fail could still qualify
+        state.setTimeoutTimestamp(last_us // 1000 + max_gap_sec * 1000)
+        yield from iter(out)
+
+    return fn
+
+
+def consecutive_fail_stream(
+    logins: DataFrame,
+    max_gap_sec: int = 2,
+    fail_value: str = "fail",
+    watermark: str = "3 seconds",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming CEP-strict detector: fail `next` fail within the bound.
+
+    Batch twin: operators.detection.consecutive_event_pairs (lag form).
+    """
+    wm = logins.withWatermark(ts_col, watermark)
+    return wm.groupBy(F.col(user_col).alias("user_id")).applyInPandasWithState(
+        make_consecutive_fail_fn(max_gap_sec, fail_value),
+        CONSEC_OUT_SCHEMA,
+        CONSEC_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# W11/C7 — per-key running counter with daily reset + one-time blacklist.
+# Reference: DW-Flink MarketAnalysis app/AdStatisticByGeo.scala:71-111
+# (ValueState counter, processing-time timer at next midnight, isFirstSent
+# dedup flag). The streaming kernel keys on (user, ad); the "clock" is event
+# time here — the day of the event — which makes the reset testable and
+# replay-deterministic (SURVEY.md §7.4 mitigation: inject the clock).
+# ---------------------------------------------------------------------------
+
+BLACKLIST_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ad_id", T.LongType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("result_type", T.StringType()),
+    ]
+)
+BLACKLIST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("warned", T.BooleanType()),
+    ]
+)
+
+
+def make_blacklist_fn(max_count: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id, ad_id = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        day, cnt, warned = state.get if state.exists else ("", 0, False)
+        out_rows: list[tuple] = []
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        last_us = 0
+        for _, row in rows.iterrows():
+            ev_us = int(row["ts"].value // 1_000)
+            last_us = ev_us
+            ev_day = row["ts"].strftime("%Y-%m-%d")
+            if ev_day != day:  # midnight passed: reset (the reference timer)
+                day, cnt, warned = ev_day, 0, False
+            cnt += 1
+            if cnt <= max_count:
+                out_rows.append((user_id, ad_id, day, cnt, "click"))
+            elif not warned:
+                warned = True
+                out_rows.append(
+                    (user_id, ad_id, day, cnt, "blacklist_warning")
+                )
+            # past the threshold and already warned: suppressed
+        state.update((day, cnt, warned))
+        state.setTimeoutTimestamp(last_us // 1000 + 86_400_000)
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["user_id", "ad_id", "day", "cnt", "result_type"],
+            )
+
+    return fn
+
+
+def blacklist_stream(
+    clicks: DataFrame,
+    max_per_day: int = 50,
+    watermark: str = "0 seconds",
+    user_col: str = "user_id",
+    ad_col: str = "ad_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming click counter with daily reset and one-time warnings.
+
+    Emits surviving clicks (≤ max/day) and exactly one blacklist_warning per
+    (user, ad, day) crossing; further clicks that day are suppressed.
+    """
+    wm = clicks.withWatermark(ts_col, watermark)
+    return wm.groupBy(
+        F.col(user_col).alias("user_id"), F.col(ad_col).alias("ad_id")
+    ).applyInPandasWithState(
+        make_blacklist_fn(max_per_day),
+        BLACKLIST_OUT_SCHEMA,
+        BLACKLIST_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # J1 — two-stream reconciliation with timeout side-outputs.
 # Reference: DW-Flink OrderTimeoutDetect app/TxMatch.scala:46-94
 # (CoProcessFunction on connect; ValueState each side; +5 s event timer).

@@ -220,3 +220,55 @@ def test_streaming_topn_foreachbatch(spark):
     pd.testing.assert_series_equal(
         got.cnt.astype("int64"), want.cnt.astype("int64"), check_names=False
     )
+
+
+def test_consecutive_fail_stream(spark, tmp_path):
+    from data_warehouse_flink_spark.streaming.state import (
+        consecutive_fail_stream,
+    )
+
+    rows = [
+        {"user_id": 1, "status": "fail", "ts": sec(0)},
+        {"user_id": 1, "status": "fail", "ts": sec(1)},  # pair (0,1)
+        {"user_id": 1, "status": "success", "ts": sec(2)},
+        {"user_id": 1, "status": "fail", "ts": sec(3)},  # reset by success
+        {"user_id": 2, "status": "fail", "ts": sec(0)},
+        {"user_id": 2, "status": "fail", "ts": sec(30)},  # gap > 2 s
+        {"user_id": 999, "status": "success", "ts": FAR},
+    ]
+    path = write_replay(tmp_path, spark, rows, LOGIN_SCHEMA)
+    stream = read_replay(spark, path, LOGIN_SCHEMA)
+    out = consecutive_fail_stream(stream, max_gap_sec=2)
+    got = run_stream_to_table(out, spark, output_mode="append").toPandas()
+    assert len(got) == 1
+    t0_us = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert (
+        got.iloc[0].user_id,
+        got.iloc[0].first_fail_us,
+        got.iloc[0].last_fail_us,
+    ) == (1, t0_us, t0_us + 1_000_000)
+
+
+AD_SCHEMA = "user_id long, ad_id long, ts timestamp"
+
+
+def test_blacklist_stream_daily_reset(spark, tmp_path):
+    from data_warehouse_flink_spark.streaming.state import blacklist_stream
+
+    rows = (
+        # day 1: user 1 clicks ad 7 five times -> 3 clicks + 1 warning, 2 suppressed
+        [{"user_id": 1, "ad_id": 7, "ts": sec(i * 10)} for i in range(5)]
+        # day 2: counter reset -> clicks pass again
+        + [{"user_id": 1, "ad_id": 7, "ts": sec(86400 + i * 10)} for i in range(2)]
+        + [{"user_id": 999, "ad_id": 0, "ts": FAR}]
+    )
+    path = write_replay(tmp_path, spark, rows, AD_SCHEMA)
+    stream = read_replay(spark, path, AD_SCHEMA)
+    out = blacklist_stream(stream, max_per_day=3)
+    got = run_stream_to_table(out, spark, output_mode="append").toPandas()
+    got = got[got.user_id != 999]
+    day1 = got[got.day == "2024-01-01"]
+    day2 = got[got.day == "2024-01-02"]
+    assert list(day1.result_type) == ["click"] * 3 + ["blacklist_warning"]
+    assert int(day1[day1.result_type == "blacklist_warning"].cnt.iloc[0]) == 4
+    assert list(day2.result_type) == ["click", "click"]
