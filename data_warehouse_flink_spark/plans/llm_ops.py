@@ -262,3 +262,64 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_type", "n_bytes", "checksum",
         F.round(F.element_at("feat", 1), 6).alias("feat0"),
     )
+
+
+# ------------------------------------------------------- corpus curation ----
+@register(
+    "corpus_curation",
+    oracle="""
+    WITH survivors AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      WHERE n_chars >= 150 AND lang IN ('en', 'zh')
+    ), canonical AS (
+      -- exact dedup: keep the smallest doc_id per normalized content hash
+      SELECT min(doc_id) AS doc_id FROM survivors
+      GROUP BY md5(lower(text))
+    ), kept AS (
+      SELECT s.* FROM survivors s JOIN canonical c ON s.doc_id = c.doc_id
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM kept
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+    ), near_dup_losers AS (
+      -- near-dup removal: of each pair with Jaccard >= 0.6, the larger id loses
+      SELECT DISTINCT a.doc_id AS keep_id, b.doc_id AS drop_id
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(count(*) AS DOUBLE) / (
+        (SELECT n FROM sizes WHERE doc_id = a.doc_id)
+        + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - count(*)) >= 0.6
+    )
+    SELECT doc_id, lang, n_chars FROM kept
+    WHERE doc_id NOT IN (SELECT drop_id FROM near_dup_losers)
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation: quality gate -> exact dedup ->
+    trigram-Jaccard near-dup removal (greedy, smaller id wins) -> language
+    selection. The composition every 100 TB pretraining pipeline runs; each
+    stage is one already-proven operator from functions/.
+    """
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("n_chars") >= 150) & F.col("lang").isin("en", "zh")
+    )
+    canonical = (
+        docs.select("doc_id", F.md5(F.lower(F.col("text"))).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(canonical, "doc_id")
+    grams = word_ngrams(kept, n=3)
+    losers = (
+        jaccard_pairs(grams, threshold=0.6)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return kept.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )

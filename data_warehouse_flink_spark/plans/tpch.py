@@ -258,3 +258,193 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left_semi",
     )
     return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# Q10: returned-item reporting — join + group + top-20 customers.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue,
+           ROUND(CAST(c.c_acctbal AS DOUBLE), 2) AS acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returned items in one quarter."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    revenue = F.round(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+        ).cast("double"),
+        2,
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+            "n_name",
+        )
+        .agg(revenue.alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14: promotion effect — conditional aggregation over a part join.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q14",
+    oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from PROMO parts in one month."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = _dec("l_extendedprice") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18: large-volume customers — agg-filtered semi join (HAVING subquery).
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY 1 HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           epoch(o.o_orderdate)::BIGINT AS orderdate_sec,
+           ROUND(CAST(o.o_totalprice AS DOUBLE), 2) AS totalprice,
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders whose total quantity exceeds 150."""
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    o = orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+    c = table(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_sec"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
+        )
+        .agg(
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19: discounted revenue — OR-of-ANDs predicate over a part join.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q19",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under a disjunction of brand/size/quantity conditions."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & s.between(10, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#5") & s.between(20, 50) & q.between(20, 40))
+    )
+    disc = _dec("l_extendedprice") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(disc).cast("double"), 2).alias("revenue"))
+    )
