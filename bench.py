@@ -40,13 +40,22 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
     "order_priority_count",
+    "events_rollup",
+    "events_pivot",
+    "event_value_percentiles",
+    "user_running_value",
     "doc_dedup_exact",
     "doc_ngram_jaccard",
     "doc_minhash_lsh",
     "doc_token_stats",
     "knn_bruteforce",
     "embedding_dedup_cosine",
+    "corpus_curation",
 ]
 
 
