@@ -186,3 +186,93 @@ def windowed_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         "avg_value",
     )
+
+
+# -- MATCH_RECOGNIZE-style pattern sugar (operators/patterns.py) -----------
+@register(
+    "pattern_error_next_error",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER w AS prev_type,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, epoch_us(prev_ts) AS first_us, epoch_us(ts) AS second_us,
+           'matched' AS result_type
+    FROM seq
+    WHERE event_type = 'error' AND prev_type = 'error'
+      AND epoch_us(ts) - epoch_us(prev_ts) <= 43200000000
+    """,
+)
+def pattern_error_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative CEP: error NEXT error WITHIN 12 h, compiled to lag()."""
+    from data_warehouse_flink_spark.operators.patterns import (
+        SeqPattern,
+        match_pattern,
+    )
+
+    ev = _events(spark, sf_dir)
+    pat = SeqPattern(
+        key="user_id",
+        first=F.col("event_type") == "error",
+        second=F.col("event_type") == "error",
+        within_sec=43200,
+        contiguity="next",
+        order_cols=("ts", "event_id"),
+    )
+    return match_pattern(ev, pat)
+
+
+@register(
+    "pattern_click_followed_by_purchase",
+    oracle="""
+    WITH c AS (SELECT user_id, epoch_us(ts) AS first_us
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS second_us
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.first_us, min(p.second_us) AS second_us,
+           CASE WHEN min(p.second_us) IS NOT NULL
+                THEN 'matched' ELSE 'timeout' END AS result_type
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.second_us > c.first_us
+     AND p.second_us <= c.first_us + 43200000000
+    GROUP BY 1, 2
+    """,
+)
+def pattern_click_followed_by_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declarative CEP: click FOLLOWED BY purchase WITHIN 12 h, with the
+    timed-out remainder emitted like the CEP timeout side output."""
+    from data_warehouse_flink_spark.operators.patterns import (
+        SeqPattern,
+        match_pattern,
+    )
+
+    ev = _events(spark, sf_dir)
+    pat = SeqPattern(
+        key="user_id",
+        first=F.col("event_type") == "click",
+        second=F.col("event_type") == "purchase",
+        within_sec=43200,
+        contiguity="followed_by",
+        order_cols=("ts", "event_id"),
+    )
+    return match_pattern(ev, pat)
+
+
+@register("event_value_percentiles_approx")
+def event_value_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB quantile path: percentile_approx (GK sketch, mergeable,
+    bounded memory). Rows-only check — approximation has no exact oracle."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    )

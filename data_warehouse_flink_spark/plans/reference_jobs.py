@@ -641,3 +641,44 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("start_us"),
         F.max(F.unix_micros("ts")).alias("end_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# UniqueVisitor, streaming — exact distinct through the streaming engine,
+# same oracle as the batch query (second batch/stream-equivalence probe in
+# the gate, this one with a distinct aggregation's state store).
+# --------------------------------------------------------------------------
+@register(
+    "streaming_unique_visitors",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_sec,
+           (epoch_us(ts) // 3600000000) * 3600 + 3600 AS window_end_sec,
+           count(DISTINCT user_id) AS uv
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
+def streaming_unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly exact UV via Structured Streaming (dropDuplicates + count).
+
+    Streaming aggregations disallow count(DISTINCT) directly; the engine
+    idiom is watermark-scoped dropDuplicates on (window, user) followed by a
+    plain count — same result, incremental state.
+    """
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    stream = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    deduped = (
+        stream.withWatermark("ts", "0 seconds")
+        .select(F.window("ts", "1 hour").alias("window"), "user_id")
+        .dropDuplicates(["window", "user_id"])
+    )
+    agg = deduped.groupBy("window").agg(F.count("*").alias("uv"))
+    out = agg.select(
+        F.unix_timestamp("window.start").alias("window_start_sec"),
+        F.unix_timestamp("window.end").alias("window_end_sec"),
+        "uv",
+    )
+    return run_stream_to_table(out, spark)

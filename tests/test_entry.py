@@ -26,4 +26,5 @@ def test_queries_and_oracles_aligned():
         "doc_simhash",
         "knn_lsh",
         "multimodal_features",
+        "event_value_percentiles_approx",
     }
