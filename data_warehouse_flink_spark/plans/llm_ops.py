@@ -323,3 +323,98 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+# ----------------------------------------------------- tokenize & chunk ----
+@register(
+    "doc_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             ::BIGINT AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex (letter runs,
+    digit runs, single punctuation — the pre-tokenizer split GPT-style BPE
+    applies before merges). Pure JVM regexp, linear scan."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id, ((s.start - 1) / 25)::BIGINT AS chunk_id,
+             array_to_string(t[s.start : s.start + 49], ' ') AS chunk_text
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t), 25)) AS start) s
+    )
+    SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_hash,
+           len(string_split(chunk_text, ' '))::BIGINT AS n_chunk_tokens
+    FROM chunks
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: 50-token windows, stride 25 (50% overlap).
+
+    The map-side explode every pretraining pipeline runs before tokenizer
+    batching; chunk identity is (doc_id, chunk_id) with a content hash.
+    Partition-local — no shuffle.
+    """
+    toked = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    chunks = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(t), 25), "
+                "s -> concat_ws(' ', slice(t, s, 50)))"
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long"),
+        F.md5("chunk_text").alias("chunk_hash"),
+        F.size(F.split("chunk_text", " ")).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+@register("doc_rolling_fingerprint")
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document sketch: bottom-8 of xxhash64 over the char
+    8-gram stream (winnowing-style). Two docs sharing sketch values share
+    raw substrings — the fingerprint family used for contamination checks.
+    Rows-only: engines disagree on the 64-bit hash function itself.
+    """
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 7, 1)), "
+                "i -> xxhash64(substr(text, i, 8)))"
+            )
+        ).alias("h"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("h"))
+    return (
+        grams.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .select("doc_id", "h", F.col("rk").cast("long").alias("rk"))
+    )

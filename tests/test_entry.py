@@ -27,4 +27,5 @@ def test_queries_and_oracles_aligned():
         "knn_lsh",
         "multimodal_features",
         "event_value_percentiles_approx",
+        "doc_rolling_fingerprint",
     }
