@@ -272,3 +272,77 @@ def test_blacklist_stream_daily_reset(spark, tmp_path):
     assert list(day1.result_type) == ["click"] * 3 + ["blacklist_warning"]
     assert int(day1[day1.result_type == "blacklist_warning"].cnt.iloc[0]) == 4
     assert list(day2.result_type) == ["click", "click"]
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
+    from data_warehouse_flink_spark.operators.detection import sessionize
+    from data_warehouse_flink_spark.streaming.jobs import (
+        streaming_session_count,
+    )
+
+    rows = [
+        {"user_id": 1, "event_id": 1, "ts": sec(0)},
+        {"user_id": 1, "event_id": 2, "ts": sec(30)},   # same session (gap 60s)
+        {"user_id": 1, "event_id": 3, "ts": sec(200)},  # new session
+        {"user_id": 2, "event_id": 4, "ts": sec(10)},
+        {"user_id": 999, "event_id": 5, "ts": FAR},
+    ]
+    schema = "user_id long, event_id long, ts timestamp"
+    path = write_replay(tmp_path, spark, rows, schema)
+    stream = read_replay(spark, path, schema)
+    out = streaming_session_count(stream, "ts", "60 seconds", keys=["user_id"])
+    got = run_stream_to_table(out, spark, output_mode="append").toPandas()
+    got = got[got.user_id != 999]
+    sizes = sorted(got.n_events)
+    assert sizes == [1, 1, 2]
+    # batch twin agrees on session membership counts
+    batch = spark.createDataFrame(pd.DataFrame(rows[:-1]), schema=schema)
+    sess = sessionize(batch, "user_id", "ts", gap_sec=60)
+    batch_sizes = sorted(
+        r["count"]
+        for r in sess.groupBy("user_id", "session_id").count().collect()
+    )
+    assert batch_sizes == sizes
+
+
+def test_order_timeout_stream_on_rocksdb_state_store(spark, tmp_path):
+    """The at-scale state backend: RocksDB provider (bundled in Spark 4)
+    behind the same kernel — state spills to disk instead of JVM heap."""
+    rows = [
+        {"order_id": 1, "event_type": "create", "ts": sec(0)},
+        {"order_id": 1, "event_type": "pay", "ts": sec(10)},
+        {"order_id": 2, "event_type": "create", "ts": sec(0)},
+        {"order_id": 999, "event_type": "create", "ts": FAR},
+    ]
+    path = write_replay(tmp_path, spark, rows, ORDER_SCHEMA)
+    stream = read_replay(spark, path, ORDER_SCHEMA)
+    out = order_timeout_stream(stream, timeout_sec=900)
+    table = f"rocksdb_out_{abs(hash(str(tmp_path))) % 10**8}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    got = spark.table(table).toPandas()
+    got = got[got.order_id != 999]
+    assert dict(zip(got.order_id, got.result_type)) == {
+        1: "payed",
+        2: "timeout",
+    }
