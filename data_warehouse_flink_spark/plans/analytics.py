@@ -22,7 +22,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rollup",
     oracle="""
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_value
     FROM events
     GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
     """,
@@ -34,7 +35,7 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.rollup("event_type", "day").agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
         .cast("double")
         .alias("sum_value"),
     )

@@ -30,16 +30,15 @@ def _dec(col: str | Column) -> Column:
     "tpch_q1",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                    * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                    * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
-                AS DOUBLE), 2) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
              / count(*), 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
@@ -63,13 +62,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(18,6)")
     n = F.count("*")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
-        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias(
+        F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias(
             "sum_base_price"
         ),
-        F.round(F.sum(_dec("l_extendedprice") * disc_factor).cast("double"), 2)
+        F.round(F.sum(_dec("l_extendedprice") * disc_factor), 2).cast("double")
         .alias("sum_disc_price"),
-        F.round(F.sum(_dec("l_extendedprice") * charge_factor).cast("double"), 2)
+        F.round(F.sum(_dec("l_extendedprice") * charge_factor), 2).cast("double")
         .alias("sum_charge"),
         F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
         F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 6).alias(
@@ -87,8 +86,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                    * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS revenue,
            epoch(o.o_orderdate)::BIGINT AS orderdate_sec,
            o.o_orderpriority
@@ -115,9 +114,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             _dec("l_extendedprice")
             * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
-        ).cast("double"),
+        ),
         2,
-    )
+    ).cast("double")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -141,8 +140,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5",
     oracle="""
     SELECT n.n_name,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                    * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -172,9 +171,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             _dec("l_extendedprice")
             * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
-        ).cast("double"),
+        ),
         2,
-    )
+    ).cast("double")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -195,8 +194,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6",
     oracle="""
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                    * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -217,10 +216,9 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double"),
-                2,
-            ).alias("revenue")
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -267,10 +265,10 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                    * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS revenue,
-           ROUND(CAST(c.c_acctbal AS DOUBLE), 2) AS acctbal,
+           CAST(ROUND(CAST(c.c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal,
            n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -297,9 +295,9 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             _dec("l_extendedprice")
             * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
-        ).cast("double"),
+        ),
         2,
-    )
+    ).cast("double")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -307,7 +305,9 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "c_custkey",
             "c_name",
-            F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+            F.round(F.col("c_acctbal").cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("acctbal"),
             "n_name",
         )
         .agg(revenue.alias("revenue"))
@@ -373,8 +373,9 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
            epoch(o.o_orderdate)::BIGINT AS orderdate_sec,
-           ROUND(CAST(o.o_totalprice AS DOUBLE), 2) AS totalprice,
-           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+           CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS totalprice,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS sum_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -403,10 +404,12 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "o_orderkey",
             F.unix_timestamp("o_orderdate").alias("orderdate_sec"),
-            F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
+            F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("totalprice"),
         )
         .agg(
-            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty")
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty")
         )
     )
 
@@ -417,8 +420,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19",
     oracle="""
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                 * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -446,5 +449,5 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(disc).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(disc), 2).cast("double").alias("revenue"))
     )
