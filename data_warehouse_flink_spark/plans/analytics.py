@@ -277,3 +277,99 @@ def event_value_percentiles_approx(
         F.percentile_approx("value", 0.9, 10000).alias("p90"),
         F.percentile_approx("value", 0.99, 10000).alias("p99"),
     )
+
+
+@register(
+    "user_value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.user_id, e.event_id, e.value, s.med,
+             abs(e.value - s.med) AS adev
+      FROM events e JOIN stats s ON e.user_id = s.user_id
+    ), mad AS (
+      SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.user_id, d.event_id,
+           ROUND(d.value, 6) AS value,
+           d.adev > 3 * m.mad AS is_outlier
+    FROM dev d JOIN mad m ON d.user_id = m.user_id
+    """,
+)
+def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier flags (median/MAD) via a grouped-map pandas
+    UDAF — the engine's applyInPandas surface (SURVEY.md §2.7), Arrow-batched,
+    one shuffle on user_id. Oracle: the same medians via quantile_cont.
+    """
+    import pandas as pd
+
+    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        med = pdf["value"].median()
+        adev = (pdf["value"] - med).abs()
+        mad = adev.median()
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"].round(6),
+                "is_outlier": adev > 3 * mad,
+            }
+        )
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        per_user,
+        schema="user_id long, event_id long, value double, is_outlier boolean",
+    )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+               GROUP BY 1),
+         p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+               GROUP BY 1)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked after the first view,
+    then purchased after that click — min-timestamp chaining, three
+    aggregations, no row explosion."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(us > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(us > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )

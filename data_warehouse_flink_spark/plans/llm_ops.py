@@ -108,9 +108,14 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("doc_simhash")
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 on 32-bit signatures)."""
-    sigs = simhash_signatures(_docs(spark, sf_dir), bits=32)
-    return simhash_pairs(sigs, max_hamming=3, bits=32)
+    """SimHash near-dup pairs (Hamming ≤ 3 on 48-bit signatures).
+
+    48 bits (not 32): this corpus's tiny vocabulary concentrates signatures,
+    so the wider signature keeps collision blocking selective; 48 stays
+    clear of signed-64 overflow in the bit assembly.
+    """
+    sigs = simhash_signatures(_docs(spark, sf_dir), bits=48)
+    return simhash_pairs(sigs, max_hamming=3, bits=48)
 
 
 @register(

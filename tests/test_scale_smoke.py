@@ -1,0 +1,93 @@
+"""Scale smoke: 5M synthetic events through the heavy operator paths.
+
+Gated behind SPARK_GRAFT_SCALE_SMOKE=1 so the default suite stays fast; run
+manually (or per-round) to confirm headroom well beyond sf0.1:
+
+    SPARK_GRAFT_SCALE_SMOKE=1 python -m pytest tests/test_scale_smoke.py -q
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_SMOKE") != "1",
+    reason="set SPARK_GRAFT_SCALE_SMOKE=1 to run the 5M-row smoke",
+)
+
+N = 5_000_000
+USERS = 100_000
+
+
+@pytest.fixture(scope="module")
+def big_events(spark):
+    """Deterministic 5M-row event table synthesized executor-side
+    (spark.range → hash-derived columns; no driver materialization)."""
+    df = (
+        spark.range(N)
+        .withColumn("user_id", F.pmod(F.xxhash64("id", F.lit(1)), F.lit(USERS)))
+        .withColumn(
+            "event_type",
+            F.element_at(
+                F.array(
+                    F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("signup"), F.lit("error"),
+                ),
+                (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)) + 1).cast("int"),
+            ),
+        )
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1704067200)
+                + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(30 * 86400))
+            ),
+        )
+        .withColumnRenamed("id", "event_id")
+    )
+    return df
+
+
+def test_sliding_window_topn_at_5m(spark, big_events):
+    from data_warehouse_flink_spark.operators.topn import top_n_per_group
+    from data_warehouse_flink_spark.operators.windows import windowed_count
+
+    counts = windowed_count(
+        big_events.filter(F.col("event_type") == "view"),
+        "ts", "1 hour", slide="15 minutes", keys=["user_id"],
+    )
+    top = top_n_per_group(
+        counts.select("window_end_sec", "user_id", "cnt"),
+        ["window_end_sec"], "cnt", 3, ["user_id"],
+    )
+    n = top.count()
+    # 30 days of 15-min slides → ≤ 2884 windows × 3
+    assert 0 < n <= 2884 * 3
+
+
+def test_full_outer_match_at_5m(spark, big_events):
+    bucket = (F.expr("unix_micros(ts) div 3600000000") * 3600).alias("b")
+    pays = big_events.filter(F.col("event_type") == "purchase").select(
+        "user_id", bucket
+    )
+    recs = big_events.filter(F.col("event_type") == "signup").select(
+        "user_id", bucket
+    )
+    j = pays.alias("l").join(
+        recs.alias("r"),
+        on=[F.col("l.user_id") == F.col("r.user_id"),
+            F.col("l.b") == F.col("r.b")],
+        how="full_outer",
+    )
+    assert j.count() > 0
+
+
+def test_sessionize_at_5m(spark, big_events):
+    from data_warehouse_flink_spark.operators.detection import sessionize
+
+    sess = sessionize(big_events, "user_id", "ts", gap_sec=21600)
+    agg = sess.groupBy("user_id").agg(F.max("session_id").alias("m"))
+    assert agg.count() == USERS
