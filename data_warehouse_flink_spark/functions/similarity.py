@@ -183,3 +183,69 @@ def knn_lsh(
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def kmeans_ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: seeded KMeans over the embeddings; returns each
+    vector with its `cell` assignment (plus vecd/norm for reranking).
+
+    Uses pyspark.ml KMeans (distributed Lloyd's); the trained centroids are
+    the inverted-file index. Deterministic under a fixed seed + data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    base = with_norm(embeddings, vec_col).select(id_col, "vecd", "norm")
+    feat = base.withColumn("features", array_to_vector("vecd"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feat)
+    assigned = model.transform(feat)
+    return assigned.select(
+        id_col, "vecd", "norm", F.col("prediction").alias("cell")
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine rerank within the query's IVF cell
+    (nprobe=1). The candidate join keys on the cell id, so pairing cost is
+    Σ_cell |cell|·|queries in cell| instead of n·q."""
+    assigned = kmeans_ivf_assign(embeddings, n_cells, id_col=id_col,
+                                 vec_col=vec_col)
+    corpus = assigned.select(
+        F.col(id_col).alias("neighbor_id"), "cell",
+        F.col("vecd").alias("cvec"), F.col("norm").alias("cnorm"),
+    )
+    q_ids = queries.select(F.col(id_col).alias("qid"))
+    qs = assigned.join(
+        q_ids, assigned[id_col] == q_ids["qid"]
+    ).select(
+        F.col(id_col).alias("query_id"), "cell",
+        F.col("vecd").alias("qvec"), F.col("norm").alias("qnorm"),
+    )
+    cos = cosine_rounded("qvec", "cvec", "qnorm", "cnorm").alias("cosine")
+    pairs = (
+        corpus.join(qs, on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

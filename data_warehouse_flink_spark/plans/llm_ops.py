@@ -423,3 +423,18 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 8)
         .select("doc_id", "h", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@register("knn_ivf")
+def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via a KMeans IVF index (nprobe=1).
+
+    The third ANN tier: brute force (exact) → LSH (hash buckets) → IVF
+    (learned coarse quantizer). Rows-only: cell assignment is
+    model-dependent.
+    """
+    from data_warehouse_flink_spark.functions.similarity import knn_ivf
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 20)
+    return knn_ivf(embs, queries, k=5, n_cells=16)

@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "data_warehouse_flink_spark.plans.tpch",
     "data_warehouse_flink_spark.plans.llm_ops",
     "data_warehouse_flink_spark.plans.analytics",
+    "data_warehouse_flink_spark.plans.sql_frontend",
 )
 
 

@@ -28,4 +28,5 @@ def test_queries_and_oracles_aligned():
         "multimodal_features",
         "event_value_percentiles_approx",
         "doc_rolling_fingerprint",
+        "knn_ivf",
     }

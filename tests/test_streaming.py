@@ -346,3 +346,44 @@ def test_order_timeout_stream_on_rocksdb_state_store(spark, tmp_path):
         1: "payed",
         2: "timeout",
     }
+
+
+def test_mart_upsert_foreachbatch(spark, tmp_path):
+    """Streaming hourly-count mart equals the batch aggregate after replay."""
+    from data_warehouse_flink_spark.streaming.mart import (
+        upsert_partitions_foreachbatch,
+    )
+    from data_warehouse_flink_spark.operators.windows import windowed_count
+
+    stream = stream_events(spark, SF_SMOKE).filter(
+        F.col("event_type") == "view"
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("pv"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start_sec"),
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "pv",
+        )
+    )
+    mart = str(tmp_path / "mart")
+    q = upsert_partitions_foreachbatch(agg, mart, partition_col="day")
+    q.awaitTermination()
+    got = (
+        spark.read.parquet(mart)
+        .select("window_start_sec", "pv")
+        .toPandas()
+        .sort_values("window_start_sec")
+        .reset_index(drop=True)
+    )
+    batch = table(spark, SF_SMOKE, "events").filter(F.col("event_type") == "view")
+    want = (
+        windowed_count(batch, "ts", "1 hour", count_alias="pv")
+        .select("window_start_sec", "pv")
+        .toPandas()
+        .sort_values("window_start_sec")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
