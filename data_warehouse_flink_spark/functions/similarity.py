@@ -199,7 +199,7 @@ def kmeans_ivf_assign(
     the inverted-file index. Deterministic under a fixed seed + data.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     base = with_norm(embeddings, vec_col).select(id_col, "vecd", "norm")
     feat = base.withColumn("features", array_to_vector("vecd"))

@@ -21,7 +21,6 @@ from data_warehouse_flink_spark.operators.detection import (
 from data_warehouse_flink_spark.operators.joins import (
     full_outer_match,
     interval_join,
-    window_join,
 )
 from data_warehouse_flink_spark.operators.topn import top_n_per_group
 from data_warehouse_flink_spark.operators.windows import (

@@ -27,7 +27,7 @@ from data_warehouse_flink_spark.operators.detection import (
     sessionize,
     threshold_in_window,
 )
-from data_warehouse_flink_spark.operators.joins import interval_join, window_join
+from data_warehouse_flink_spark.operators.joins import interval_join
 from data_warehouse_flink_spark.operators.topn import top_n_per_group
 from data_warehouse_flink_spark.operators.windows import (
     windowed_approx_distinct,

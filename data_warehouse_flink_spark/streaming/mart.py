@@ -11,7 +11,6 @@ micro-batch replay (exactly-once effect on top of at-least-once delivery).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def upsert_partitions_foreachbatch(

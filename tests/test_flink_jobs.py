@@ -155,3 +155,49 @@ def test_hot_items_and_uv_on_synthetic(spark):
     assert uv["uv"] == 4
     pv = jobs.page_view(df).first()
     assert pv["pv"] == 7
+
+
+def test_network_flow_streaming_matches_batch(spark, tmp_path):
+    """The same reader + windowed count, batch vs streamed replay of the
+    reference's apache.log (SURVEY.md §5.2: batch output is the oracle)."""
+    import shutil
+
+    from data_warehouse_flink_spark.operators.windows import windowed_count
+    from data_warehouse_flink_spark.streaming.jobs import (
+        run_stream_to_table,
+        streaming_windowed_count,
+    )
+
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    shutil.copy(f"{FILES}/apache.log", log_dir / "apache.log")
+
+    batch = readers.apache_log(spark, f"{FILES}/apache.log").filter(
+        ~F.col("url").rlike(r"\.(css|js)$")
+    )
+    want = (
+        windowed_count(
+            batch, "event_time", "10 minutes", slide="5 minutes",
+            keys=["url"], count_alias="cnt",
+        )
+        .toPandas()
+        .sort_values(["window_start_sec", "url"])
+        .reset_index(drop=True)
+    )
+
+    stream = readers.apache_log(spark, str(log_dir), streaming=True).filter(
+        ~F.col("url").rlike(r"\.(css|js)$")
+    )
+    agg = streaming_windowed_count(
+        stream, "event_time", "10 minutes", slide="5 minutes",
+        keys=["url"], watermark="1 second", count_alias="cnt",
+    )
+    got = (
+        run_stream_to_table(agg, spark)
+        .toPandas()
+        .sort_values(["window_start_sec", "url"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
