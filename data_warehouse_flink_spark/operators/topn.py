@@ -39,3 +39,35 @@ def top_n_per_group(
         df.withColumn(rank_alias, F.row_number().over(w))
         .filter(F.col(rank_alias) <= n)
     )
+
+
+def format_topn_report(
+    ranked: DataFrame,
+    group_col: str,
+    entity_col: str,
+    count_col: str,
+    rank_col: str = "rn",
+    entity_label: str = "商品ID",
+    count_label: str = "浏览量",
+) -> DataFrame:
+    """P9: render ranked rows as the reference's human-readable report lines
+    ("No1: 商品ID=... 浏览量=..."; DW-Flink HotItemsAnalysis
+    app/HotItems.scala:115-130). Results stay relational everywhere else;
+    this is the sink-side presentation step, JVM format_string only.
+    """
+    line = F.format_string(
+        f"No%d: {entity_label}=%s {count_label}=%d",
+        F.col(rank_col),
+        F.col(entity_col).cast("string"),
+        F.col(count_col),
+    )
+    return (
+        ranked.withColumn("report_line", line)
+        .groupBy(group_col)
+        .agg(
+            F.concat_ws(
+                "\n", F.sort_array(F.collect_list(F.struct(rank_col, "report_line")))
+                .getField("report_line")
+            ).alias("report")
+        )
+    )
