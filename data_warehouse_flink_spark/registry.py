@@ -11,7 +11,10 @@ Determinism conventions (so value-hashes match across engines):
   timestamps (`unix_timestamp` / `unix_micros` on the Spark side,
   `epoch`/`epoch_us` casts on the DuckDB side);
 - sums/avgs over doubles go through DECIMAL casts (exact, order-independent)
-  and are cast back to DOUBLE at the end;
+  and are ROUNDED IN THE DECIMAL DOMAIN (HALF_UP, identical across engines)
+  before the final DOUBLE cast — rounding the converted double instead
+  diverges at .5 boundaries, and the conversion itself double-rounds when
+  the scaled mantissa exceeds 2^53;
 - every top-N ordering carries a unique tie-breaker key;
 - aggregate/computed columns are aliased identically in both dialects.
 """

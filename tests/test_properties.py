@@ -1,0 +1,88 @@
+"""Property-based tests: operator implementations vs independent
+pure-Python references on randomized small inputs (hypothesis).
+
+Few examples deliberately — each example pays a Spark job; the value is the
+randomized structure (ties, empty groups, duplicate keys), not volume.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # group
+        st.integers(min_value=0, max_value=50),  # value
+        st.integers(min_value=0, max_value=999),  # unique-ish id
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[2],
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_top_n_per_group_matches_python(spark, rows):
+    from data_warehouse_flink_spark.operators.topn import top_n_per_group
+
+    df = spark.createDataFrame(rows, "g int, v int, id int")
+    got = {
+        (r["g"], r["id"])
+        for r in top_n_per_group(df, ["g"], "v", 2, ["id"]).collect()
+    }
+    want = set()
+    for g in {r[0] for r in rows}:
+        members = sorted(
+            (r for r in rows if r[0] == g), key=lambda r: (-r[1], r[2])
+        )
+        want |= {(g, r[2]) for r in members[:2]}
+    assert got == want
+
+
+DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=3, max_size=10
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=DOCS)
+def test_jaccard_pairs_match_python(spark, docs):
+    from data_warehouse_flink_spark.functions.dedup import (
+        jaccard_pairs,
+        word_ngrams,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = word_ngrams(df, n=2)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(grams, threshold=0.0).collect()
+    }
+
+    def shingles(toks):
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = shingles(docs[a]), shingles(docs[b])
+            inter = len(sa & sb)
+            if inter:
+                want[(a, b)] = round(inter / len(sa | sb), 6)
+    assert got == want
