@@ -71,3 +71,49 @@ def format_topn_report(
             ).alias("report")
         )
     )
+
+
+def top_n_per_group_partial(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    n: int,
+    tiebreak_cols: list[str],
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """T1/T3 for very large per-group cardinalities: local top-N per input
+    partition before the rank shuffle.
+
+    Any globally top-N row is necessarily in its own partition's local
+    top-N (counts are final before ranking), so reducing each partition to
+    ≤ N rows per group first is lossless; the global rank then runs over
+    ≤ N·partitions rows per group instead of the full group
+    (SCALING.md "Top-N"). Local reduction is an Arrow-batched
+    mapInPandas — no shuffle, no Python in the final rank.
+    """
+    cols = list(df.columns)
+    group_cols = list(partition_cols)
+
+    def local_topn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield (
+                pdf.sort_values(
+                    [*group_cols, order_col, *tiebreak_cols],
+                    ascending=[True] * len(group_cols)
+                    + [False]
+                    + [True] * len(tiebreak_cols),
+                )
+                .groupby(group_cols, sort=False)
+                .head(n)
+            )
+
+    reduced = df.mapInPandas(
+        local_topn, schema=df.sparkSession.createDataFrame([], df.schema).schema
+    )
+    return top_n_per_group(
+        reduced, partition_cols, order_col, n, tiebreak_cols, rank_alias
+    )

@@ -113,3 +113,72 @@ def windowed_agg(
     agg = df.groupBy(win, *[F.col(k) for k in keys]).agg(*aggs)
     keep = [c for c in agg.columns if c != "window"]
     return with_window_bounds(agg, keep)
+
+
+def windowed_count_two_level(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    keys: list[str] | None = None,
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """W1 for small slide/size ratios: tumbling pre-aggregation at the slide
+    granularity, then pane roll-up into sliding windows.
+
+    `F.window(size, slide)` replicates every RAW row size/slide times before
+    the (partial) aggregation; with the reference's 1 h / 10 s configs that
+    is a 360× explode of the scan. Here raw rows are first collapsed to one
+    row per (pane, keys) — a plain tumbling count — and only those
+    pre-aggregated rows are replicated across the panes' windows. The
+    replication input shrinks from |events| to |distinct (pane, keys)|,
+    which is the term that matters at 100 TB (SCALING.md "Windowed
+    aggregation"). Requires size % slide == 0 (same as pane semantics).
+
+    Output schema identical to `windowed_count`.
+    """
+    keys = keys or []
+    size_sec = _duration_to_sec(size)
+    slide_sec = _duration_to_sec(slide)
+    if size_sec % slide_sec != 0:
+        raise ValueError("two-level windows require size % slide == 0")
+    n_panes = size_sec // slide_sec
+
+    pre = df.groupBy(F.window(ts_col, slide), *[F.col(k) for k in keys]).agg(
+        F.count("*").alias("_pane_cnt")
+    )
+    pane_start = F.unix_timestamp("window.start")
+    offsets = F.explode(
+        F.sequence(F.lit(0), F.lit(int(n_panes - 1)))
+    ).alias("_k")
+    assigned = pre.select(
+        pane_start.alias("_pane_start"), *keys, "_pane_cnt", offsets
+    ).select(
+        (F.col("_pane_start") - F.col("_k") * slide_sec).alias(
+            "window_start_sec"
+        ),
+        *keys,
+        "_pane_cnt",
+    )
+    return (
+        assigned.groupBy("window_start_sec", *[F.col(k) for k in keys])
+        .agg(F.sum("_pane_cnt").alias(count_alias))
+        .select(
+            "window_start_sec",
+            (F.col("window_start_sec") + size_sec).alias("window_end_sec"),
+            *keys,
+            count_alias,
+        )
+    )
+
+
+def _duration_to_sec(text: str) -> int:
+    """Parse '10 seconds' / '5 minutes' / '1 hour' / '1 day' to seconds."""
+    qty, unit = text.strip().split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit]
+    return int(qty) * mult

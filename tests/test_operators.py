@@ -183,3 +183,60 @@ def test_partitioned_sink_roundtrip(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "stream_out")).count() == ev.count()
+
+
+def test_two_level_sliding_count_equals_naive(spark):
+    from data_warehouse_flink_spark.io import table
+    from data_warehouse_flink_spark.operators.windows import (
+        windowed_count,
+        windowed_count_two_level,
+    )
+
+    ev = table(spark, SF_SMOKE, "events")
+    for size, slide, keys in [
+        ("1 hour", "15 minutes", ["event_type"]),
+        ("1 hour", "10 minutes", []),
+        ("2 hours", "30 minutes", ["user_id"]),
+    ]:
+        naive = (
+            windowed_count(ev, "ts", size, slide=slide, keys=keys)
+            .toPandas()
+            .sort_values(["window_start_sec"] + keys)
+            .reset_index(drop=True)
+        )
+        two = (
+            windowed_count_two_level(ev, "ts", size, slide, keys=keys)
+            .toPandas()
+            .sort_values(["window_start_sec"] + keys)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            naive, two[naive.columns], check_dtype=False
+        )
+
+
+def test_partial_topn_equals_exact(spark):
+    from data_warehouse_flink_spark.io import table
+    from data_warehouse_flink_spark.operators.topn import (
+        top_n_per_group,
+        top_n_per_group_partial,
+    )
+    from data_warehouse_flink_spark.operators.windows import windowed_count
+
+    ev = table(spark, SF_SMOKE, "events")
+    counts = windowed_count(
+        ev, "ts", "1 hour", slide="15 minutes", keys=["user_id"]
+    ).select("window_end_sec", "user_id", "cnt").repartition(8)
+    exact = {
+        (r["window_end_sec"], r["user_id"], r["rn"])
+        for r in top_n_per_group(
+            counts, ["window_end_sec"], "cnt", 3, ["user_id"]
+        ).collect()
+    }
+    partial = {
+        (r["window_end_sec"], r["user_id"], r["rn"])
+        for r in top_n_per_group_partial(
+            counts, ["window_end_sec"], "cnt", 3, ["user_id"]
+        ).collect()
+    }
+    assert exact == partial
