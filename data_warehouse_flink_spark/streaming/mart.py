@@ -3,9 +3,16 @@
 The missing piece between the reference's print-sink demos and a real
 warehouse: a continuously maintained, partitioned, queryable mart. The
 idiom: update-mode streaming aggregate → foreachBatch → *dynamic partition
-overwrite* of only the partitions the micro-batch touched. Overwriting a
-partition with its full recomputed content makes the sink idempotent under
-micro-batch replay (exactly-once effect on top of at-least-once delivery).
+overwrite* of only the partitions the micro-batch touched.
+
+Correctness constraint (learned the hard way, see
+tests/test_streaming.py::test_mart_upsert_incremental_two_batches): the
+partition columns MUST be the aggregate's full grouping key. Update mode
+emits only changed rows; overwriting a partition that is coarser than the
+grouping key (e.g. day-partitioning hourly windows) would drop that
+partition's unchanged groups. With partition == group key, each overwrite
+replaces exactly the changed group's row(s), which makes the sink
+idempotent under micro-batch replay.
 """
 
 from __future__ import annotations
@@ -16,14 +23,13 @@ from pyspark.sql import DataFrame
 def upsert_partitions_foreachbatch(
     agg: DataFrame,
     path: str,
-    partition_col: str,
+    partition_cols: list[str],
 ):
     """Maintain a partitioned parquet mart from an update-mode streaming agg.
 
-    Each micro-batch carries the aggregate rows whose values changed; since
-    a change in any row of a partition re-emits that row, overwriting the
-    touched partitions with the batch's rows for them is a correct upsert
-    for aggregates partitioned by a grouping column.
+    `partition_cols` must equal the aggregate's grouping columns (see module
+    docstring). Each micro-batch dynamically overwrites only the partitions
+    (= groups) whose values changed.
     """
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -34,9 +40,9 @@ def upsert_partitions_foreachbatch(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
-                batch_df.repartition(1, partition_col)
+                batch_df.repartition(1, *partition_cols)
                 .write.mode("overwrite")
-                .partitionBy(partition_col)
+                .partitionBy(*partition_cols)
                 .parquet(path)
             )
         finally:

@@ -240,3 +240,43 @@ def test_partial_topn_equals_exact(spark):
         ).collect()
     }
     assert exact == partial
+
+
+def test_scd2_history(spark):
+    from data_warehouse_flink_spark.operators.scd2 import scd2_apply, scd2_init
+
+    snap = spark.createDataFrame(
+        [(1, "alice", "NY"), (2, "bob", "LA")],
+        "id long, name string, city string",
+    )
+    hist = scd2_init(snap, "id", ["name", "city"], ts_us=100)
+
+    # batch 1: bob moves; carol appears; alice unchanged
+    upd1 = spark.createDataFrame(
+        [(1, "alice", "NY"), (2, "bob", "SF"), (3, "carol", "TX")],
+        "id long, name string, city string",
+    )
+    hist = scd2_apply(hist, upd1, "id", ["name", "city"], ts_us=200)
+
+    # batch 2: identical replay of batch 1 -> no change (idempotence)
+    hist = scd2_apply(hist, upd1, "id", ["name", "city"], ts_us=300)
+
+    rows = {
+        (r["id"], r["city"], r["valid_from_us"], r["valid_to_us"],
+         r["is_current"])
+        for r in hist.collect()
+    }
+    assert rows == {
+        (1, "NY", 100, None, True),         # alice: never changed
+        (2, "LA", 100, 200, False),         # bob v1 closed at 200
+        (2, "SF", 200, None, True),         # bob v2 current
+        (3, "TX", 200, None, True),         # carol inserted at 200
+    }
+    # point-in-time query at t=150: bob still in LA
+    at_150 = hist.filter(
+        (F.col("valid_from_us") <= 150)
+        & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > 150))
+    )
+    assert {(r["id"], r["city"]) for r in at_150.collect()} == {
+        (1, "NY"), (2, "LA")
+    }

@@ -364,16 +364,17 @@ def test_mart_upsert_foreachbatch(spark, tmp_path):
         .agg(F.count("*").alias("pv"))
         .select(
             F.unix_timestamp("window.start").alias("window_start_sec"),
-            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
             "pv",
         )
     )
     mart = str(tmp_path / "mart")
-    q = upsert_partitions_foreachbatch(agg, mart, partition_col="day")
+    q = upsert_partitions_foreachbatch(
+        agg, mart, partition_cols=["window_start_sec"]
+    )
     q.awaitTermination()
     got = (
         spark.read.parquet(mart)
-        .select("window_start_sec", "pv")
+        .select(F.col("window_start_sec").cast("long"), "pv")
         .toPandas()
         .sort_values("window_start_sec")
         .reset_index(drop=True)
@@ -381,6 +382,65 @@ def test_mart_upsert_foreachbatch(spark, tmp_path):
     batch = table(spark, SF_SMOKE, "events").filter(F.col("event_type") == "view")
     want = (
         windowed_count(batch, "ts", "1 hour", count_alias="pv")
+        .select("window_start_sec", "pv")
+        .toPandas()
+        .sort_values("window_start_sec")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_mart_upsert_incremental_two_batches(spark, tmp_path):
+    """Two micro-batches (split replay) updating overlapping partitions:
+    the mart must converge to the batch aggregate — the idempotent-upsert
+    contract under incremental delivery."""
+    from data_warehouse_flink_spark.operators.windows import windowed_count
+    from data_warehouse_flink_spark.streaming.mart import (
+        upsert_partitions_foreachbatch,
+    )
+
+    ev = table(spark, SF_SMOKE, "events").filter(F.col("event_type") == "view")
+    src = str(tmp_path / "src")
+    # time-ordered split at a half-hour boundary: the window containing the
+    # split point receives rows from BOTH batches, forcing a re-overwrite of
+    # an already-written partition; the split is time-ordered so batch 2 is
+    # not behind the watermark
+    split = "2024-01-15 12:30:00"
+    ev.filter(F.col("ts") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ev.filter(F.col("ts") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("pv"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start_sec"),
+            "pv",
+        )
+    )
+    mart = str(tmp_path / "mart2")
+    q = upsert_partitions_foreachbatch(
+        agg, mart, partition_cols=["window_start_sec"]
+    )
+    q.awaitTermination()
+    got = (
+        spark.read.parquet(mart)
+        .select(F.col("window_start_sec").cast("long"), "pv")
+        .toPandas()
+        .sort_values("window_start_sec")
+        .reset_index(drop=True)
+    )
+    want = (
+        windowed_count(ev, "ts", "1 hour", count_alias="pv")
         .select("window_start_sec", "pv")
         .toPandas()
         .sort_values("window_start_sec")
