@@ -447,3 +447,34 @@ def test_mart_upsert_incremental_two_batches(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_curation_matches_batch_stages(spark, tmp_path):
+    """Streaming quality-gate + exact dedup equals the batch form of the
+    same two curation stages (first-seen == min doc_id under ordered
+    replay)."""
+    from data_warehouse_flink_spark.streaming.curation import curate_stream
+
+    docs_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMOKE)
+    )
+    curated = curate_stream(stream)
+    got = run_stream_to_table(
+        curated.select("doc_id"), spark, output_mode="append"
+    ).toPandas()
+
+    batch = table(spark, SF_SMOKE, "documents").filter(
+        (F.col("n_chars") >= 150) & F.col("lang").isin("en", "zh")
+    )
+    want = (
+        batch.withColumn("text_hash", F.md5(F.lower(F.col("text"))))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    ).toPandas()
+    assert set(got.doc_id) == set(want.doc_id)
+    assert len(got) > 0
