@@ -49,6 +49,10 @@ HEADLINE = [
     "events_pivot",
     "event_value_percentiles",
     "user_running_value",
+    "ad_clicks_by_geo_fine",
+    "conversion_funnel",
+    "user_value_outliers",
+    "sql_priority_counts",
     "doc_dedup_exact",
     "doc_ngram_jaccard",
     "doc_minhash_lsh",
@@ -56,6 +60,8 @@ HEADLINE = [
     "knn_bruteforce",
     "embedding_dedup_cosine",
     "corpus_curation",
+    "doc_unigram_logprob",
+    "doc_chunks",
 ]
 
 

@@ -438,3 +438,45 @@ def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     return knn_ivf(embs, queries, k=5, n_cells=16)
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+    ), total AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freq
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           ROUND(avg(-ln(f.cnt / total.n)), 6) AS avg_neg_logprob
+    FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN total
+    GROUP BY 1
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean negative log unigram probability
+    under the corpus's own token distribution (low = templated/common text,
+    high = rare-token text). Two-stage plan: corpus frequency table
+    (broadcast — vocabularies are small relative to corpora) joined back to
+    the exploded tokens. The scoring half of a quality-filter pipeline.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = float(
+        freq.agg(F.sum("cnt").cast("double")).collect()[0][0]
+    )
+    scored = toks.join(F.broadcast(freq), "tok").select(
+        "doc_id",
+        (-F.log(F.col("cnt") / F.lit(total))).alias("nlp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_logprob"),
+    )

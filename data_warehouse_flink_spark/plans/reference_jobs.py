@@ -728,3 +728,59 @@ def ad_clicks_by_geo_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, "ts", "1 hour", "5 minutes", keys=["province"],
         count_alias="cnt",
     )
+
+
+# --------------------------------------------------------------------------
+# TxMatch window join, streaming — the stream-stream join executed through
+# Structured Streaming (watermarked both sides, append mode), checked
+# against the same batch oracle as `tx_match_window_join`.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_tx_match_window_join",
+    oracle="""
+    WITH pays AS (
+      SELECT user_id, (epoch_us(ts) // 900000000) * 900 AS window_start_sec,
+             event_id AS pay_event_id, epoch_us(ts) AS pay_us
+      FROM events WHERE event_type = 'purchase'
+    ), receipts AS (
+      SELECT user_id, (epoch_us(ts) // 900000000) * 900 AS window_start_sec,
+             event_id AS receipt_event_id, epoch_us(ts) AS receipt_us
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.user_id, p.window_start_sec,
+           p.pay_event_id, p.pay_us, r.receipt_event_id, r.receipt_us
+    FROM pays p JOIN receipts r
+      ON p.user_id = r.user_id AND p.window_start_sec = r.window_start_sec
+    """,
+)
+def streaming_tx_match_window_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J2 as a true stream-stream join (state pruned by watermark)."""
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.joins import stream_window_join
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    pays = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id", "ts", F.col("event_id").alias("pay_event_id"),
+        F.unix_micros("ts").alias("pay_us"),
+    )
+    receipts = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "signup"
+    ).select(
+        "user_id", F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("receipt_event_id"),
+        F.unix_micros("ts").alias("receipt_us"),
+    )
+    j = stream_window_join(
+        pays, receipts, key="user_id", left_ts="ts", right_ts="r_ts",
+        size="15 minutes",
+    )
+    out = j.select(
+        "user_id",
+        F.unix_timestamp("window.start").alias("window_start_sec"),
+        "pay_event_id", "pay_us", "receipt_event_id", "receipt_us",
+    )
+    return run_stream_to_table(out, spark, output_mode="append")
