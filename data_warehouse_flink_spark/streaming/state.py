@@ -75,9 +75,9 @@ def make_order_timeout_fn(timeout_sec: int, pay_grace_sec: int = 5):
         out: list[pd.DataFrame] = []
         done = False
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        for _, row in rows.iterrows():
-            ev_us = int(row["ts"].value // 1_000)
-            if row["event_type"] == "create":
+        for row in rows.itertuples(index=False):
+            ev_us = int(row.ts.value // 1_000)
+            if row.event_type == "create":
                 create_us = ev_us
             else:
                 pay_us = pay_us or ev_us
@@ -155,9 +155,9 @@ def make_login_fail_fn(window_sec: int, min_count: int, fail_value: str):
         fails: list[int] = list(state.get[0]) if state.exists else []
         out = []
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        for _, row in rows.iterrows():
-            ev_us = int(row["ts"].value // 1_000)
-            if row["status"] == fail_value:
+        for row in rows.itertuples(index=False):
+            ev_us = int(row.ts.value // 1_000)
+            if row.status == fail_value:
                 fails.append(ev_us)
                 fails = [t for t in fails if ev_us - t <= window_us]
                 if len(fails) >= min_count:
@@ -239,10 +239,10 @@ def make_consecutive_fail_fn(max_gap_sec: int, fail_value: str):
         last_status, last_us = state.get if state.exists else ("", 0)
         out = []
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        for _, row in rows.iterrows():
-            ev_us = int(row["ts"].value // 1_000)
+        for row in rows.itertuples(index=False):
+            ev_us = int(row.ts.value // 1_000)
             if (
-                row["status"] == fail_value
+                row.status == fail_value
                 and last_status == fail_value
                 and ev_us - last_us <= gap_us
             ):
@@ -255,7 +255,7 @@ def make_consecutive_fail_fn(max_gap_sec: int, fail_value: str):
                         }
                     )
                 )
-            last_status, last_us = row["status"], ev_us
+            last_status, last_us = row.status, ev_us
         state.update((last_status, last_us))
         # state is only needed while a follow-up fail could still qualify
         state.setTimeoutTimestamp(last_us // 1000 + max_gap_sec * 1000)
@@ -325,10 +325,10 @@ def make_blacklist_fn(max_count: int):
         out_rows: list[tuple] = []
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         last_us = 0
-        for _, row in rows.iterrows():
-            ev_us = int(row["ts"].value // 1_000)
+        for row in rows.itertuples(index=False):
+            ev_us = int(row.ts.value // 1_000)
             last_us = ev_us
-            ev_day = row["ts"].strftime("%Y-%m-%d")
+            ev_day = row.ts.strftime("%Y-%m-%d")
             if ev_day != day:  # midnight passed: reset (the reference timer)
                 day, cnt, warned = ev_day, 0, False
             cnt += 1
@@ -428,9 +428,9 @@ def make_tx_match_fn(timeout_sec: int):
         out = []
         matched = False
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        for _, row in rows.iterrows():
-            ev_us = int(row["ts"].value // 1_000)
-            if row["side"] == "pay":
+        for row in rows.itertuples(index=False):
+            ev_us = int(row.ts.value // 1_000)
+            if row.side == "pay":
                 pay_us = pay_us or ev_us
             else:
                 receipt_us = receipt_us or ev_us

@@ -130,3 +130,51 @@ def test_two_level_window_beats_naive_on_dense_slides(spark, big_events):
     ).agg(F.sum("cnt"), F.max("cnt")).collect()[0]
     assert tuple(s1) == tuple(s2)
     print(f"naive={t_naive:.2f}s two_level={t_two:.2f}s")
+
+
+def test_order_timeout_kernel_at_100k_keys(spark, tmp_path):
+    """Stateful-kernel throughput: 100k order keys through
+    order_timeout_stream with timer-driven timeouts for 10% of them."""
+    import datetime as dt
+    import time
+
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.state import order_timeout_stream
+
+    n_orders = 100_000
+    base = spark.range(n_orders).withColumnRenamed("id", "order_id")
+    creates = base.select(
+        "order_id", F.lit("create").alias("event_type"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("order_id") % 86400
+        ).alias("ts"),
+    )
+    pays = base.filter(F.col("order_id") % 10 != 0).select(
+        "order_id", F.lit("pay").alias("event_type"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("order_id") % 86400 + 60
+        ).alias("ts"),
+    )
+    sentinel = spark.createDataFrame(
+        [(999999999, "create", dt.datetime(2025, 1, 1))],
+        "order_id long, event_type string, ts timestamp",
+    )
+    src = str(tmp_path / "orders")
+    creates.unionByName(pays).coalesce(4).write.mode("overwrite").parquet(src)
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("order_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    out = order_timeout_stream(stream, timeout_sec=900)
+    res = run_stream_to_table(out, spark, output_mode="append")
+    counts = {
+        r["result_type"]: r["count"]
+        for r in res.groupBy("result_type").count().collect()
+    }
+    elapsed = time.perf_counter() - t0
+    assert counts["payed"] == 90_000
+    assert counts["timeout"] == 10_000
+    print(f"100k keys in {elapsed:.1f}s ({int(n_orders/elapsed)} keys/s)")
