@@ -66,3 +66,51 @@ def stream_interval_join(
         )
     )
     return l.join(r, on=cond, how="inner")
+
+
+def tx_match_stream_joined(
+    pays: DataFrame,
+    receipts: DataFrame,
+    key: str = "tx_id",
+    pay_ts: str = "ts",
+    receipt_ts: str = "ts",
+    bound_sec: int = 5,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """J1 entirely JVM-side: one watermarked stream-stream FULL OUTER join.
+
+    The reference's CoProcessFunction semantics (TxMatch.scala:46-94) —
+    matched pairs plus both unmatched remainders after a timeout — map
+    exactly onto Spark's full-outer stream-stream join: rows that find a
+    partner inside the ±bound emit as matches; rows whose partner never
+    arrives are emitted with a NULL other side once the watermark passes
+    their join horizon. No Python, state pruned by the watermark — the
+    scale path ahead of the applyInPandasWithState kernel
+    (SCALING.md "Stateful kernels": hybrid mitigation).
+
+    Output: tx_id, pay_us, receipt_us (nullable), result_type.
+    """
+    p = pays.withWatermark(pay_ts, watermark).select(
+        F.col(key).alias("p_key"), F.col(pay_ts).alias("p_ts")
+    )
+    r = receipts.withWatermark(receipt_ts, watermark).select(
+        F.col(key).alias("r_key"), F.col(receipt_ts).alias("r_ts")
+    )
+    cond = (
+        (F.col("p_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {bound_sec} SECOND"))
+        & (F.col("r_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {bound_sec} SECOND"))
+    )
+    j = p.join(r, on=cond, how="full_outer")
+    return j.select(
+        F.coalesce("p_key", "r_key").alias(key),
+        F.unix_micros("p_ts").alias("pay_us"),
+        F.unix_micros("r_ts").alias("receipt_us"),
+        F.when(
+            F.col("p_key").isNotNull() & F.col("r_key").isNotNull(),
+            F.lit("matched"),
+        )
+        .when(F.col("p_key").isNotNull(), F.lit("unmatched_pay"))
+        .otherwise(F.lit("unmatched_receipt"))
+        .alias("result_type"),
+    )

@@ -478,3 +478,37 @@ def test_streaming_curation_matches_batch_stages(spark, tmp_path):
     ).toPandas()
     assert set(got.doc_id) == set(want.doc_id)
     assert len(got) > 0
+
+
+def test_tx_match_stream_joined_matches_kernel(spark, tmp_path):
+    """The JVM-only full-outer stream-stream join produces the same three
+    outcome classes as the applyInPandasWithState kernel."""
+    from data_warehouse_flink_spark.streaming.joins import (
+        tx_match_stream_joined,
+    )
+
+    pays = [
+        {"tx_id": "a", "ts": sec(0)},
+        {"tx_id": "b", "ts": sec(0)},  # no receipt
+        {"tx_id": "zz", "ts": FAR},
+    ]
+    receipts = [
+        {"tx_id": "a", "ts": sec(3)},
+        {"tx_id": "c", "ts": sec(0)},  # no pay
+        {"tx_id": "zz", "ts": FAR},
+    ]
+    p_path = write_replay(tmp_path / "pj", spark, pays, TX_SCHEMA)
+    r_path = write_replay(tmp_path / "rj", spark, receipts, TX_SCHEMA)
+    out = tx_match_stream_joined(
+        read_replay(spark, p_path, TX_SCHEMA),
+        read_replay(spark, r_path, TX_SCHEMA),
+        bound_sec=5,
+    )
+    got = run_stream_to_table(out, spark, output_mode="append").toPandas()
+    got = got[got.tx_id != "zz"]
+    by_tx = dict(zip(got.tx_id, got.result_type))
+    assert by_tx == {
+        "a": "matched",
+        "b": "unmatched_pay",
+        "c": "unmatched_receipt",
+    }
