@@ -88,3 +88,18 @@ def apache_log(spark: SparkSession, path: str, streaming: bool = False) -> DataF
         parts.getItem(5).alias("method"),
         parts.getItem(6).alias("url"),
     )
+
+
+def parse_csv_user_behavior(values: DataFrame, value_col: str = "value") -> DataFrame:
+    """P1 over a Kafka-style string column: split + positional casts into the
+    UserBehavior shape (the reference's map() after FlinkKafkaConsumer,
+    HotItems.scala:49-52). JVM split/cast — usable on both batch and
+    streaming DataFrames (e.g. the output of kafka_events)."""
+    parts = F.split(F.col(value_col), ",")
+    return values.select(
+        parts.getItem(0).cast("long").alias("user_id"),
+        parts.getItem(1).cast("long").alias("item_id"),
+        parts.getItem(2).cast("int").alias("category_id"),
+        parts.getItem(3).alias("behavior"),
+        parts.getItem(4).cast("long").alias("ts_sec"),
+    ).withColumn("ts", F.timestamp_seconds("ts_sec"))

@@ -236,3 +236,25 @@ def test_ad_clicks_reference_exact_config(spark, ad_clicks):
     pd.testing.assert_frame_equal(naive, two[naive.columns], check_dtype=False)
     # the hot user's beijing clicks dominate the peak window
     assert naive.cnt.max() >= 100
+
+
+def test_parse_csv_user_behavior_roundtrip(spark):
+    """Kafka value parsing (S1+P1): csv line -> typed row, and the kafka
+    record shaper is its inverse."""
+    from data_warehouse_flink_spark.sources.readers import (
+        parse_csv_user_behavior,
+    )
+    from data_warehouse_flink_spark.sources.sinks import to_kafka_records
+
+    lines = spark.createDataFrame(
+        [("543462,1715671,1464116,pv,1511658000",)], "value string"
+    )
+    parsed = parse_csv_user_behavior(lines)
+    row = parsed.first()
+    assert (row["user_id"], row["item_id"], row["category_id"],
+            row["behavior"], row["ts_sec"]) == (
+        543462, 1715671, 1464116, "pv", 1511658000)
+    back = to_kafka_records(
+        parsed, ["user_id", "item_id", "category_id", "behavior", "ts_sec"]
+    ).first()["value"]
+    assert back == "543462,1715671,1464116,pv,1511658000"
