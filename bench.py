@@ -44,6 +44,9 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q17",
     "order_priority_count",
     "events_rollup",
     "events_pivot",
