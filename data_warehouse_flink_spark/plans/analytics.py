@@ -373,3 +373,125 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
     )
+
+
+@register(
+    "hourly_counts_gapfilled",
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(min(ts)) // 3600000000) * 3600 AS lo,
+             (epoch_us(max(ts)) // 3600000000) * 3600 AS hi
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, 3600)) AS window_start_sec
+      FROM bounds
+    ), counts AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_sec,
+             count(*) AS cnt
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT h.window_start_sec, COALESCE(c.cnt, 0) AS cnt
+    FROM hours h LEFT JOIN counts c ON h.window_start_sec = c.window_start_sec
+    """,
+)
+def hourly_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: every hour in the data's span appears, with
+    zero for empty hours — the resampling step every dashboard/forecast
+    pipeline needs (sparse windowed aggs omit empty windows)."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        (F.floor(F.unix_micros(F.min("ts")) / 3_600_000_000) * 3600).alias("lo"),
+        (F.floor(F.unix_micros(F.max("ts")) / 3_600_000_000) * 3600).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("window_start_sec")
+    )
+    counts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.expr("unix_micros(ts) div 3600000000") * 3600).alias(
+                "window_start_sec"
+            )
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    return hours.join(counts, "window_start_sec", "left").select(
+        "window_start_sec", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             (epoch_us(min(ts)) // 604800000000) AS cohort_week
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_week,
+             (epoch_us(e.ts) // 604800000000) - f.cohort_week AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    per week-offset of later activity — two aggregations and one join, the
+    canonical product-analytics rollup."""
+    ev = _events(spark, sf_dir)
+    week = F.expr("unix_micros(ts) div 604800000000")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("active_users")
+    )
+
+
+@register(
+    "error_rate_spikes",
+    oracle="""
+    WITH counts AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_sec,
+             count(*) AS errors
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ), with_prev AS (
+      SELECT window_start_sec, errors,
+             lag(errors) OVER (ORDER BY window_start_sec) AS prev_errors
+      FROM counts
+    )
+    SELECT window_start_sec, errors, prev_errors
+    FROM with_prev
+    WHERE prev_errors IS NOT NULL AND errors >= 2 * prev_errors
+      AND errors >= 5
+    """,
+)
+def error_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting: hours whose error count at least doubles the previous
+    hour's (and clears a floor) — windowed count + lag over the window
+    series, the detection shape behind every rate-of-change monitor."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+    counts = ev.groupBy(
+        (F.expr("unix_micros(ts) div 3600000000") * 3600).alias(
+            "window_start_sec"
+        )
+    ).agg(F.count("*").alias("errors"))
+    w = Window.orderBy("window_start_sec")
+    flagged = counts.withColumn("prev_errors", F.lag("errors").over(w))
+    return flagged.filter(
+        F.col("prev_errors").isNotNull()
+        & (F.col("errors") >= 2 * F.col("prev_errors"))
+        & (F.col("errors") >= 5)
+    )

@@ -480,3 +480,40 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.round(F.avg("nlp"), 6).alias("avg_neg_logprob"),
     )
+
+
+@register(
+    "doc_prefix_edit_distance",
+    oracle="""
+    WITH prefixes AS (
+      SELECT doc_id, source, substr(text, 1, 20) AS pre FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_distance
+    FROM prefixes a JOIN prefixes b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pre, b.pre) <= 5
+    """,
+)
+def doc_prefix_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup candidates: Levenshtein ≤ 5 on 20-char
+    prefixes, blocked by source (the O(n·m)-per-pair DP is affordable only
+    on short keys within blocks — the classic fuzzy-match shape)."""
+    pre = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.substring("text", 1, 20).alias("pre")
+    )
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"), "source", F.col("pre").alias("pa")
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"), "source", F.col("pre").alias("pb")
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= 5)
+        .select(
+            "doc_a", "doc_b", dist.cast("long").alias("edit_distance")
+        )
+    )

@@ -86,3 +86,59 @@ def test_jaccard_pairs_match_python(spark, docs):
             if inter:
                 want[(a, b)] = round(inter / len(sa | sb), 6)
     assert got == want
+
+
+WINDOW_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # key
+        st.integers(min_value=0, max_value=100_000), # ts offset seconds
+    ),
+    min_size=1,
+    max_size=40,
+)
+CONFIGS = st.sampled_from(
+    [("1 hour", "15 minutes"), ("2 hours", "30 minutes"),
+     ("1 hour", "10 minutes"), ("30 minutes", "5 minutes")]
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=WINDOW_ROWS, config=CONFIGS)
+def test_two_level_window_property(spark, rows, config):
+    """Two-level pane rollup ≡ naive pane assignment on random event sets
+    and size/slide configs."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from data_warehouse_flink_spark.operators.windows import (
+        windowed_count,
+        windowed_count_two_level,
+    )
+
+    size, slide = config
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "k": [r[0] for r in rows],
+            "ts": [t0 + dt.timedelta(seconds=r[1]) for r in rows],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="k int, ts timestamp")
+    naive = (
+        windowed_count(df, "ts", size, slide=slide, keys=["k"])
+        .toPandas()
+        .sort_values(["window_start_sec", "k"])
+        .reset_index(drop=True)
+    )
+    two = (
+        windowed_count_two_level(df, "ts", size, slide, keys=["k"])
+        .toPandas()
+        .sort_values(["window_start_sec", "k"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(naive, two[naive.columns], check_dtype=False)
