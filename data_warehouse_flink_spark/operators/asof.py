@@ -1,0 +1,104 @@
+"""As-of join: for each left row, the most recent right row at-or-before it.
+
+Spark has no native ASOF JOIN (DuckDB/kdb/pandas do). The range-join
+formulation explodes on low-selectivity keys; the scalable form used here is
+the union-scan trick: tag and union both streams, sort per key by (ts,
+tag-priority), and carry the latest right-side values forward with
+last_value(..., ignorenulls) — one shuffle on the key, one per-partition
+sort, zero row explosion, identical asymptotics to the sort-merge pass an
+ASOF join compiles to natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """Backward as-of join (right.ts <= left.ts, greatest such ts).
+
+    Output: all left columns + `asof_<col>` for each requested right column
+    (NULL when no prior right row exists or it is older than `tolerance_sec`).
+    Right rows are deduplicated to one per (key, ts) (max of each payload
+    col) so ties are deterministic.
+    """
+    r_dedup = right.groupBy(
+        F.col(key), F.col(right_ts).alias("_rts")
+    ).agg(*[F.max(c).alias(c) for c in right_cols])
+
+    l_tag = left.withColumn("_tag", F.lit(1)).withColumn("_rts", F.col(left_ts))
+    r_tag = (
+        r_dedup.withColumn("_tag", F.lit(0))
+        .select(
+            key,
+            "_rts",
+            "_tag",
+            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        )
+    )
+    l_cols = left.columns
+    unioned = l_tag.select(
+        *l_cols,
+        "_tag",
+        "_rts",
+        *[F.lit(None).cast(r_tag.schema[f"_r_{c}"].dataType).alias(f"_r_{c}")
+          for c in right_cols],
+    ).unionByName(
+        r_tag.select(
+            *[
+                F.lit(None).cast(l_tag.schema[c].dataType).alias(c)
+                if c != key
+                else F.col(key)
+                for c in l_cols
+            ],
+            "_tag",
+            "_rts",
+            *[F.col(f"_r_{c}") for c in right_cols],
+        )
+    )
+    # right rows (tag 0) sort before left rows at equal ts → inclusive match
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.asc("_rts"), F.asc("_tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *l_cols,
+        "_tag",
+        "_rts",
+        F.last(F.when(F.col("_tag") == 0, F.col("_rts")), ignorenulls=True)
+        .over(w)
+        .alias("_asof_ts"),
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True)
+            .over(w)
+            .alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_tag") == 1)
+    if tolerance_sec is not None:
+        horizon = F.unix_micros(F.col("_rts")) - tolerance_sec * 1_000_000
+        within = F.unix_micros(F.col("_asof_ts")) >= horizon
+        out = out.select(
+            *l_cols,
+            F.when(within, F.col("_asof_ts")).alias("_asof_ts"),
+            *[
+                F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in right_cols
+            ],
+        )
+    return out.select(
+        *l_cols,
+        F.col("_asof_ts").alias("asof_ts"),
+        *[F.col(f"asof_{c}") for c in right_cols],
+    )

@@ -495,3 +495,53 @@ def error_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("errors") >= 2 * F.col("prev_errors"))
         & (F.col("errors") >= 5)
     )
+
+
+@register(
+    "purchase_asof_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_event_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, max(event_id) AS click_event_id, ts
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.purchase_event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           c.click_event_id,
+           epoch_us(c.ts) AS click_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase with the user's most recent click at or
+    before it (attribution). Spark side: the union-scan as-of operator
+    (operators/asof.py); oracle: DuckDB's native ASOF JOIN.
+    """
+    from data_warehouse_flink_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_event_id"],
+    )
+    return joined.select(
+        "purchase_event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("asof_click_event_id").alias("click_event_id"),
+        F.unix_micros("asof_ts").alias("click_us"),
+    )
