@@ -65,6 +65,9 @@ HEADLINE = [
     "corpus_curation",
     "doc_unigram_logprob",
     "doc_chunks",
+    "purchase_asof_click",
+    "weekly_cohort_retention",
+    "hourly_counts_gapfilled",
 ]
 
 

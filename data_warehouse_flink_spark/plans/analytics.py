@@ -545,3 +545,33 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_click_event_id").alias("click_event_id"),
         F.unix_micros("asof_ts").alias("click_us"),
     )
+
+
+@register(
+    "events_grouping_sets",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           grouping(event_type) AS g_type,
+           grouping(strftime(ts, '%Y-%m-%d')) AS g_day,
+           count(*) AS cnt
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')), ())
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() disambiguators (a NULL day
+    from the (event_type) set vs a NULL-valued day are distinguishable) —
+    the general form behind rollup/cube."""
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
+               CAST(grouping(event_type) AS TINYINT) AS g_type,
+               CAST(grouping(date_format(ts, 'yyyy-MM-dd')) AS TINYINT)
+                 AS g_day,
+               count(*) AS cnt
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')), ())
+        """
+    )
