@@ -43,3 +43,27 @@ def salted_join(
     salted_small = small.select("*", salts)
     out = salted_big.join(salted_small, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def runtime_pruned_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Runtime-filter join: prune the big side BEFORE its shuffle with a
+    broadcast semi-join on the (already filtered) small side's keys.
+
+    When the small side carries a selective predicate, most big-side rows
+    would be dropped by the join anyway — dropping them at the scan stage
+    keeps them out of the shuffle entirely. The broadcast left-semi is the
+    exact form of Spark's runtime row-level (Bloom) filtering, which the
+    session also enables for automatic injection on real clusters
+    (spark.sql.optimizer.runtime.bloomFilter.enabled; the Bloom variant
+    trades exactness of the pre-filter for a fixed-size broadcast — both
+    produce identical join results).
+    """
+    keys = small.select(F.col(small_key).alias(big_key)).distinct()
+    pruned = big.join(F.broadcast(keys), on=big_key, how="left_semi")
+    return pruned.join(small, pruned[big_key] == small[small_key], how)

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime row-level filtering: inject Bloom filters from selective
+        # join sides into the other side's scan (shuffle-volume reducer at
+        # scale; no-op when the planner deems it unprofitable).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Deterministic event-time semantics; DuckDB timestamps are UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for all pandas_udf / applyInPandas boundaries.

@@ -280,3 +280,22 @@ def test_scd2_history(spark):
     assert {(r["id"], r["city"]) for r in at_150.collect()} == {
         (1, "NY"), (2, "LA")
     }
+
+
+def test_runtime_pruned_join_equals_plain(spark):
+    from data_warehouse_flink_spark.io import table
+    from data_warehouse_flink_spark.operators.skew import runtime_pruned_join
+
+    l = table(spark, SF_SMOKE, "lineitem")
+    o = table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = l.join(o, l.l_orderkey == o.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).count()
+    pruned = runtime_pruned_join(
+        l, o, "l_orderkey", "o_orderkey"
+    ).groupBy("o_orderpriority").count()
+    assert {tuple(r) for r in pruned.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
