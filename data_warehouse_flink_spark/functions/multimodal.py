@@ -100,3 +100,65 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+def decode_audio(payload: bytes) -> object:
+    """Real decode would use soundfile/ffmpeg — not present in this container."""
+    raise NotImplementedError(
+        "audio codecs are not installed; frame_sample uses the deterministic "
+        "byte-chunk stand-in"
+    )
+
+
+FRAME_SCHEMA = (
+    "doc_id long, media_type string, frame_idx int, n_bytes long, "
+    "checksum long"
+)
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = 64, stride: int = 4
+) -> DataFrame:
+    """Frame sampling over binary payloads: every `stride`-th fixed-size
+    chunk becomes a 'frame' row (the video-keyframe / audio-window shape).
+
+    Real decoders replace the byte-chunking; the Spark plumbing — explode of
+    per-payload frames inside an Arrow batch, stable frame indexing, typed
+    output — is exactly what a production extractor uses. Partition-local.
+    """
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "media_type": [], "frame_idx": [],
+                "n_bytes": [], "checksum": [],
+            }
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                n_frames = max(len(payload) // frame_bytes, 1)
+                for idx in range(0, n_frames, stride):
+                    chunk = payload[idx * frame_bytes:(idx + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["media_type"].append(mt)
+                    out["frame_idx"].append(idx)
+                    out["n_bytes"].append(len(chunk))
+                    out["checksum"].append(zlib.crc32(chunk) & 0xFFFFFFFF)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_meta(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: rewrites the typed metadata (the real pixel resize
+    lives in the codec stub); shows the pattern of metadata-preserving
+    transforms on opaque payload columns."""
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+        ),
+    )

@@ -299,3 +299,22 @@ def test_runtime_pruned_join_equals_plain(spark):
     assert {tuple(r) for r in pruned.collect()} == {
         tuple(r) for r in plain.collect()
     }
+
+
+def test_multimodal_frame_sampling_and_resize(spark):
+    from data_warehouse_flink_spark.io import table
+    from data_warehouse_flink_spark.functions.multimodal import (
+        documents_as_media,
+        frame_sample,
+        resize_meta,
+    )
+
+    media = documents_as_media(table(spark, SF_SMOKE, "documents").limit(20))
+    frames = frame_sample(media, frame_bytes=64, stride=2)
+    rows = frames.collect()
+    assert len(rows) > 20  # multiple frames per payload
+    assert all(r["frame_idx"] % 2 == 0 for r in rows)
+    assert all(0 < r["n_bytes"] <= 64 for r in rows)
+
+    resized = resize_meta(media, 224, 224).first()
+    assert (resized["meta"]["width"], resized["meta"]["height"]) == (224, 224)
