@@ -551,8 +551,8 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_grouping_sets",
     oracle="""
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-           grouping(event_type) AS g_type,
-           grouping(strftime(ts, '%Y-%m-%d')) AS g_day,
+           CAST(grouping(event_type) AS BIGINT) AS g_type,
+           CAST(grouping(strftime(ts, '%Y-%m-%d')) AS BIGINT) AS g_day,
            count(*) AS cnt
     FROM events
     GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')), ())
@@ -567,8 +567,8 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
-               CAST(grouping(event_type) AS TINYINT) AS g_type,
-               CAST(grouping(date_format(ts, 'yyyy-MM-dd')) AS TINYINT)
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(date_format(ts, 'yyyy-MM-dd')) AS BIGINT)
                  AS g_day,
                count(*) AS cnt
         FROM events_gs
