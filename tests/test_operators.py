@@ -318,3 +318,48 @@ def test_multimodal_frame_sampling_and_resize(spark):
 
     resized = resize_meta(media, 224, 224).first()
     assert (resized["meta"]["width"], resized["meta"]["height"]) == (224, 224)
+
+
+def test_late_beyond_watermark_rows_dropped(spark, tmp_path):
+    """SURVEY §5.2: rows later than the watermark bound are dropped
+    deterministically by streaming aggregation (batch keeps them)."""
+    from data_warehouse_flink_spark.streaming.jobs import (
+        run_stream_to_table,
+        streaming_windowed_count,
+    )
+
+    schema = "user_id long, ts timestamp"
+    on_time = [{"user_id": 1, "ts": sec(i * 10)} for i in range(12)]
+    advance = [{"user_id": 2, "ts": sec(4000)}]  # pushes watermark past w0
+    late = [{"user_id": 1, "ts": sec(5)}]  # belongs to the closed window 0
+
+    path = str(tmp_path / "late")
+    spark.createDataFrame(pd.DataFrame(on_time), schema=schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    spark.createDataFrame(pd.DataFrame(advance), schema=schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(pd.DataFrame(late), schema=schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = streaming_windowed_count(
+        stream, "ts", "1 minute", keys=["user_id"], watermark="30 seconds"
+    )
+    # append mode: a window is emitted once, when the watermark closes it;
+    # late rows for closed windows are dropped. (Complete mode would keep
+    # all state and still absorb the late row.)
+    got = run_stream_to_table(agg, spark, output_mode="append").toPandas()
+    w0 = got[
+        (got.user_id == 1)
+        & (got.window_start_sec == int(T0.timestamp()))
+    ]
+    # batch would count 7 rows in window 0 (6 on-time + 1 late);
+    # streaming closed the window before the late row arrived -> 6
+    assert int(w0.cnt.iloc[0]) == 6
