@@ -42,9 +42,13 @@ def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     toked = df.select(
         "doc_id", F.split(F.col(text_col), " ").alias("_toks")
     )
+    # guard: documents with fewer than n tokens yield no shingles (a bare
+    # sequence(0, size-n) would descend through -1 and crash slice())
     grams = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
         f"transform(sequence(0, size(_toks) - {n}), "
-        f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
+        f"ELSE array() END"
     )
     return toked.select("doc_id", F.explode(grams).alias("gram")).distinct()
 
@@ -82,12 +86,11 @@ def _affine_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     import random
 
     rng = random.Random(seed)
+    p = 2_147_483_647  # 2^31 - 1 (Mersenne prime): a*g+b < 2^62, ANSI-safe
     consts = []
     for _ in range(num_hashes):
-        # 31-bit odd multiplier × 31-bit operand stays under 2^62: no
-        # overflow under ANSI arithmetic, no wrap-around needed.
-        a = rng.getrandbits(31) | 1
-        b = rng.getrandbits(31)
+        a = rng.randrange(1, p)
+        b = rng.randrange(0, p)
         consts.append((a, b))
     return consts
 
@@ -98,17 +101,22 @@ def minhash_signatures(
     """MinHash signature per doc: sig[i] = min over shingles of h_i(gram).
 
     The shingle string is hashed ONCE (xxhash64); the k hash functions are
-    affine integer mixes h_i(g) = a_i·g + b_i over the 64-bit ring (odd a_i ⇒
-    bijection, the standard tabulation-free MinHash family). That keeps the
-    hot loop at one string hash + k multiply-adds per shingle, all inside
+    the universal family h_i(g) = (a_i·g + b_i) mod p with p = 2^31-1 —
+    the modulus is what makes each h_i an (approximate) independent
+    permutation; a mod-free affine map is monotone in g and would collapse
+    every component to the same argmin shingle, degenerating LSH banding
+    to a single draw. One string hash + k multiply-add-mods per shingle,
     whole-stage codegen; the aggregation is a plain k-column min.
     """
     base = grams.select(
         id_col,
         F.xxhash64("gram").bitwiseAND(F.lit((1 << 31) - 1)).alias("g"),
     )
+    prime = 2_147_483_647
     mins = [
-        F.min(F.col("g") * F.lit(a) + F.lit(b)).alias(f"h{i}")
+        F.min(F.pmod(F.col("g") * F.lit(a) + F.lit(b), F.lit(prime))).alias(
+            f"h{i}"
+        )
         for i, (a, b) in enumerate(_affine_constants(num_hashes))
     ]
     sig = base.groupBy(id_col).agg(*mins)

@@ -136,7 +136,6 @@ def random_hyperplane_buckets(
     bucket = None
     tmp = embeddings.withColumn("vecd", vecd)
     for j in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[j]])
         dot_j = F.expr(
             f"aggregate(zip_with(vecd, array({','.join(str(float(v)) for v in planes[j])}), "
             f"(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"

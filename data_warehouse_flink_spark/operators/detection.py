@@ -100,7 +100,7 @@ def match_within_timeout(
     Reference: OrderTimeout.scala:32-64 (CEP followedBy/within + timeout side
     output) and OrderTimeoutWithoutCep.scala:38-111. Batch form: left join
     create→earliest qualifying pay, classify:
-      payed    — pay within (create_ts, create_ts + timeout]
+      payed    — pay within [create_ts, create_ts + timeout]
       timeout  — no pay inside the bound (incl. pay-after-timeout, the
                  reference's "payed but already timeout" class collapses here
                  to timeout; the 4-class split is the streaming kernel's job).
@@ -116,7 +116,7 @@ def match_within_timeout(
         p,
         on=[
             c["k"] == p["k"],
-            p["pay_us"] > c["create_us"],
+            p["pay_us"] >= c["create_us"],
             p["pay_us"] <= c["create_us"] + timeout_sec * 1_000_000,
         ],
         how="left",
@@ -169,6 +169,7 @@ def sessionize(
     key: str,
     ts_col: str,
     gap_sec: int,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Sessionization: split each key's event sequence at gaps > gap_sec.
 
@@ -178,7 +179,8 @@ def sessionize(
 
     Output: one row per event with `session_id` (0-based per key).
     """
-    w = Window.partitionBy(key).orderBy(F.asc(ts_col), F.asc("event_id"))
+    order_cols = order_cols or [ts_col, "event_id"]
+    w = Window.partitionBy(key).orderBy(*[F.asc(c) for c in order_cols])
     gap_us = gap_sec * 1_000_000
     prev_ts = F.lag(ts_col).over(w)
     new_sess = (

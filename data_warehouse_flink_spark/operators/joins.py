@@ -86,18 +86,22 @@ def full_outer_match(
     discriminator column, which Catalyst executes as one shuffle join. The
     streaming timeout-based variant is ``streaming.state.tx_match_stream``.
     """
-    l_probe, r_probe = on[0], on[0]
-    joined = left.alias("l").join(
-        right.alias("r"),
+    # side-presence tags, not key NULL-ness: a NULL-keyed left row must
+    # still be labeled as coming from the left stream
+    lt = left.withColumn("_l_present", F.lit(1))
+    rt = right.withColumn("_r_present", F.lit(1))
+    joined = lt.alias("l").join(
+        rt.alias("r"),
         on=[F.col(f"l.{c}") == F.col(f"r.{c}") for c in on],
         how="full_outer",
     )
     tag = (
         F.when(
-            F.col(f"l.{l_probe}").isNotNull() & F.col(f"r.{r_probe}").isNotNull(),
+            F.col("l._l_present").isNotNull()
+            & F.col("r._r_present").isNotNull(),
             F.lit(matched_tag),
         )
-        .when(F.col(f"l.{l_probe}").isNotNull(), F.lit(left_tag))
+        .when(F.col("l._l_present").isNotNull(), F.lit(left_tag))
         .otherwise(F.lit(right_tag))
     )
-    return joined.withColumn(tag_alias, tag)
+    return joined.withColumn(tag_alias, tag).drop("_l_present", "_r_present")

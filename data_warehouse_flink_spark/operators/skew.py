@@ -24,15 +24,22 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side's keys split across `buckets` salts.
 
-    `salt_source` must be a deterministic per-row expression on the big side
-    (default: xxhash64 of the whole-row key + a unique column is the caller's
-    job; passing None salts by xxhash64(key) only, which still splits hot
-    keys when combined with a distinct column). Result equals the unsalted
-    join row-for-row.
+    `salt_source` is required and must be a deterministic per-row expression
+    on the big side (e.g. a unique id column) so retries/replays salt
+    identically. Inner/left joins only: replicating the small side would
+    duplicate its unmatched rows under right/full outer. Result equals the
+    unsalted join row-for-row.
     """
+    if how not in ("inner", "left_semi", "left", "left_outer"):
+        # replicating the small side duplicates its unmatched rows under
+        # right/full outer joins — refuse rather than return wrong results
+        raise ValueError(f"salted_join does not support how={how!r}")
     if salt_source is None:
-        salt_source = F.monotonically_increasing_id()
-    elif isinstance(salt_source, str):
+        raise ValueError(
+            "salt_source must be a deterministic per-row column; an implicit "
+            "nondeterministic default would break replay/retry semantics"
+        )
+    if isinstance(salt_source, str):
         salt_source = F.col(salt_source)
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(salt_source), F.lit(buckets)).cast("int")
@@ -54,6 +61,8 @@ def runtime_pruned_join(
 ) -> DataFrame:
     """Runtime-filter join: prune the big side BEFORE its shuffle with a
     broadcast semi-join on the (already filtered) small side's keys.
+    Inner/semi only — pre-filtering the big side would delete the NULL-padded
+    rows an outer join must keep.
 
     When the small side carries a selective predicate, most big-side rows
     would be dropped by the join anyway — dropping them at the scan stage
@@ -64,6 +73,8 @@ def runtime_pruned_join(
     trades exactness of the pre-filter for a fixed-size broadcast — both
     produce identical join results).
     """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"runtime_pruned_join does not support how={how!r}")
     keys = small.select(F.col(small_key).alias(big_key)).distinct()
     pruned = big.join(F.broadcast(keys), on=big_key, how="left_semi")
     return pruned.join(small, pruned[big_key] == small[small_key], how)

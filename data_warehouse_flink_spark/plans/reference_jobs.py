@@ -407,7 +407,7 @@ def login_fail_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'payed' ELSE 'timeout' END AS result_type
     FROM c LEFT JOIN p
       ON c.user_id = p.user_id
-     AND p.pay_us > c.create_us
+     AND p.pay_us >= c.create_us
      AND p.pay_us <= c.create_us + 86400000000
     GROUP BY 1, 2
     """,

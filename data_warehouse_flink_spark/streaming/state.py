@@ -82,7 +82,7 @@ def make_order_timeout_fn(timeout_sec: int, pay_grace_sec: int = 5):
             else:
                 pay_us = pay_us or ev_us
             if create_us and pay_us:
-                ok = 0 < pay_us - create_us <= timeout_us
+                ok = 0 <= pay_us - create_us <= timeout_us
                 out.append(
                     emit(create_us, pay_us, "payed" if ok else "payed_but_timeout")
                 )
@@ -329,7 +329,11 @@ def make_blacklist_fn(max_count: int):
             ev_us = int(row.ts.value // 1_000)
             last_us = ev_us
             ev_day = row.ts.strftime("%Y-%m-%d")
-            if ev_day != day:  # midnight passed: reset (the reference timer)
+            if ev_day < day:
+                # late event for an already-closed day (within watermark but
+                # behind the day boundary): must not reset the live counter
+                continue
+            if ev_day > day:  # midnight passed: reset (the reference timer)
                 day, cnt, warned = ev_day, 0, False
             cnt += 1
             if cnt <= max_count:

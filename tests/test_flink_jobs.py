@@ -97,8 +97,10 @@ def test_order_timeout(orders):
         r["result_type"]: r["count"]
         for r in out.groupBy("result_type").count().collect()
     }
-    # measured from OrderLog.csv: 39 creates; 36 paid within 15 min
-    assert counts == {"payed": 36, "timeout": 3}
+    # measured from OrderLog.csv: 39 creates; 36 paid strictly after the
+    # create within 15 min, plus one paid in the same second (>= semantics:
+    # an instant pay is a pay, matching the streaming kernel)
+    assert counts == {"payed": 37, "timeout": 2}
 
 
 def test_tx_match(orders, receipts):
