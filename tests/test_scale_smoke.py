@@ -18,7 +18,7 @@ pytestmark = pytest.mark.skipif(
     reason="set SPARK_GRAFT_SCALE_SMOKE=1 to run the 5M-row smoke",
 )
 
-N = 5_000_000
+N = int(os.environ.get("SPARK_GRAFT_SMOKE_ROWS", 5_000_000))
 USERS = 100_000
 
 
