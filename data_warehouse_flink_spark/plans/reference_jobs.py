@@ -784,3 +784,68 @@ def streaming_tx_match_window_join(
         "pay_event_id", "pay_us", "receipt_event_id", "receipt_us",
     )
     return run_stream_to_table(out, spark, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# HotItems, streaming — the full T1 idiom through the gate: update-mode
+# windowed counts → foreachBatch rank → accumulated result, same oracle as
+# the batch `hot_items_topn`. (Single-batch replay here; under continuous
+# micro-batches the sink upserts per window — see streaming/mart.py.)
+# --------------------------------------------------------------------------
+@register(
+    "streaming_hot_items_topn",
+    oracle="""
+    WITH assigned AS (
+      SELECT ((epoch_us(ts) // 900000000) - g.k) * 900 AS window_start_sec,
+             user_id
+      FROM events CROSS JOIN generate_series(0, 3) g(k)
+      WHERE event_type = 'view'
+    ), counted AS (
+      SELECT window_start_sec + 3600 AS window_end_sec, user_id,
+             count(*) AS cnt
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT window_end_sec, user_id, cnt,
+           CAST(row_number() OVER (
+             PARTITION BY window_end_sec ORDER BY cnt DESC, user_id) AS BIGINT
+           ) AS rn
+    FROM counted
+    QUALIFY rn <= 3
+    """,
+)
+def streaming_hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per sliding window via the streaming foreachBatch-rank idiom."""
+    import pandas as pd
+
+    from data_warehouse_flink_spark.streaming.jobs import (
+        streaming_topn_foreachbatch,
+        streaming_windowed_count,
+    )
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    stream = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    counts = streaming_windowed_count(
+        stream, "ts", "1 hour", slide="15 minutes", keys=["user_id"]
+    )
+    batches: list[pd.DataFrame] = []
+
+    def sink(ranked_df, epoch_id):
+        batches.append(ranked_df.toPandas())
+
+    q = streaming_topn_foreachbatch(
+        counts,
+        partition_cols=["window_end_sec"],
+        order_col="cnt",
+        n=3,
+        tiebreak_cols=["user_id"],
+        sink=sink,
+    )
+    q.awaitTermination()
+    acc = pd.concat(batches, ignore_index=True)
+    # keep the newest version of each (window, rank) in replay order
+    acc = acc.drop_duplicates(subset=["window_end_sec", "rn"], keep="last")
+    acc = acc[["window_end_sec", "user_id", "cnt", "rn"]]
+    out = spark.createDataFrame(
+        acc, schema="window_end_sec long, user_id long, cnt long, rn int"
+    )
+    return out.withColumn("rn", F.col("rn").cast("long"))

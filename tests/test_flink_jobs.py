@@ -260,3 +260,54 @@ def test_parse_csv_user_behavior_roundtrip(spark):
         parsed, ["user_id", "item_id", "category_id", "behavior", "ts_sec"]
     ).first()["value"]
     assert back == "543462,1715671,1464116,pv,1511658000"
+
+
+def test_generated_fixtures_drive_all_jobs(spark, tmp_path):
+    """FIXTURES.md cross-cutting requirement: a seeded generator backs the
+    same schemas at any scale; every job family runs on its output and the
+    guaranteed detection cases fire."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "gen")
+    subprocess.run(
+        [sys.executable, "tools/datagen.py", out, "1"],
+        check=True,
+        cwd=str(REPO_ROOT),
+        capture_output=True,
+    )
+    ub = readers.user_behavior(spark, f"{out}/UserBehavior.csv")
+    assert jobs.hot_items(ub).count() > 0
+    assert jobs.unique_visitors(ub).count() > 0
+
+    log = readers.apache_log(spark, f"{out}/apache.log")
+    assert jobs.network_flow_hot_urls(log, slide="5 minutes").count() > 0
+    # css/js present and filtered
+    assert log.filter(F.col("url").rlike(r"\.(css|js)$")).count() > 0
+
+    clicks = readers.ad_click_log(spark, f"{out}/AdClickLog.csv")
+    warns = jobs.ad_click_blacklist(clicks, max_per_day=50).filter(
+        F.col("result_type") == "blacklist_warning"
+    )
+    assert warns.count() >= 1  # the hot pair crosses the threshold
+
+    logins = readers.login_log(spark, f"{out}/LoginLog.csv")
+    fails = jobs.login_fail_warnings(logins, max_gap_sec=2)
+    assert fails.filter(F.col("user_id") == 1035).count() >= 1
+    assert fails.filter(F.col("user_id") == 2044).count() == 0  # reset case
+
+    orders = readers.order_log(spark, f"{out}/OrderLog.csv")
+    receipts = readers.receipt_log(spark, f"{out}/ReceiptLog.csv")
+    ot = {
+        r["result_type"]: r["count"]
+        for r in jobs.order_timeout(orders).groupBy("result_type").count().collect()
+    }
+    assert ot.get("payed", 0) > 0 and ot.get("timeout", 0) > 0
+    tx = {
+        r["result_type"]: r["count"]
+        for r in jobs.tx_match(orders, receipts).groupBy("result_type").count().collect()
+    }
+    assert all(
+        tx.get(k, 0) > 0
+        for k in ("matched", "unmatched_pay", "unmatched_receipt")
+    )
