@@ -363,3 +363,14 @@ def test_late_beyond_watermark_rows_dropped(spark, tmp_path):
     # batch would count 7 rows in window 0 (6 on-time + 1 late);
     # streaming closed the window before the late row arrived -> 6
     assert int(w0.cnt.iloc[0]) == 6
+
+
+def test_format_topn_report(spark):
+    from data_warehouse_flink_spark.operators.topn import format_topn_report
+
+    df = spark.createDataFrame(
+        [(100, 7, 42, 1), (100, 9, 17, 2)],
+        "window_end_sec long, item_id long, cnt long, rn int",
+    )
+    out = format_topn_report(df, "window_end_sec", "item_id", "cnt").collect()
+    assert out[0]["report"] == "No1: 商品ID=7 浏览量=42\nNo2: 商品ID=9 浏览量=17"

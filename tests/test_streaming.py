@@ -512,3 +512,38 @@ def test_tx_match_stream_joined_matches_kernel(spark, tmp_path):
         "b": "unmatched_pay",
         "c": "unmatched_receipt",
     }
+
+
+def test_simulated_marketing_source_live(spark):
+    """S3: the seeded rate-source generator produces well-formed marketing
+    events when actually run (deterministic columns from hashed offsets)."""
+    import time
+
+    from data_warehouse_flink_spark.streaming.sources import (
+        simulated_marketing_source,
+    )
+
+    src = simulated_marketing_source(spark, rows_per_second=200)
+    q = (
+        src.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("marketing_live")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.table("marketing_live").count() > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table("marketing_live").collect()
+    assert len(rows) > 0
+    channels = {r["channel"] for r in rows}
+    behaviors = {r["behavior"] for r in rows}
+    assert channels <= {
+        "AppStore", "HuaweiStore", "XiaomiStore", "weibo", "wechat"
+    }
+    assert behaviors <= {"CLICK", "DOWNLOAD", "UPDATE", "INSTALL", "UNINSTALL"}
+    assert all(len(r["user_id"]) == 40 for r in rows)  # sha1 hex ids
