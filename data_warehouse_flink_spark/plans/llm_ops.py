@@ -469,12 +469,14 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = float(
-        freq.agg(F.sum("cnt").cast("double")).collect()[0][0]
-    )
-    scored = toks.join(F.broadcast(freq), "tok").select(
-        "doc_id",
-        (-F.log(F.col("cnt") / F.lit(total))).alias("nlp"),
+    total = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("cnt") / F.col("total"))).alias("nlp"),
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),

@@ -841,11 +841,14 @@ def streaming_hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink=sink,
     )
     q.awaitTermination()
+    schema = "window_end_sec long, user_id long, cnt long, rn int"
+    if not batches:  # no qualifying input: empty result, like the batch plan
+        return spark.createDataFrame([], schema=schema).withColumn(
+            "rn", F.col("rn").cast("long")
+        )
     acc = pd.concat(batches, ignore_index=True)
     # keep the newest version of each (window, rank) in replay order
     acc = acc.drop_duplicates(subset=["window_end_sec", "rn"], keep="last")
     acc = acc[["window_end_sec", "user_id", "cnt", "rn"]]
-    out = spark.createDataFrame(
-        acc, schema="window_end_sec long, user_id long, cnt long, rn int"
-    )
+    out = spark.createDataFrame(acc, schema=schema)
     return out.withColumn("rn", F.col("rn").cast("long"))

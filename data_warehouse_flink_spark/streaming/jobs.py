@@ -93,18 +93,43 @@ def streaming_topn_foreachbatch(
 
     Spark disallows row_number over a streaming aggregate in one continuous
     query (same reason the reference needs its second keyBy + ListState
-    buffer: ranking needs the window's final membership). The engine idiom:
-    emit the aggregate in update mode and rank inside foreachBatch, where
-    each micro-batch is a plain batch DataFrame. The sink callback receives
-    the ranked top-N for the windows updated in that batch.
+    buffer: ranking needs the window's full membership). Update mode emits
+    only the CHANGED (group, key) rows per micro-batch, so ranking a batch
+    alone would crown whatever happened to change; the idiom therefore
+    merges each batch into an accumulator of current counts (the analogue
+    of the reference's ListState/MapState buffer — bounded by live windows
+    × keys, exactly like the aggregation state itself) and ranks the
+    accumulated counts of the windows the batch touched. The sink callback
+    receives the corrected top-N for those windows.
     """
+    acc: dict[tuple, tuple] = {}
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.isEmpty():
-            ranked = top_n_per_group(
-                batch_df, partition_cols, order_col, n, tiebreak_cols
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        rows = batch_df.collect()
+        group_of = lambda r: tuple(r[c] for c in partition_cols)
+        for r in rows:
+            key = tuple(
+                r[c]
+                for c in batch_df.columns
+                if c != order_col
             )
-            sink(ranked, epoch_id)
+            acc[key] = tuple(r[c] for c in batch_df.columns)
+        touched = {group_of(r) for r in rows}
+        current = [
+            v
+            for v in acc.values()
+            if tuple(
+                v[batch_df.columns.index(c)] for c in partition_cols
+            ) in touched
+        ]
+        merged = spark.createDataFrame(current, schema=batch_df.schema)
+        ranked = top_n_per_group(
+            merged, partition_cols, order_col, n, tiebreak_cols
+        )
+        sink(ranked, epoch_id)
 
     return (
         counts.writeStream.outputMode("update")

@@ -40,7 +40,7 @@ def upsert_partitions_foreachbatch(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
-                batch_df.repartition(1, *partition_cols)
+                batch_df.repartition(*partition_cols)
                 .write.mode("overwrite")
                 .partitionBy(*partition_cols)
                 .parquet(path)

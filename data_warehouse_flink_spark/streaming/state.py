@@ -21,6 +21,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+
+def _set_timer(state: GroupState, desired_ms: int) -> None:
+    """Set an event-time timer, clamped above the current watermark.
+
+    Re-processing a key after the watermark passed its old horizon (routine
+    under at-least-once delivery: a duplicate event re-caches stale state)
+    must not request a timer in the past — GroupState raises and the whole
+    query dies. Clamping fires the timeout at the next watermark advance,
+    which is the earliest legal moment.
+    """
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(desired_ms, wm + 1))
+
+
 # ---------------------------------------------------------------------------
 # C4/C5/C6 — order pay-timeout monitor.
 # Reference: DW-Flink OrderTimeoutDetect app/OrderTimeout.scala:32-64,
@@ -82,7 +96,10 @@ def make_order_timeout_fn(timeout_sec: int, pay_grace_sec: int = 5):
             else:
                 pay_us = pay_us or ev_us
             if create_us and pay_us:
-                ok = 0 <= pay_us - create_us <= timeout_us
+                # no lower bound: a pay that (by clock skew or arrival order)
+                # precedes the create is still a pay, matching the reference's
+                # payTime < createTime + timeout check
+                ok = pay_us - create_us <= timeout_us
                 out.append(
                     emit(create_us, pay_us, "payed" if ok else "payed_but_timeout")
                 )
@@ -93,9 +110,9 @@ def make_order_timeout_fn(timeout_sec: int, pay_grace_sec: int = 5):
         else:
             state.update((create_us, pay_us))
             if create_us:
-                state.setTimeoutTimestamp(create_us // 1000 + timeout_sec * 1000)
+                _set_timer(state, create_us // 1000 + timeout_sec * 1000)
             else:  # pay with no create yet: wait a grace period for it
-                state.setTimeoutTimestamp(pay_us // 1000 + pay_grace_sec * 1000)
+                _set_timer(state, pay_us // 1000 + pay_grace_sec * 1000)
         yield from iter(out)
 
     return fn
@@ -176,7 +193,7 @@ def make_login_fail_fn(window_sec: int, min_count: int, fail_value: str):
                 fails = []
         if fails:
             state.update((fails,))
-            state.setTimeoutTimestamp(fails[-1] // 1000 + window_sec * 1000)
+            _set_timer(state, fails[-1] // 1000 + window_sec * 1000)
         else:
             state.remove()
         yield from iter(out)
@@ -258,7 +275,7 @@ def make_consecutive_fail_fn(max_gap_sec: int, fail_value: str):
             last_status, last_us = row.status, ev_us
         state.update((last_status, last_us))
         # state is only needed while a follow-up fail could still qualify
-        state.setTimeoutTimestamp(last_us // 1000 + max_gap_sec * 1000)
+        _set_timer(state, last_us // 1000 + max_gap_sec * 1000)
         yield from iter(out)
 
     return fn
@@ -330,8 +347,9 @@ def make_blacklist_fn(max_count: int):
             last_us = ev_us
             ev_day = row.ts.strftime("%Y-%m-%d")
             if ev_day < day:
-                # late event for an already-closed day (within watermark but
-                # behind the day boundary): must not reset the live counter
+                # late event for a closed day: excluded from the live counter
+                # but surfaced (the batch twin emits every surviving row)
+                out_rows.append((user_id, ad_id, ev_day, 0, "late_click"))
                 continue
             if ev_day > day:  # midnight passed: reset (the reference timer)
                 day, cnt, warned = ev_day, 0, False
@@ -345,7 +363,7 @@ def make_blacklist_fn(max_count: int):
                 )
             # past the threshold and already warned: suppressed
         state.update((day, cnt, warned))
-        state.setTimeoutTimestamp(last_us // 1000 + 86_400_000)
+        _set_timer(state, last_us // 1000 + 86_400_000)
         if out_rows:
             yield pd.DataFrame(
                 out_rows,
@@ -446,8 +464,8 @@ def make_tx_match_fn(timeout_sec: int):
             state.remove()
         else:
             state.update((pay_us, receipt_us))
-            state.setTimeoutTimestamp(
-                max(pay_us, receipt_us) // 1000 + timeout_sec * 1000
+            _set_timer(
+                state, max(pay_us, receipt_us) // 1000 + timeout_sec * 1000
             )
         yield from iter(out)
 

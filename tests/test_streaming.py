@@ -547,3 +547,47 @@ def test_simulated_marketing_source_live(spark):
     }
     assert behaviors <= {"CLICK", "DOWNLOAD", "UPDATE", "INSTALL", "UNINSTALL"}
     assert all(len(r["user_id"]) == 40 for r in rows)  # sha1 hex ids
+
+
+def test_streaming_topn_correct_across_batches(spark, tmp_path):
+    """The review-found bug: update-mode batches carry only CHANGED rows, so
+    ranking a batch alone crowns whatever changed. The accumulator must keep
+    the true leader on top when a later batch updates only a trailing key."""
+    from data_warehouse_flink_spark.streaming.jobs import (
+        streaming_topn_foreachbatch,
+        streaming_windowed_count,
+    )
+
+    schema = "user_id long, ts timestamp"
+    # batch 1: A(user 1) x10, B(user 2) x5 in window [0, 60)
+    b1 = [{"user_id": 1, "ts": sec(i % 50)} for i in range(10)] + [
+        {"user_id": 2, "ts": sec(i % 50)} for i in range(5)
+    ]
+    # batch 2: only C(user 3) x3 changes in the same window
+    b2 = [{"user_id": 3, "ts": sec(51 + i % 5)} for i in range(3)]
+    path = str(tmp_path / "tb")
+    spark.createDataFrame(pd.DataFrame(b1), schema=schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    spark.createDataFrame(pd.DataFrame(b2), schema=schema).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    stream = read_replay(spark, path, schema)
+    counts = streaming_windowed_count(
+        stream, "ts", "1 minute", keys=["user_id"], watermark="1 hour"
+    )
+    results: list = []
+
+    def sink(ranked_df, epoch_id):
+        results.append(ranked_df.toPandas())
+
+    q = streaming_topn_foreachbatch(
+        counts, ["window_start_sec"], "cnt", 1, ["user_id"], sink
+    )
+    q.awaitTermination()
+    final = results[-1]
+    w0 = final[final.window_start_sec == int(T0.timestamp())]
+    # the last batch touched window 0 via user 3, but user 1 (cnt 10) must
+    # still be rank 1 — a per-batch rank would wrongly crown user 3
+    assert list(w0.user_id) == [1]
+    assert int(w0.cnt.iloc[0]) == 10
