@@ -632,3 +632,80 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q13: customer order-count distribution — left join + double aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q13",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '5-LOW'
+      GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY 1
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer order counts (left join keeps
+    zero-order customers; double aggregation)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q22: global-sales opportunity — scalar subquery + anti join.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    ), rich_idle AS (
+      SELECT c.c_custkey, c.c_nationkey % 5 AS cntrycode, c.c_acctbal
+      FROM customer c CROSS JOIN avg_bal
+      WHERE c.c_acctbal > avg_bal.a
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM rich_idle GROUP BY 1
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no orders, by country code
+    (scalar subquery + anti join)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy(
+        (F.col("c_nationkey") % 5).alias("cntrycode")
+    ).agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("totacctbal"),
+    )
