@@ -47,6 +47,8 @@ HEADLINE = [
     "tpch_q7",
     "tpch_q8",
     "tpch_q17",
+    "tpch_q13",
+    "tpch_q22",
     "order_priority_count",
     "events_rollup",
     "events_pivot",
