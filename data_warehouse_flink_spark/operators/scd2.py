@@ -45,7 +45,15 @@ def scd2_apply(
     cur = history.filter(F.col("is_current"))
     closed = history.filter(~F.col("is_current"))
 
-    attr_hash = F.md5(F.concat_ws("", *[F.col(a).cast("string") for a in attrs]))
+    # to_json(struct) keeps attribute boundaries and NULLs distinct:
+    # concat_ws would hash ('a','bc') equal to ('ab','c') and skip NULLs
+    # entirely, so real changes could be silently dropped.
+    attr_hash = F.md5(
+        F.to_json(
+            F.struct(*[F.col(a) for a in attrs]),
+            {"ignoreNullFields": "false"},
+        )
+    )
     cur_h = cur.withColumn("_h", attr_hash)
     upd_h = updates.select(key, *attrs).withColumn("_h", attr_hash)
 

@@ -282,6 +282,40 @@ def test_scd2_history(spark):
     }
 
 
+def test_scd2_null_and_boundary_attrs(spark):
+    """Regression: concat_ws-based hashing collapsed ('a','bc')/('ab','c')
+    and ('x',NULL)/(NULL,'x'); to_json(struct) must detect both as changes."""
+    from data_warehouse_flink_spark.operators.scd2 import scd2_apply, scd2_init
+
+    snap = spark.createDataFrame(
+        [(1, "a", "bc"), (2, "x", None)],
+        "id long, f1 string, f2 string",
+    )
+    hist = scd2_init(snap, "id", ["f1", "f2"], ts_us=100)
+
+    # boundary shift on id=1; NULL swap on id=2 — both are REAL changes
+    upd = spark.createDataFrame(
+        [(1, "ab", "c"), (2, None, "x")],
+        "id long, f1 string, f2 string",
+    )
+    hist = scd2_apply(hist, upd, "id", ["f1", "f2"], ts_us=200)
+
+    cur = {
+        (r["id"], r["f1"], r["f2"])
+        for r in hist.filter(F.col("is_current")).collect()
+    }
+    assert cur == {(1, "ab", "c"), (2, None, "x")}
+    closed = {
+        (r["id"], r["f1"], r["f2"], r["valid_to_us"])
+        for r in hist.filter(~F.col("is_current")).collect()
+    }
+    assert closed == {(1, "a", "bc", 200), (2, "x", None, 200)}
+
+    # replaying the same update must be a no-op (hash is deterministic)
+    hist2 = scd2_apply(hist, upd, "id", ["f1", "f2"], ts_us=300)
+    assert hist2.count() == hist.count()
+
+
 def test_runtime_pruned_join_equals_plain(spark):
     from data_warehouse_flink_spark.io import table
     from data_warehouse_flink_spark.operators.skew import runtime_pruned_join
