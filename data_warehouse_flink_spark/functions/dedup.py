@@ -54,22 +54,75 @@ def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
 
 
 def jaccard_pairs(
-    grams: DataFrame, threshold: float, id_col: str = "doc_id"
+    grams: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard over a (doc_id, gram) shingle table.
 
     Inverted-index self-join: pairs only materialize for docs sharing a
     shingle. Output: doc_a < doc_b, jaccard (double, round 6) ≥ threshold.
+
+    `df_cap` is the hot-shingle guard: the self-join costs Σ df(gram)², so
+    one stop-word shingle shared by 1% of a 10B-doc corpus is a 10^14-pair
+    bucket. With a cap, grams with document frequency > df_cap are excluded
+    from *candidate generation* (docs sharing nothing but ultra-common
+    shingles are not near-dups at any sane threshold), and a second count
+    join adds each surviving pair's shared hot grams back in, so retained
+    pairs keep their exact Jaccard. Cost: Σ_rare df² for candidates plus
+    |candidates| × hot-grams-per-doc for the correction — never Σ_hot df².
+    (A collect_set/array_intersect re-verify was measured 6× slower at
+    sf0.1 than this count-join form; don't revert to it.)
     """
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = grams.select(F.col(id_col).alias("doc_a"), "gram")
-    b = grams.select(F.col(id_col).alias("doc_b"), "gram")
-    common = (
-        a.join(b, on="gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
+    if df_cap is not None:
+        # the hot list has ≤ |grams|/df_cap entries by construction, so it
+        # broadcasts; the rare/hot split then costs no shuffle of `grams`
+        hot_list = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("gram")
+        )
+        rare = grams.join(F.broadcast(hot_list), "gram", "left_anti")
+        hot = grams.join(F.broadcast(hot_list), "gram")
+        a = rare.select(F.col(id_col).alias("doc_a"), "gram")
+        b = rare.select(F.col(id_col).alias("doc_b"), "gram")
+        common_rare = (
+            a.join(b, on="gram")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("c_rare"))
+        )
+        ha = hot.select(F.col(id_col).alias("doc_a"), "gram")
+        hb = hot.select(F.col(id_col).alias("doc_b"), "gram")
+        common_hot = (
+            common_rare.select("doc_a", "doc_b")
+            .join(ha, "doc_a")
+            .join(hb, ["doc_b", "gram"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("c_hot"))
+        )
+        common = (
+            common_rare.join(common_hot, ["doc_a", "doc_b"], "left")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("c_rare") + F.coalesce(F.col("c_hot"), F.lit(0))
+                ).alias("c"),
+            )
+        )
+    else:
+        a = grams.select(F.col(id_col).alias("doc_a"), "gram")
+        b = grams.select(F.col(id_col).alias("doc_b"), "gram")
+        common = (
+            a.join(b, on="gram")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("c"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
@@ -213,6 +266,15 @@ def minhash_lsh_dedup(
     the candidate pairs, not the full inverted index) verifies them, so the
     result is a subset of the brute-force `jaccard_pairs` output with
     LSH-probabilistic recall — the standard web-scale dedup contract.
+
+    The shingle table feeds BOTH the signature stage and the verify stage.
+    MEASURED NEGATIVE RESULT: persisting it (MEMORY_AND_DISK) to avoid the
+    double tokenize→shingle→distinct computation is 2-3× SLOWER at sf0.001
+    and sf0.1 (1.2s→12s, 4.1s→7-12s): materializing the exploded
+    (doc_id, gram) table breaks whole-stage pipelining into both consumers
+    and costs more than recomputing the narrow scan→split→explode lineage.
+    Recomputation is the right call here — the lineage is cheap and
+    embarrassingly parallel; the cache is all serialization.
     """
     grams = word_ngrams(df, ngram, text_col)
     sigs = minhash_signatures(grams, num_hashes)

@@ -299,29 +299,30 @@ def event_value_percentiles_approx(
     """,
 )
 def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user robust outlier flags (median/MAD) via a grouped-map pandas
-    UDAF — the engine's applyInPandas surface (SURVEY.md §2.7), Arrow-batched,
-    one shuffle on user_id. Oracle: the same medians via quantile_cont.
+    """Per-user robust outlier flags (median/MAD), all-JVM.
+
+    Exact `percentile(value, 0.5)` aggregates (linear interpolation, the
+    same formula as quantile_cont) replace the former grouped-map pandas
+    UDAF: two groupBy-percentile passes + co-keyed joins, no Python worker
+    round-trip and no per-user pandas frame — a whale user at 100× scale is
+    just more rows in a hash aggregate, never one giant in-memory frame.
+    All four ops shuffle on user_id, so the exchange is reused.
     """
-    import pandas as pd
-
-    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        med = pdf["value"].median()
-        adev = (pdf["value"] - med).abs()
-        mad = adev.median()
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "value": pdf["value"].round(6),
-                "is_outlier": adev > 3 * mad,
-            }
-        )
-
     ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
-    return ev.groupBy("user_id").applyInPandas(
-        per_user,
-        schema="user_id long, event_id long, value double, is_outlier boolean",
+    med = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return dev.join(mad, "user_id").select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        (F.col("adev") > 3 * F.col("mad")).alias("is_outlier"),
     )
 
 

@@ -93,7 +93,10 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair explosion at Σ_gram df(gram)² — the scan-scale knob.
     """
     grams = word_ngrams(_docs(spark, sf_dir), n=3)
-    return jaccard_pairs(grams, threshold=0.3)
+    # df_cap: hot-shingle guard for candidate generation (a no-op at the
+    # oracle tiers, where df ≤ corpus size < 10k; at web scale it bounds the
+    # Σ df² self-join). Retained pairs keep exact Jaccard — see jaccard_pairs.
+    return jaccard_pairs(grams, threshold=0.3, df_cap=10_000)
 
 
 @register("doc_minhash_lsh")
@@ -321,7 +324,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.join(canonical, "doc_id")
     grams = word_ngrams(kept, n=3)
     losers = (
-        jaccard_pairs(grams, threshold=0.6)
+        jaccard_pairs(grams, threshold=0.6, df_cap=10_000)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

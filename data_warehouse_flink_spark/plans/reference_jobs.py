@@ -814,10 +814,20 @@ def streaming_tx_match_window_join(
     """,
 )
 def streaming_hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 per sliding window via the streaming foreachBatch-rank idiom."""
-    import pandas as pd
+    """Top-3 per sliding window via the streaming foreachBatch-rank idiom.
+
+    Fully engine-side: counts accumulate in a partitioned parquet state
+    table inside streaming_topn_foreachbatch, and the ranked top-N per
+    touched window is upserted into a ranked mart (dynamic partition
+    overwrite replaces each touched window's full top-N, so the mart always
+    holds the latest correct ranking). The driver never materializes
+    pre-rank counts — only this final ≤ 3-per-window result.
+    """
+    import os
+    import tempfile
 
     from data_warehouse_flink_spark.streaming.jobs import (
+        overwrite_touched_partitions,
         streaming_topn_foreachbatch,
         streaming_windowed_count,
     )
@@ -827,10 +837,12 @@ def streaming_hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = streaming_windowed_count(
         stream, "ts", "1 hour", slide="15 minutes", keys=["user_id"]
     )
-    batches: list[pd.DataFrame] = []
+    ranked_path = os.path.join(tempfile.mkdtemp(prefix="topn_ranked_"), "mart")
 
     def sink(ranked_df, epoch_id):
-        batches.append(ranked_df.toPandas())
+        overwrite_touched_partitions(
+            ranked_df, ranked_path, partition_cols=["window_end_sec"]
+        )
 
     q = streaming_topn_foreachbatch(
         counts,
@@ -841,14 +853,16 @@ def streaming_hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink=sink,
     )
     q.awaitTermination()
-    schema = "window_end_sec long, user_id long, cnt long, rn int"
-    if not batches:  # no qualifying input: empty result, like the batch plan
-        return spark.createDataFrame([], schema=schema).withColumn(
-            "rn", F.col("rn").cast("long")
-        )
-    acc = pd.concat(batches, ignore_index=True)
-    # keep the newest version of each (window, rank) in replay order
-    acc = acc.drop_duplicates(subset=["window_end_sec", "rn"], keep="last")
-    acc = acc[["window_end_sec", "user_id", "cnt", "rn"]]
-    out = spark.createDataFrame(acc, schema=schema)
-    return out.withColumn("rn", F.col("rn").cast("long"))
+    schema = "window_end_sec long, user_id long, cnt long, rn long"
+    has_mart = os.path.isdir(ranked_path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(ranked_path)
+    )
+    if not has_mart:  # no qualifying input: empty result, like the batch plan
+        return spark.createDataFrame([], schema=schema)
+    # partition-column type inference may narrow window_end_sec; cast back
+    return spark.read.parquet(ranked_path).select(
+        F.col("window_end_sec").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("cnt").cast("long"),
+        F.col("rn").cast("long"),
+    )

@@ -81,6 +81,26 @@ def streaming_windowed_count(
     )
 
 
+def overwrite_touched_partitions(
+    batch_df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Dynamic-partition overwrite of only the partitions present in
+    `batch_df` (the foreachBatch upsert primitive; see streaming/mart.py for
+    the correctness constraint on partition granularity)."""
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch_df.repartition(*partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def streaming_topn_foreachbatch(
     counts: DataFrame,
     partition_cols: list[str],
@@ -88,6 +108,7 @@ def streaming_topn_foreachbatch(
     n: int,
     tiebreak_cols: list[str],
     sink: Callable[[DataFrame, int], None],
+    state_path: str | None = None,
 ) -> "object":
     """T1/T2 streaming idiom: windowed counts → foreachBatch → rank → sink.
 
@@ -95,37 +116,62 @@ def streaming_topn_foreachbatch(
     query (same reason the reference needs its second keyBy + ListState
     buffer: ranking needs the window's full membership). Update mode emits
     only the CHANGED (group, key) rows per micro-batch, so ranking a batch
-    alone would crown whatever happened to change; the idiom therefore
-    merges each batch into an accumulator of current counts (the analogue
-    of the reference's ListState/MapState buffer — bounded by live windows
-    × keys, exactly like the aggregation state itself) and ranks the
-    accumulated counts of the windows the batch touched. The sink callback
-    receives the corrected top-N for those windows.
+    alone would crown whatever happened to change.
+
+    The accumulator is therefore a *partitioned parquet state table* (the
+    engine-side analogue of the reference's ListState/MapState buffer,
+    DW-Flink HotItemsAnalysis app/HotItems.scala:82-134): each micro-batch
+
+    1. reads the state rows of only the window partitions the batch touched
+       (partition pruning — untouched windows are never scanned),
+    2. anti-joins away the keys the batch re-emitted, unions the batch rows,
+       and dynamic-partition-overwrites only those touched partitions,
+    3. ranks the merged counts (a Spark job) and hands the sink the
+       corrected top-N for the touched windows.
+
+    Nothing pre-rank ever reaches the driver: state volume lives in the
+    table, and the driver only moves ≤ n × touched-windows ranked rows per
+    batch (plus one tiny distinct() of touched window values). At 1000
+    executors the state table is just another partitioned dataset.
     """
-    acc: dict[tuple, tuple] = {}
+    import os
+    import tempfile
+
+    state_path = state_path or os.path.join(
+        tempfile.mkdtemp(prefix="topn_state_"), "counts"
+    )
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        rows = batch_df.collect()
-        group_of = lambda r: tuple(r[c] for c in partition_cols)
-        for r in rows:
-            key = tuple(
-                r[c]
-                for c in batch_df.columns
-                if c != order_col
+        cols = list(batch_df.columns)
+        upsert_keys = [c for c in cols if c != order_col]
+        batch_df = batch_df.localCheckpoint(eager=True)
+        touched = batch_df.select(*partition_cols).distinct()
+        # dynamic-overwrite commits write no root _SUCCESS; state exists iff
+        # partition directories do (cluster deployments would ask the Hadoop FS)
+        has_state = os.path.isdir(state_path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(state_path)
+        )
+        if has_state:
+            prev = (
+                spark.read.parquet(state_path)
+                .join(touched, on=partition_cols, how="left_semi")
             )
-            acc[key] = tuple(r[c] for c in batch_df.columns)
-        touched = {group_of(r) for r in rows}
-        current = [
-            v
-            for v in acc.values()
-            if tuple(
-                v[batch_df.columns.index(c)] for c in partition_cols
-            ) in touched
-        ]
-        merged = spark.createDataFrame(current, schema=batch_df.schema)
+            carried = prev.join(
+                batch_df.select(*upsert_keys), on=upsert_keys, how="left_anti"
+            )
+            merged = batch_df.select(*cols).unionByName(
+                carried.select(
+                    *[F.col(c).cast(batch_df.schema[c].dataType) for c in cols]
+                )
+            )
+        else:
+            merged = batch_df.select(*cols)
+        # materialize BEFORE overwriting the partitions it was read from
+        merged = merged.localCheckpoint(eager=True)
+        overwrite_touched_partitions(merged, state_path, partition_cols)
         ranked = top_n_per_group(
             merged, partition_cols, order_col, n, tiebreak_cols
         )

@@ -282,6 +282,34 @@ def test_scd2_history(spark):
     }
 
 
+def test_jaccard_df_cap_prunes_hot_shingle(spark):
+    """Adversarial hot shingle: every doc shares 'x y' (a stop-word shingle).
+    Uncapped, the inverted-index self-join pairs ALL docs through it; with
+    df_cap it is dropped from candidate generation, yet surviving pairs keep
+    their exact Jaccard computed over the FULL shingle sets."""
+    from data_warehouse_flink_spark.functions.dedup import (
+        jaccard_pairs,
+        word_ngrams,
+    )
+
+    rows = [(0, "p q r s x y"), (1, "p q r t x y")] + [
+        (i, f"u{i} v{i} x y") for i in range(2, 7)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = word_ngrams(df, n=2)
+
+    uncapped = jaccard_pairs(grams, threshold=0.0)
+    assert uncapped.count() == 21  # C(7,2): every pair linked via 'x y'
+
+    capped = jaccard_pairs(grams, threshold=0.0, df_cap=3)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()
+    }
+    # only the genuine near-dup pair survives; its score still counts the
+    # hot shingle: |{p q, q r, x y}| / |union of 7| = 3/7
+    assert got == {(0, 1): round(3 / 7, 6)}
+
+
 def test_scd2_null_and_boundary_attrs(spark):
     """Regression: concat_ws-based hashing collapsed ('a','bc')/('ab','c')
     and ('x',NULL)/(NULL,'x'); to_json(struct) must detect both as changes."""
