@@ -49,6 +49,14 @@ HEADLINE = [
     "tpch_q17",
     "tpch_q13",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     "order_priority_count",
     "events_rollup",
     "events_pivot",

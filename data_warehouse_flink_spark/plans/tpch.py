@@ -470,8 +470,8 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'CHINA' AND n2.n_name = 'GERMANY')
-        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'CHINA'))
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY 1, 2, 3
@@ -506,8 +506,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "CHINA") & (F.col("cust_nation") == "GERMANY"))
-            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "CHINA"))
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
     )
     return joined.groupBy(
@@ -541,7 +541,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     )
     SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN volume
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
                  / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
     FROM base GROUP BY 1
@@ -583,7 +583,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
-    china = F.when(F.col("supp_nation") == "CHINA", F.col("volume")).otherwise(
+    china = F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
         F.lit(0).cast("decimal(18,6)")
     )
     return base.groupBy("o_year").agg(
@@ -674,11 +674,13 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22",
     oracle="""
     WITH avg_bal AS (
-      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS s,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0
     ), rich_idle AS (
       SELECT c.c_custkey, c.c_nationkey % 5 AS cntrycode, c.c_acctbal
       FROM customer c CROSS JOIN avg_bal
-      WHERE c.c_acctbal > avg_bal.a
+      WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * avg_bal.n > avg_bal.s
         AND NOT EXISTS (
           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     )
@@ -690,15 +692,23 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Above-average-balance customers with no orders, by country code
-    (scalar subquery + anti join)."""
+    (scalar subquery + anti join).
+
+    The average threshold stays in the decimal domain as a cross-multiplied
+    compare (bal × n > Σbal) — a DOUBLE avg() is summation-order dependent,
+    so a boundary-balance customer could pass in one engine and fail in the
+    other at larger scale factors."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").select("o_custkey")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("a"))
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("s"),
+            F.count("*").alias("n"),
+        )
     )
     rich = c.crossJoin(F.broadcast(avg_bal)).filter(
-        F.col("c_acctbal") > F.col("a")
+        F.col("c_acctbal").cast("decimal(18,6)") * F.col("n") > F.col("s")
     )
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy(
@@ -708,4 +718,461 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
         .cast("double")
         .alias("totacctbal"),
+    )
+
+# --------------------------------------------------------------------------
+# Q2 (adapted): minimum-cost supplier — correlated scalar-min subquery.
+# No partsupp table in this schema; lineitem's (l_partkey, l_suppkey) pairs
+# are the part↔supplier relation and min(l_extendedprice) per pair stands in
+# for ps_supplycost (pure selection, no arithmetic → cross-engine exact).
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), rs AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), reg AS (
+      SELECT p.p_partkey, p.p_name, rs.s_suppkey, rs.s_name, rs.s_acctbal,
+             rs.n_name, ps.cost
+      FROM ps
+      JOIN rs ON ps.l_suppkey = rs.s_suppkey
+      JOIN part p ON ps.l_partkey = p.p_partkey
+      WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+    FROM reg w
+    WHERE cost = (SELECT min(cost) FROM reg r2
+                  WHERE r2.p_partkey = w.p_partkey)
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest regional supplier per part (correlated min subquery →
+    join against a per-part min aggregate; reference shape TPC-H Q2)."""
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rs = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_name")
+    reg = (
+        ps.join(F.broadcast(rs), ps.l_suppkey == rs.s_suppkey)
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+    )
+    min_cost = reg.groupBy(F.col("p_partkey").alias("mc_key")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        reg.join(
+            min_cost,
+            (reg.p_partkey == F.col("mc_key"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 (adapted): product-type profit by nation and year. ps_supplycost is
+# absent; cost = p_retailprice × l_quantity (decimal domain throughout).
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,6))
+                    - CAST(p.p_retailprice AS DECIMAL(18,6))
+                    * CAST(l.l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on red parts by supplier nation and order year (5-way join +
+    substring filter; reference shape TPC-H Q9)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = table(spark, sf_dir, "nation")
+    profit = _dec("l_extendedprice") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,6)") - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 (adapted): important stock value — HAVING against a scalar subquery.
+# Value of a part in one nation's supply = Σ extendedprice × quantity over
+# lineitem. Threshold compare runs on identically-derived doubles from
+# exact decimal sums, so both engines decide every boundary identically.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q11",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,6))
+               * CAST(l.l_quantity AS BIGINT)) AS v
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1
+    ), tot AS (SELECT SUM(v) AS t FROM val)
+    SELECT l_partkey AS p_partkey, CAST(ROUND(v, 2) AS DOUBLE) AS value
+    FROM val CROSS JOIN tot
+    WHERE CAST(ROUND(v, 2) AS DOUBLE) > CAST(ROUND(t, 2) AS DOUBLE) / 10000.0
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose stock value in one nation exceeds 1/10000 of the total
+    (group-by + scalar-subquery HAVING; reference shape TPC-H Q11)."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    # (12,6)x(8,6): wide enough for the data, narrow enough that the
+    # oracle's int128 decimal multiply cannot overflow
+    # quantity is integral; multiplying by BIGINT keeps the product in
+    # the oracle's int128 decimal path (a (12,6)x(8,6) multiply gets capped
+    # to DECIMAL(18,12) there and overflows)
+    v = F.col("l_extendedprice").cast("decimal(12,6)") * F.col(
+        "l_quantity"
+    ).cast("long")
+    val = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(v).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    vd = F.round(F.col("v"), 2).cast("double")
+    td = F.round(F.col("t"), 2).cast("double")
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(vd > td / F.lit(10000.0))
+        .select(
+            F.col("l_partkey").alias("p_partkey"), vd.alias("value")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 (adapted): late-shipment priority split. No l_shipmode/l_receiptdate:
+# "late" = shipped >60 days after order date; l_linestatus stands in for
+# the shipmode grouping; conditional counts are the Q12 CASE aggregates.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late 1997 shipments split into high/low order priority per line
+    status (join + CASE-conditional aggregation; reference shape Q12)."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15: top supplier by quarterly revenue — view + scalar-max subquery.
+# Fully expressible in this schema (revenue from lineitem alone).
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum Q1-1997 revenue (revenue view + scalar
+    max; reference shape TPC-H Q15). Exact decimal revenue rounded before
+    the max-equality so both engines pick identical winners."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 (adapted): supplier diversity per part attribute combo. partsupp →
+# distinct (l_partkey, l_suppkey); "complaints" exclusion → s_acctbal < 0.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of qualifying suppliers per (brand, type, size) excluding
+    flagged suppliers (distinct-pair join + NOT-IN subquery + count
+    distinct; reference shape TPC-H Q16)."""
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(flagged),
+            pairs.l_suppkey == flagged.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 (adapted): suppliers with outsized share of a part's flow. No
+# ps_availqty: a supplier qualifies when its 1997 shipped quantity of a red
+# part exceeds 20% of that part's total 1997 flow (nested IN + correlated
+# share threshold; threshold compared on identically-derived doubles).
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q20",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    ), pt AS (
+      SELECT l_partkey, SUM(q) AS qp FROM sp GROUP BY 1
+    ), eligible AS (
+      SELECT sp.l_suppkey
+      FROM sp
+      JOIN pt ON sp.l_partkey = pt.l_partkey
+      JOIN part p ON p.p_partkey = sp.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND CAST(ROUND(sp.q, 2) AS DOUBLE)
+              > 0.2 * CAST(ROUND(pt.qp, 2) AS DOUBLE)
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM eligible)
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping >20% of any red part's 1997 flow (nested IN
+    subqueries over per-(supplier, part) and per-part aggregates;
+    reference shape TPC-H Q20)."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    sp = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("q")
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("pt_key")).agg(
+        F.sum("q").alias("qp")
+    )
+    red = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    qd = F.round(F.col("q"), 2).cast("double")
+    qpd = F.round(F.col("qp"), 2).cast("double")
+    eligible = (
+        sp.join(pt, sp.l_partkey == F.col("pt_key"))
+        .join(F.broadcast(red), sp.l_partkey == red.p_partkey)
+        .filter(qd > F.lit(0.2) * qpd)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    return s.join(
+        eligible, s.s_suppkey == eligible.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# --------------------------------------------------------------------------
+# Q21 (adapted): suppliers who kept orders waiting. No l_receiptdate /
+# l_commitdate: "late" = shipped >60 days after the order date. A supplier
+# waits an order when it shipped late, another supplier participated, and
+# no OTHER supplier was late — EXISTS + NOT EXISTS, the multi-anti-join
+# shape nothing else in the registry exercises.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q21",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late w
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = w.l_orderkey
+          AND l2.l_suppkey <> w.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = w.l_orderkey
+          AND l3.l_suppkey <> w.l_suppkey)
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-late suppliers of finished multi-supplier orders (semi + anti
+    join against the same derived relation; reference shape TPC-H Q21)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = li.select(
+        F.col("l_orderkey").alias("p_okey"), F.col("l_suppkey").alias("p_skey")
+    ).distinct()
+    other_exists = late.join(
+        pairs,
+        (late.l_orderkey == F.col("p_okey"))
+        & (late.l_suppkey != F.col("p_skey")),
+        "left_semi",
+    )
+    late2 = late.select(
+        F.col("l_orderkey").alias("w_okey"), F.col("l_suppkey").alias("w_skey")
+    )
+    sole_late = other_exists.join(
+        late2,
+        (other_exists.l_orderkey == F.col("w_okey"))
+        & (other_exists.l_suppkey != F.col("w_skey")),
+        "left_anti",
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
