@@ -31,6 +31,17 @@ def asof_join(
     Right rows are deduplicated to one per (key, ts) (max of each payload
     col) so ties are deterministic.
     """
+    # the union plan injects these working columns; a left frame already
+    # using one of the names would be silently corrupted, so fail loudly
+    reserved = {"_tag", "_rts", "_asof_ts", "asof_ts"} | {
+        f"asof_{c}" for c in right_cols
+    } | {f"_r_{c}" for c in right_cols}
+    clashes = reserved.intersection(left.columns)
+    if clashes:
+        raise ValueError(
+            f"asof_join: left columns collide with reserved names: "
+            f"{sorted(clashes)}; rename them before joining"
+        )
     r_dedup = right.groupBy(
         F.col(key), F.col(right_ts).alias("_rts")
     ).agg(*[F.max(c).alias(c) for c in right_cols])

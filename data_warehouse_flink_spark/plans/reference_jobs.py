@@ -866,3 +866,65 @@ def streaming_hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long"),
         F.col("rn").cast("long"),
     )
+
+
+# --------------------------------------------------------------------------
+# W10 gate: FIRE_AND_PURGE → update-mode emission sequence. The reference's
+# per-element trigger (DW-Flink NetworkFlowAnalysis app/UvWithBloom.scala:41,
+# 51-69) fires the window on every element and purges the buffer; the Spark
+# analogue is outputMode("update") on a streaming aggregate — each
+# micro-batch emits the groups it changed. The gate replays events in four
+# micro-batches with DISJOINT user buckets (one file per bucket,
+# maxFilesPerTrigger=1), so each group is emitted exactly once and the
+# accumulated emission log equals the batch group-by — hash-checkable while
+# still exercising the incremental emission path end-to-end.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_update_emissions",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_sec,
+           (epoch_us(ts) // 3600000000) * 3600 + 3600 AS window_end_sec,
+           user_id, count(*) AS cnt
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_update_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: update-mode emission log over a 4-micro-batch replay."""
+    import os
+    import tempfile
+
+    from data_warehouse_flink_spark.io import table as load_table
+    from data_warehouse_flink_spark.streaming.jobs import (
+        run_stream_to_table,
+        streaming_windowed_count,
+    )
+
+    replay = os.path.join(tempfile.mkdtemp(prefix="w10_replay_"), "events")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # one file per user bucket → each micro-batch touches a disjoint group
+    # set, so the emission multiset is independent of batch order
+    for b in range(4):
+        (
+            ev.filter(F.pmod(F.col("user_id"), F.lit(4)) == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(replay)
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(replay)
+    )
+    # watermark far beyond the data span: no group is ever late-dropped, so
+    # update mode reduces to pure emit-on-change (the FIRE_AND_PURGE analogue)
+    counts = streaming_windowed_count(
+        stream, "ts", "1 hour", keys=["user_id"], watermark="3650 days"
+    )
+    return run_stream_to_table(counts, spark, output_mode="update")

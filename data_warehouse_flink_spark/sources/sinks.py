@@ -26,16 +26,38 @@ def write_partitioned(
 ) -> None:
     """Land a result as day/key-partitioned parquet.
 
-    `files_per_partition` controls output file count per partition value
-    (repartition on the partition columns first so each task writes whole
-    partitions — avoids the many-small-files failure mode).
+    `files_per_partition` really is per partition VALUE: the pre-write
+    repartition keys on (partition_cols..., salt) where salt has
+    `files_per_partition` values, so each partition directory gets up to
+    that many files written by distinct tasks. (A bare
+    `repartition(n, *cols)` would set the TOTAL task count and hash each
+    partition value to exactly one task — n>1 never yielded more files per
+    value, and small n collapsed write parallelism globally.)
     """
-    out = df
     if partition_cols:
-        out = df.repartition(files_per_partition, *partition_cols)
+        if files_per_partition > 1:
+            # explicit task count (AQE respects user-specified numbers and
+            # would otherwise coalesce the salted shuffle back to one task);
+            # one cheap distinct on the partition key sizes it exactly
+            n_values = max(1, df.select(*partition_cols).distinct().count())
+            salt = F.pmod(
+                F.xxhash64(*partition_cols, F.monotonically_increasing_id()),
+                F.lit(files_per_partition),
+            )
+            out = (
+                df.withColumn("_salt", salt)
+                .repartition(
+                    n_values * files_per_partition,
+                    *partition_cols,
+                    F.col("_salt"),
+                )
+                .drop("_salt")
+            )
+        else:
+            out = df.repartition(*[F.col(c) for c in partition_cols])
         out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     else:
-        out.coalesce(files_per_partition).write.mode(mode).parquet(path)
+        df.coalesce(files_per_partition).write.mode(mode).parquet(path)
 
 
 def write_stream_parquet(

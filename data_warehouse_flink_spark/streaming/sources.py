@@ -42,6 +42,27 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def kafka_source_options(
+    bootstrap: str, topic: str, starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """S1 option map, mirroring the reference's consumer properties
+    (DW-Flink HotItemsAnalysis app/HotItems.scala:37-48):
+
+    - ``bootstrap.servers``    → ``kafka.bootstrap.servers``
+    - topic ``hotitems``       → ``subscribe``
+    - ``auto.offset.reset=latest`` → ``startingOffsets=latest``
+
+    ``group.id`` and the key/value deserializers have no user-facing
+    equivalent: Spark manages its own consumer group offsets via
+    checkpointing and always hands back binary key/value columns.
+    """
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_events(
     spark: SparkSession,
     bootstrap: str,
@@ -54,13 +75,11 @@ def kafka_events(
     callers parse with `parse_csv_events` or from_json. Requires the
     spark-sql-kafka package on the classpath (present on real clusters).
     """
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-        .selectExpr("CAST(value AS STRING) AS value", "timestamp")
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(bootstrap, topic, starting_offsets).items():
+        reader = reader.option(k, v)
+    return reader.load().selectExpr(
+        "CAST(value AS STRING) AS value", "timestamp"
     )
 
 

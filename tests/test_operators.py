@@ -436,3 +436,40 @@ def test_format_topn_report(spark):
     )
     out = format_topn_report(df, "window_end_sec", "item_id", "cnt").collect()
     assert out[0]["report"] == "No1: 商品ID=7 浏览量=42\nNo2: 商品ID=9 浏览量=17"
+
+
+def test_asof_join_rejects_reserved_columns(spark):
+    import pytest
+
+    from data_warehouse_flink_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 99)], "k long, ts long, asof_ts long"
+    )
+    right = spark.createDataFrame([(1, 5, 7)], "k long, rts long, v long")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, "k", "ts", "rts", ["v"])
+
+
+def test_write_partitioned_files_per_partition(spark, tmp_path):
+    """files_per_partition=N must yield up to N files per partition VALUE
+    (the old repartition(n, *cols) produced exactly 1 per value)."""
+    import os
+
+    from data_warehouse_flink_spark.sources.sinks import write_partitioned
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 2).alias("day"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "mart")
+    write_partitioned(df, out, partition_cols=["day"], files_per_partition=4)
+    for day in (0, 1):
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, f"day={day}"))
+            if f.endswith(".parquet")
+        ]
+        assert 2 <= len(files) <= 4, files
+    back = spark.read.parquet(out)
+    assert back.count() == 4000
+    assert back.select(F.sum("v")).first()[0] == sum(range(4000))

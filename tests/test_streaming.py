@@ -591,3 +591,24 @@ def test_streaming_topn_correct_across_batches(spark, tmp_path):
     # still be rank 1 — a per-batch rank would wrongly crown user 3
     assert list(w0.user_id) == [1]
     assert int(w0.cnt.iloc[0]) == 10
+
+
+def test_kafka_source_options_match_reference_consumer():
+    """S1: the option map must translate the reference's consumer config
+    (DW-Flink HotItemsAnalysis app/HotItems.scala:37-48) exactly — topic
+    'hotitems', localhost bootstrap, auto.offset.reset=latest."""
+    from data_warehouse_flink_spark.streaming.sources import (
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options("localhost:9092", "hotitems")
+    assert opts == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribe": "hotitems",
+        "startingOffsets": "latest",
+    }
+    # explicit offset override passes through (replay-from-earliest runs)
+    assert (
+        kafka_source_options("b:9092", "t", "earliest")["startingOffsets"]
+        == "earliest"
+    )
