@@ -93,16 +93,17 @@ def main() -> None:
     # measured query doesn't pay one-time startup costs.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
-    # min of 2 runs per query: the steady-state number (first run pays
+    # min of 3 runs per query: the steady-state number (first run pays
     # one-time codegen/janino compilation and page-cache misses, which a
-    # long-running cluster job would amortize away).
+    # long-running cluster job would amortize away; the extra rep guards
+    # the recorded number against a stray GC pause).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         q = queries[name]
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 q.spark_fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
