@@ -75,6 +75,9 @@ HEADLINE = [
     "corpus_curation",
     "doc_unigram_logprob",
     "doc_chunks",
+    "doc_dup_clusters",
+    "doc_tfidf",
+    "doc_stratified_sample",
     "purchase_asof_click",
     "weekly_cohort_retention",
     "hourly_counts_gapfilled",

@@ -522,3 +522,167 @@ def doc_prefix_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", dist.cast("long").alias("edit_distance")
         )
     )
+
+
+# ------------------------------------------------- dup-cluster assembly ----
+@register(
+    "doc_dup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING CAST(count(*) AS DOUBLE) / (
+        (SELECT n FROM sizes WHERE doc_id = a.doc_id)
+        + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - count(*)) >= 0.3
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), walk(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, walk.label FROM walk JOIN edges e ON walk.node = e.u
+    ), cc AS (
+      SELECT node, min(label) AS component FROM walk GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    """,
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dup CLUSTERS: transitive closure via distributed
+    min-label propagation (operators/graph.py::connected_components), the
+    step that turns pairwise Jaccard output into per-cluster canonical
+    selection. Singleton docs are their own cluster. Oracle: DuckDB
+    recursive CTE over the same trigram-Jaccard pairs."""
+    from data_warehouse_flink_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    grams = word_ngrams(docs, n=3)
+    pairs = jaccard_pairs(grams, threshold=0.3).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+
+
+# ------------------------------------------------------ TF-IDF top terms ----
+@register(
+    "doc_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfq AS (
+      SELECT term, count(*) AS dfq FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((n.n + 1.0) / (dfq.dfq + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+    FROM scored QUALIFY rn <= 5
+    """,
+)
+def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document: corpus document frequency (one
+    agg), smoothed idf, per-doc rank. Scores are rounded BEFORE ranking
+    (registry convention) so both engines pick identical winners; term is
+    the unique tie-breaker."""
+    from data_warehouse_flink_spark.operators.topn import top_n_per_group
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("dfq"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n") + F.lit(1.0)) / (F.col("dfq") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    ranked = top_n_per_group(
+        scored, ["doc_id"], "tfidf", 5, tiebreak_cols=["term"]
+    )
+    return ranked.withColumn("rn", F.col("rn").cast("long"))
+
+
+# -------------------------------------------- deterministic sampling ----
+@register(
+    "doc_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
+               ELSE '2000' END
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: keep a
+    lang-dependent fraction (en 50%, zh 25%, other 12.5%) chosen by an md5
+    hash threshold on the doc id — reproducible across engines, runs, and
+    partitionings (no rand()), the property a training-data pipeline needs
+    for resumable sampling. Hex-string compare is monotonic in the hash
+    value, so the threshold is exact in both engines."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    threshold = (
+        F.when(F.col("lang") == "en", F.lit("8000"))
+        .when(F.col("lang") == "zh", F.lit("4000"))
+        .otherwise(F.lit("2000"))
+    )
+    return docs.filter(bucket < threshold).select("doc_id", "lang")
+
+
+# ------------------------------------------------- streaming exact dedup ----
+@register(
+    "streaming_distinct_pairs",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: dropDuplicates over the event stream
+    emits each (user, event_type) once — the streaming twin of the batch
+    DISTINCT every dedup pipeline starts from. State = one row per distinct
+    key in the state store (RocksDB at scale); no watermark here because
+    the gate replays a bounded stream."""
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    stream = stream_events(spark, sf_dir)
+    dedup = stream.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_stream_to_table(dedup, spark, output_mode="append")

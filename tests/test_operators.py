@@ -473,3 +473,25 @@ def test_write_partitioned_files_per_partition(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 4000
     assert back.select(F.sum("v")).first()[0] == sum(range(4000))
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    clique {10,11,12}, isolated edge {20,21}: min label wins per component."""
+    from data_warehouse_flink_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
