@@ -78,6 +78,8 @@ HEADLINE = [
     "doc_dup_clusters",
     "doc_tfidf",
     "doc_stratified_sample",
+    "doc_pack_sequences",
+    "embedding_label_centroids",
     "purchase_asof_click",
     "weekly_cohort_retention",
     "hourly_counts_gapfilled",

@@ -686,3 +686,93 @@ def streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     return run_stream_to_table(dedup, spark, output_mode="append")
+
+
+# ---------------------------------------------------- sequence packing ----
+@register(
+    "doc_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 64 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT *, SUM(n_tokens) OVER (
+        PARTITION BY shard ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing for LLM training: shard the corpus,
+    run a cumulative token count per shard, and assign each document to the
+    2048-token pack its first token lands in ("concat then chunk").
+
+    Scale: the window partitions on shard (64 here; thousands at 100 TB),
+    so the sort is per-shard parallel — never a single global ORDER BY.
+    Deterministic: packing depends only on (shard, doc_id) order, not on
+    physical partitioning."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(64)).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(2048.0))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+# --------------------------------------------- embedding centroid agg ----
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label, s.i AS pos,
+             CAST(embedding[s.i] AS DECIMAL(18,9)) AS v
+      FROM embeddings CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    )
+    SELECT label, pos,
+           ROUND(CAST(SUM(v) AS DOUBLE) / count(*), 6) AS centroid
+    FROM flat GROUP BY 1, 2
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the IVF coarse-quantizer training
+    step): posexplode the vectors, aggregate each dimension. Sums run in
+    the decimal domain (float components cast exactly the same way in both
+    engines) so the centroid is summation-order independent — a plain
+    double SUM over floats would drift between engines at scale.
+
+    One shuffle on (label, pos); 100 TB of vectors reduce to
+    |labels| × dim rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("decimal(18,9)").alias("v"),
+    )
+    return flat.groupBy("label", "pos").agg(
+        F.round(
+            F.sum("v").cast("double") / F.count("*"), 6
+        ).alias("centroid")
+    )
