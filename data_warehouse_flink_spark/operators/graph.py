@@ -32,11 +32,15 @@ def connected_components(
     `edges` is an undirected pair table (each pair once, any orientation).
     Returns (node, component) for every node appearing in any edge.
     """
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct()
+    # materialize the edge list once: it is re-joined every iteration, and
+    # its lineage may be an expensive dedup/similarity pipeline that would
+    # otherwise be recomputed per round
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
