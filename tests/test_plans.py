@@ -61,3 +61,50 @@ def test_ad_clicks_by_geo_broadcasts_dims(spark):
     # customer + nation both broadcast (AQE may print nodes twice)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q2_broadcasts_region_dims_and_prunes(spark):
+    plan = formatted_plan(spark, "tpch_q2")
+    # supplier⋈nation⋈region and the part filter are all broadcast sides
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the part-side filters reach the scan
+    assert "EqualTo(p_size,15)" in plan
+    assert "EqualTo(p_type,SMALL)" in plan
+    # lineitem scan reads only the pair + price columns
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    line_read = next(l for l in reads if "l_partkey" in l)
+    assert "l_shipdate" not in line_read and "l_tax" not in line_read
+
+
+def test_tpch_q9_pushes_name_filter_and_broadcasts(spark):
+    plan = formatted_plan(spark, "tpch_q9")
+    assert "StringContains(p_name,red)" in plan  # LIKE '%red%' pushed down
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q12_pushes_date_range(spark):
+    plan = formatted_plan(spark, "tpch_q12")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_tpch_q21_semi_anti_join_shapes(spark):
+    plan = formatted_plan(spark, "tpch_q21")
+    # EXISTS → semi, NOT EXISTS → anti; both present, plus the status filter
+    # pushed to the orders scan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_doc_stratified_sample_is_scan_only(spark):
+    plan = formatted_plan(spark, "doc_stratified_sample")
+    # pure per-row filter: no exchange anywhere in the plan
+    assert "Exchange" not in plan
+
+
+def test_doc_pack_sequences_partitions_window_by_shard(spark):
+    plan = formatted_plan(spark, "doc_pack_sequences")
+    # the cumulative sum must partition on shard — a global (empty
+    # partition-spec) window sort would single-thread the corpus
+    assert "windowspecdefinition(shard#" in plan, plan
