@@ -9,21 +9,45 @@ from pyspark.sql import types as T
 from data_warehouse_flink_spark.schemas import TESTDATA_TABLES
 
 
+def normalize_time_columns(df: DataFrame) -> DataFrame:
+    """Normalize every time-valued column to a session-TZ TimestampType.
+
+    The driver's testdata has shipped two on-disk encodings across rounds,
+    and downstream operators (``F.unix_micros``, ``F.window``, interval
+    joins) require plain TIMESTAMP, so both are normalized here:
+
+    - parquet ``timestamp[us]`` with isAdjustedToUTC=false → Spark reads
+      TIMESTAMP_NTZ. Cast to TIMESTAMP: the session timezone is pinned to
+      UTC (session.py), so the cast is instant-preserving and agrees with
+      DuckDB's naive-UTC read of the same file.
+    - legacy TIMESTAMP(NANOS) → under ``spark.sql.legacy.parquet.nanosAsLong``
+      Spark reads an epoch-nano LongType named ``ts``; truncate to micros
+      (matching DuckDB's ns→µs behavior) and convert.
+
+    Applied uniformly to every table so a future re-encode of
+    ``o_orderdate``/``l_shipdate`` can never diverge from ``events.ts``
+    handling. Column-level casts keep parquet pushdown/pruning intact —
+    Catalyst still prunes unreferenced columns and pushes comparisons on the
+    cast column down to the scan where the types allow.
+    """
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        elif field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet scan → pushdown + pruning for free.
 
-    `events.ts` is stored as TIMESTAMP(NANOS), which Spark reads as an
-    epoch-nano LongType (spark.sql.legacy.parquet.nanosAsLong); normalize it
-    to a microsecond TimestampType here (truncation, matching DuckDB's
-    ns→µs read) so every downstream operator sees a real event-time column.
+    Time columns are normalized to TimestampType (see
+    ``normalize_time_columns``); everything downstream can assume real
+    event-time columns regardless of the on-disk encoding.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
-    if name == "events":
-        # Defensive: the conf is runtime-settable and the caller's session
-        # (e.g. the driver's own) may not have it.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # Runtime-settable; keeps a legacy TIMESTAMP(NANOS) file readable (as
+    # LongType, handled above) instead of erroring at scan time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_time_columns(spark.read.parquet(f"{sf_dir}/{name}.parquet"))

@@ -50,9 +50,11 @@ def get_spark(
         # Arrow for all pandas_udf / applyInPandas boundaries.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
-        # nanosecond timestamp type, so read it as a LongType of epoch-nanos
-        # and convert to a microsecond timestamp in io.table().
+        # Back-compat: early testdata rounds stored events.ts as
+        # TIMESTAMP(NANOS), which Spark can only read as an epoch-nano
+        # LongType under this conf. Current testdata is timestamp[us] NTZ —
+        # io.normalize_time_columns() handles both encodings; the conf just
+        # keeps a legacy nanos file from erroring at scan time.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for key, value in (extra_conf or {}).items():

@@ -14,32 +14,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # epoch nanos (see io.table)
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2: replay the events table as a file stream (ns → µs ts like batch)."""
+    """S2: replay the events table as a file stream.
+
+    The raw schema is introspected from the parquet footer (a metadata-only
+    batch read) and the time columns go through the *same* normalization as
+    the batch reader (``io.normalize_time_columns``), so the stream and
+    ``io.table(spark, sf_dir, "events")`` can never disagree on ``ts``
+    encoding again — tests assert schema equality between the two.
+    """
+    from data_warehouse_flink_spark.io import normalize_time_columns
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source requires a directory; glob-filter to the one
     # table file inside the sf dir.
     raw = (
-        spark.readStream.schema(EVENTS_RAW)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_time_columns(raw)
 
 
 def kafka_source_options(
