@@ -83,6 +83,10 @@ HEADLINE = [
     "purchase_asof_click",
     "weekly_cohort_retention",
     "hourly_counts_gapfilled",
+    "doc_repetition_score",
+    "doc_pii_redact",
+    "doc_contamination",
+    "corpus_mixture_weights",
 ]
 
 
@@ -94,9 +98,11 @@ def main() -> None:
     spark = get_spark("dwfs-bench")
     queries = all_queries()
 
-    # Warm the JVM + parquet footers with a trivial action so the first
-    # measured query doesn't pay one-time startup costs.
+    # Warm the JVM + parquet footers + whole-stage-codegen/Arrow machinery so
+    # the first measured query doesn't pay one-time startup costs: a trivial
+    # scan plus one representative windowed aggregation, both unrecorded.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    queries[HEADLINE[0]].spark_fn(spark, sf_dir).count()
 
     # min of 3 runs per query: the steady-state number (first run pays
     # one-time codegen/janino compilation and page-cache misses, which a

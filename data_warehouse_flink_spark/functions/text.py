@@ -97,3 +97,77 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             pred
         )
     return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document repetition signal: duplicate n-gram fraction.
+
+    The repeated-n-gram fraction is the standard text-quality repetition
+    signal for training-data curation (a high fraction marks boilerplate /
+    degenerate text). Computed entirely with array expressions — tokenize
+    once, build the shingle array, ``array_distinct`` it — so the whole
+    operator is a per-row projection: zero shuffle, linear scan scale, and
+    whole-stage codegen keeps it JVM-side.
+
+    The fraction is emitted as an exact integer part-per-million
+    (``(total - distinct) * 1e6 div total``) so both engines agree
+    bit-for-bit without float-rounding conventions.
+    """
+    toked = df.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_toks")
+    )
+    grams = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
+        f"ELSE array() END"
+    )
+    with_counts = toked.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("total_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("distinct_grams"),
+    ).filter(F.col("total_grams") > 0)
+    return with_counts.withColumn(
+        "dup_ppm",
+        F.expr(
+            "CAST((total_grams - distinct_grams) * 1000000"
+            " DIV total_grams AS BIGINT)"
+        ),
+    )
+
+
+# PII patterns restricted to the regex subset where Java (Spark) and RE2
+# (DuckDB oracle) agree exactly: char classes, bounded repetition, \b.
+# Applied sequentially on the progressively-redacted text so one span is
+# never counted by two patterns (an email's host can't also count as a
+# "phone" digit run, etc.).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone numbers; per-doc counts + redacted text.
+
+    Pure per-row ``regexp_replace``/``regexp_extract_all`` projections —
+    zero shuffle, scan-linear, JVM-side (no Python in the loop). Returns
+    ``doc_id``, one ``n_<kind>`` count per pattern, and ``redacted``.
+    """
+    out = df.select("doc_id", F.col(text_col).alias("redacted"))
+    for kind, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(
+                F.regexp_extract_all(F.col("redacted"), F.lit(pat), F.lit(0))
+            ).cast("long"),
+        ).withColumn(
+            "redacted",
+            F.regexp_replace(F.col("redacted"), pat, token),
+        )
+    return out.select(
+        "doc_id", *(f"n_{kind}" for kind, _, _ in PII_PATTERNS), "redacted"
+    )

@@ -776,3 +776,189 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double") / F.count("*"), 6
         ).alias("centroid")
     )
+
+
+# ------------------------------------------------- quality: repetition ----
+@register(
+    "doc_repetition_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS total_grams,
+           count(DISTINCT gram)::BIGINT AS distinct_grams,
+           ((count(*) - count(DISTINCT gram)) * 1000000 // count(*))::BIGINT
+             AS dup_ppm
+    FROM grams GROUP BY 1
+    """,
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram fraction per document (boilerplate/degenerate-text
+    quality signal). Spark side is a pure array projection (tokenize once,
+    shingle, array_distinct) — zero shuffle; the oracle takes the
+    explode + GROUP BY road to the same counts."""
+    from data_warehouse_flink_spark.functions.text import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir), n=3)
+
+
+# ----------------------------------------------------- PII redaction ----
+@register(
+    "doc_pii_redact",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or 10.0.'
+                  || (doc_id % 256) || '.1' AS t0
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, t0,
+             len(regexp_extract_all(t0,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+               AS n_email,
+             regexp_replace(t0,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+             regexp_replace(t1,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id, n_email, n_ipv4,
+           len(regexp_extract_all(t2, '\+\d[\d-]{7,}\d'))::BIGINT AS n_phone,
+           md5(regexp_replace(t2, '\+\d[\d-]{7,}\d', '<PHONE>', 'g'))
+             AS redacted_md5
+    FROM s2
+    """,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4s / phones) with per-kind counts.
+
+    The synthetic corpus contains no real PII, so the gate query injects a
+    deterministic email + IP per document (same expression in the oracle)
+    before redacting — the redaction path is exercised with non-zero counts
+    and the output hash proves both engines produced the identical redacted
+    text. The underlying ``pii_redact`` is a zero-shuffle projection."""
+    from data_warehouse_flink_spark.functions.text import pii_redact
+
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    red = pii_redact(aug)
+    return red.select(
+        "doc_id",
+        F.col("n_email"),
+        F.col("n_ipv4"),
+        F.col("n_phone"),
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+# ------------------------------------------- eval-set contamination ----
+@register(
+    "doc_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4] AS gram
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 4)) AS i) s
+    )
+    SELECT tr.doc_id,
+           count(DISTINCT tr.gram)::BIGINT AS n_shared_grams,
+           count(DISTINCT e.doc_id)::BIGINT AS n_eval_docs
+    FROM grams tr
+    JOIN grams e ON tr.gram = e.gram AND e.doc_id % 97 = 0
+    WHERE tr.doc_id % 97 <> 0
+    GROUP BY 1
+    """,
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: 5-gram overlap between the training
+    split and a deterministic eval holdout (doc_id % 97 == 0).
+
+    The eval side is tiny by construction (~1% of the corpus), so its gram
+    set broadcasts and the train side streams through a broadcast hash join
+    on gram — no shuffle of the big side, the shape that holds at 100 TB
+    (a real eval benchmark is KBs-MBs of n-grams)."""
+    grams = word_ngrams(_docs(spark, sf_dir), n=5)
+    is_eval = F.pmod(F.col("doc_id"), F.lit(97)) == 0
+    ev = grams.filter(is_eval).select(
+        F.col("gram").alias("e_gram"), F.col("doc_id").alias("eval_id")
+    )
+    tr = grams.filter(~is_eval)
+    return (
+        tr.join(F.broadcast(ev), tr.gram == ev.e_gram)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+# ----------------------------------------------- corpus mixture weights ----
+@register(
+    "corpus_mixture_weights",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, count(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY 1, 2
+    ), tot AS (SELECT SUM(n_tokens) AS total FROM per)
+    SELECT source, lang,
+           n_docs::BIGINT AS n_docs,
+           n_tokens::BIGINT AS n_tokens,
+           (n_tokens * 1000000 // total)::BIGINT AS weight_ppm
+    FROM per, tot
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) token counts and proportional sampling weights —
+    the mixture table a training-data sampler consumes.
+
+    Two-level aggregate: the per-stratum rollup partial-aggregates map-side;
+    the grand total is one row, broadcast back over the strata. Weights are
+    exact integer ppm (tokens*1e6 div total) — no float division to
+    reconcile across engines."""
+    from data_warehouse_flink_spark.functions.text import token_count
+
+    per = (
+        _docs(spark, sf_dir)
+        .select("source", "lang", token_count("text").alias("tc"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST(n_tokens * 1000000 DIV total AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    )

@@ -1136,41 +1136,47 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sole-late suppliers of finished multi-supplier orders (semi + anti
-    join against the same derived relation; reference shape TPC-H Q21)."""
+    """Sole-late suppliers of finished multi-supplier orders (reference
+    shape TPC-H Q21).
+
+    The oracle keeps the textbook EXISTS + NOT-EXISTS correlated-subquery
+    form; here both subqueries collapse into one per-orderkey aggregation —
+    "no OTHER late supplier" ⇔ the order has exactly one distinct late
+    supplier, "another supplier participated" ⇔ the order has >1 distinct
+    suppliers overall. That turns two self-joins with inequality conditions
+    (each a full extra shuffle + a distinct over the fact table) into two
+    partial-aggregated groupBys and a single orderkey-equi join, which is
+    the plan that survives 100 TB: shuffle volume is one row per orderkey,
+    never a pair blow-up, and no non-equi join falls back to BNLJ."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
-    late = (
+    late_per_order = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_late"),
+            # With n_late == 1 the min IS the sole late supplier.
+            F.min("l_suppkey").alias("late_suppkey"),
+        )
+        .filter(F.col("n_late") == 1)
     )
-    pairs = li.select(
-        F.col("l_orderkey").alias("p_okey"), F.col("l_suppkey").alias("p_skey")
-    ).distinct()
-    other_exists = late.join(
-        pairs,
-        (late.l_orderkey == F.col("p_okey"))
-        & (late.l_suppkey != F.col("p_skey")),
-        "left_semi",
+    supp_per_order = li.groupBy(F.col("l_orderkey").alias("p_okey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
     )
-    late2 = late.select(
-        F.col("l_orderkey").alias("w_okey"), F.col("l_suppkey").alias("w_skey")
-    )
-    sole_late = other_exists.join(
-        late2,
-        (other_exists.l_orderkey == F.col("w_okey"))
-        & (other_exists.l_suppkey != F.col("w_skey")),
-        "left_anti",
+    sole_late = (
+        late_per_order.join(
+            supp_per_order, F.col("l_orderkey") == F.col("p_okey")
+        )
+        .filter(F.col("n_supp") > 1)
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        sole_late.join(F.broadcast(s), sole_late.late_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

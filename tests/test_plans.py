@@ -88,13 +88,17 @@ def test_tpch_q12_pushes_date_range(spark):
     assert "LessThan(l_shipdate" in plan
 
 
-def test_tpch_q21_semi_anti_join_shapes(spark):
+def test_tpch_q21_aggregation_shape(spark):
     plan = formatted_plan(spark, "tpch_q21")
-    # EXISTS → semi, NOT EXISTS → anti; both present, plus the status filter
-    # pushed to the orders scan
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    # The EXISTS/NOT-EXISTS pair is collapsed into per-orderkey aggregates:
+    # distinct-supplier counts must partial-aggregate (map-side combine),
+    # the status filter must reach the orders scan, supplier must broadcast,
+    # and no non-equi join may fall back to nested-loop.
+    assert "count(distinct l_suppkey" in plan
     assert "EqualTo(o_orderstatus,F)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_doc_stratified_sample_is_scan_only(spark):
@@ -108,3 +112,32 @@ def test_doc_pack_sequences_partitions_window_by_shard(spark):
     # the cumulative sum must partition on shard — a global (empty
     # partition-spec) window sort would single-thread the corpus
     assert "windowspecdefinition(shard#" in plan, plan
+
+
+def test_doc_repetition_score_is_scan_only(spark):
+    plan = formatted_plan(spark, "doc_repetition_score")
+    # pure per-row array projection: no exchange anywhere
+    assert "Exchange" not in plan
+
+
+def test_doc_pii_redact_is_scan_only(spark):
+    plan = formatted_plan(spark, "doc_pii_redact")
+    assert "Exchange" not in plan
+    # JVM-side regex, no Python worker in the plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_contamination_broadcasts_eval_side(spark):
+    plan = formatted_plan(spark, "doc_contamination")
+    # the ~1% eval gram set must broadcast; the train side must NOT shuffle
+    # for the join itself (only the final per-doc aggregation exchanges)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_mixture_weights_broadcasts_total(spark):
+    plan = formatted_plan(spark, "corpus_mixture_weights")
+    # grand-total is one row joined back broadcast; the big side aggregates
+    # with map-side partial aggregation (two HashAggregate levels)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
