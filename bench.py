@@ -87,6 +87,7 @@ HEADLINE = [
     "doc_pii_redact",
     "doc_contamination",
     "corpus_mixture_weights",
+    "doc_dedup_keep_best",
 ]
 
 

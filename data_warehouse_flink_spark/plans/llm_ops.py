@@ -962,3 +962,85 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_ppm"
         ),
     )
+
+
+# ------------------------------------------- dedup: canonical selection ----
+@register(
+    "doc_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING CAST(count(*) AS DOUBLE) / (
+        (SELECT n FROM sizes WHERE doc_id = a.doc_id)
+        + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - count(*)) >= 0.3
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), walk(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, walk.label FROM walk JOIN edges e ON walk.node = e.u
+    ), cc AS (
+      SELECT node, min(label) AS component FROM walk GROUP BY 1
+    ), full_cc AS (
+      SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component,
+             d.n_chars
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    ), best AS (
+      SELECT component, doc_id AS canonical,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM full_cc
+    )
+    SELECT f.doc_id, f.component,
+           b.canonical AS canonical_doc_id,
+           CAST(CASE WHEN f.doc_id = b.canonical THEN 1 ELSE 0 END AS BIGINT)
+             AS kept
+    FROM full_cc f
+    JOIN best b ON f.component = b.component AND b.rn = 1
+    """,
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup lifecycle's last step: pairs → clusters → keep ONE doc per
+    cluster (highest n_chars, doc_id as tie-break) and mark the rest drops.
+
+    Canonical selection is a single ``max_by`` aggregate over a struct key —
+    no per-component window sort. Components are dup cliques (tiny by
+    construction), so the component-keyed shuffle is uniform; the n² risk
+    lives in pair generation, which is the df-capped inverted-index join."""
+    from data_warehouse_flink_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    grams = word_ngrams(docs, n=3)
+    pairs = jaccard_pairs(grams, threshold=0.3).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    full_cc = docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "n_chars",
+    )
+    best = full_cc.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("inv"))
+        ).alias("canonical_doc_id")
+    )
+    return full_cc.join(best, "component").select(
+        "doc_id",
+        "component",
+        "canonical_doc_id",
+        F.when(F.col("doc_id") == F.col("canonical_doc_id"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept"),
+    )

@@ -928,3 +928,64 @@ def streaming_update_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "ts", "1 hour", keys=["user_id"], watermark="3650 days"
     )
     return run_stream_to_table(counts, spark, output_mode="update")
+
+
+# --------------------------------------------------------------------------
+# Streaming sessionization — the native session_window form of
+# `user_sessions` (gap-merged event-time windows on a stream; the operator
+# Flink spells as EventTimeSessionWindows). Beyond-reference W-family depth.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged
+    )
+    SELECT user_id, count(*) AS n_events,
+           min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+    FROM sessions GROUP BY user_id, sess
+    """,
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6 h-gap sessions via streaming ``session_window``.
+
+    ``session_window(ts, gap)`` merges adjacent windows in the state store
+    as events arrive — Spark's native form of keyed session state. Its
+    window spans [first event, last event + gap), so ``end_us`` subtracts
+    the gap back out to equal the batch max-event-ts; the oracle is the
+    same lag/sum sessionization that gates the batch `user_sessions`
+    (minus the per-user ordinal, which a streaming agg does not define).
+    """
+    from data_warehouse_flink_spark.streaming.jobs import (
+        run_stream_to_table,
+        with_watermark,
+    )
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    gap_us = 21_600_000_000  # 6 h, matching the batch gate
+    stream = with_watermark(stream_events(spark, sf_dir), "ts", "0 seconds")
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "6 hours"), F.col("user_id")
+        ).agg(F.count("*").alias("n_events"))
+    )
+    out = agg.select(
+        "user_id",
+        "n_events",
+        F.unix_micros(F.col("session_window.start")).alias("start_us"),
+        (F.unix_micros(F.col("session_window.end")) - F.lit(gap_us)).alias(
+            "end_us"
+        ),
+    )
+    return run_stream_to_table(out, spark, output_mode="complete")

