@@ -47,7 +47,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
-    # Runtime-settable; keeps a legacy TIMESTAMP(NANOS) file readable (as
-    # LongType, handled above) instead of erroring at scan time.
+    # Defensive session pins (both runtime-settable; the caller may be an
+    # external harness session, not session.get_spark):
+    # - UTC: the NTZ→TIMESTAMP cast in normalize_time_columns interprets
+    #   wall-clock values in the session TZ; only UTC preserves the instant
+    #   and matches DuckDB's naive-UTC read (registry determinism contract).
+    # - nanosAsLong: keeps a legacy TIMESTAMP(NANOS) file readable (as
+    #   LongType, handled above) instead of erroring at scan time.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_time_columns(spark.read.parquet(f"{sf_dir}/{name}.parquet"))

@@ -26,6 +26,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_warehouse_flink_spark.io import normalize_time_columns
 
+    # Same defensive session pins as io.table (see there for why).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source requires a directory; glob-filter to the one

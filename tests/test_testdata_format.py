@@ -81,3 +81,30 @@ def test_stream_schema_matches_batch(spark):
     batch = table(spark, SF_SMOKE, "events").schema
     stream = stream_events(spark, SF_SMOKE).schema
     assert stream == batch
+
+
+def test_table_pins_utc_even_under_foreign_session_tz(spark):
+    """An external harness session might not run UTC; io.table must pin it
+    so the NTZ→TIMESTAMP cast stays instant-preserving (epoch values match
+    DuckDB's naive-UTC read regardless of prior session state)."""
+    from pyspark.sql import functions as F
+
+    import duckdb
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = (
+            table(spark, SF_SMOKE, "events")
+            .select(F.min(F.unix_micros("ts")).alias("m"))
+            .collect()[0]["m"]
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    want = (
+        duckdb.connect()
+        .execute(
+            f"SELECT min(epoch_us(ts)) FROM '{SF_SMOKE}/events.parquet'"
+        )
+        .fetchone()[0]
+    )
+    assert got == want
