@@ -192,3 +192,90 @@ def test_connected_components_match_union_find(spark, edges):
         (n, min(ms)) for root, ms in members.items() for n in ms
     }
     assert got == want
+
+
+TEXTS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "ab", "ba", "x"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=TEXTS)
+def test_repetition_features_match_python(spark, docs):
+    from data_warehouse_flink_spark.functions.text import repetition_features
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.total_grams, r.distinct_grams, r.dup_ppm)
+        for r in repetition_features(df, n=3).collect()
+    }
+    for i, toks in enumerate(docs):
+        # note: ''.split(' ') == [''] — an empty text is ONE empty token,
+        # matching Spark's split semantics
+        toks = toks or [""]
+        grams = [
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        ]
+        if not grams:
+            assert i not in got
+            continue
+        total, distinct = len(grams), len(set(grams))
+        assert got[i] == (
+            total,
+            distinct,
+            (total - distinct) * 1_000_000 // total,
+        )
+
+
+PII_TEXTS = st.lists(
+    st.sampled_from(
+        [
+            "plain words only",
+            "mail me at a.user+x@mail-host.io today",
+            "two mails a@b.co and c_d@e-f.org here",
+            "host 10.0.255.1 and 192.168.0.254 up",
+            "call +1-555-0100-99 now",
+            "edge a@b.co 1.2.3.4 +12-3456-789",
+            "",
+        ]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=PII_TEXTS)
+def test_pii_redact_matches_python_re(spark, texts):
+    import re
+
+    from data_warehouse_flink_spark.functions.text import (
+        PII_PATTERNS,
+        pii_redact,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in pii_redact(df).collect()}
+    for i, t in enumerate(texts):
+        red = t
+        for kind, pat, token in PII_PATTERNS:
+            n = len(re.findall(pat, red))
+            red = re.sub(pat, token, red)
+            assert got[i][f"n_{kind}"] == n, (i, kind, t)
+        assert got[i]["redacted"] == red

@@ -90,7 +90,11 @@ def test_sessionize_at_5m(spark, big_events):
 
     sess = sessionize(big_events, "user_id", "ts", gap_sec=21600)
     agg = sess.groupBy("user_id").agg(F.max("session_id").alias("m"))
-    assert agg.count() == USERS
+    # every user that has events must come out with sessions — exact
+    # equality, robust to SPARK_GRAFT_SMOKE_ROWS overrides where not all
+    # of the USERS hash buckets are hit
+    expected = big_events.select("user_id").distinct().count()
+    assert agg.count() == expected
 
 
 def test_two_level_window_beats_naive_on_dense_slides(spark, big_events):
@@ -178,3 +182,51 @@ def test_order_timeout_kernel_at_100k_keys(spark, tmp_path):
     assert counts["payed"] == 90_000
     assert counts["timeout"] == 10_000
     print(f"100k keys in {elapsed:.1f}s ({int(n_orders/elapsed)} keys/s)")
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark):
+    """1M synthetic documents, executor-side (spark.range → hash-derived
+    40-token texts over a 30-word vocabulary; no driver materialization)."""
+    n_docs = max(N // 5, 1_000_000)
+    vocab = F.array(*[F.lit(f"w{i}") for i in range(30)])
+    tok = lambda salt: F.element_at(  # noqa: E731
+        vocab, (F.pmod(F.xxhash64("id", F.lit(salt)), F.lit(30)) + 1).cast("int")
+    )
+    return (
+        spark.range(n_docs)
+        .withColumn(
+            "text", F.concat_ws(" ", *[tok(s) for s in range(40)])
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+def test_repetition_score_scans_1m_docs(spark, big_docs):
+    """Zero-shuffle claim at volume: the whole corpus scores in one scan."""
+    from data_warehouse_flink_spark.functions.text import repetition_features
+
+    out = repetition_features(big_docs, n=3)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    agg = out.agg(
+        F.count("*").alias("n"), F.max("dup_ppm").alias("max_ppm")
+    ).collect()[0]
+    assert agg["n"] == big_docs.count()
+    assert 0 <= agg["max_ppm"] <= 1_000_000
+
+
+def test_pii_redact_scans_1m_docs(spark, big_docs):
+    from data_warehouse_flink_spark.functions.text import pii_redact
+
+    aug = big_docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@h.io"),
+        ),
+    )
+    out = pii_redact(aug)
+    got = out.agg(F.sum("n_email").alias("s")).collect()[0]["s"]
+    assert got == big_docs.count()
