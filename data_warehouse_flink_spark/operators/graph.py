@@ -53,23 +53,24 @@ def connected_components(
             .groupBy(F.col("v").alias("node2"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the previous label through the checkpoint so convergence is
+        # a filter-count on already-materialized data — no extra join job
+        # per iteration
         new_labels = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
