@@ -618,12 +618,17 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#1"
     ).select("p_partkey")
-    avg_qty = l.groupBy(F.col("l_partkey").alias("a_key")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    # correlated avg as a per-part window over the brand-pruned rows: the
+    # per-part mean is unchanged by pruning other parts, and lineitem is
+    # scanned once instead of once per consumer
+    from pyspark.sql import Window
+
+    filtered = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    threshold = F.lit(0.2) * F.avg("l_quantity").over(
+        Window.partitionBy("l_partkey")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(avg_qty, l.l_partkey == F.col("a_key"))
+        filtered.withColumn("threshold", threshold)
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(
             (
@@ -777,15 +782,15 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.join(F.broadcast(rs), ps.l_suppkey == rs.s_suppkey)
         .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
     )
-    min_cost = reg.groupBy(F.col("p_partkey").alias("mc_key")).agg(
-        F.min("cost").alias("min_cost")
-    )
+    # correlated min as a per-part window min: one pass over `reg` (the
+    # groupBy+self-join form recomputes the lineitem aggregation twice),
+    # one shuffle keyed by p_partkey — same exchange the agg would need
+    from pyspark.sql import Window
+
+    min_cost = F.min("cost").over(Window.partitionBy("p_partkey"))
     return (
-        reg.join(
-            min_cost,
-            (reg.p_partkey == F.col("mc_key"))
-            & (F.col("cost") == F.col("min_cost")),
-        )
+        reg.withColumn("min_cost", min_cost)
+        .filter(F.col("cost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
         .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
         .limit(100)
@@ -885,6 +890,9 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(v).alias("v"))
     )
+    # val feeds both the grand total and the threshold filter; materialize
+    # the small per-part aggregate once (single lineitem scan)
+    val = val.localCheckpoint(eager=True)
     tot = val.agg(F.sum("v").alias("t"))
     vd = F.round(F.col("v"), 2).cast("double")
     td = F.round(F.col("t"), 2).cast("double")
@@ -981,6 +989,10 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_revenue")
     )
+    # rev is consumed twice (scalar max + the winner join); materialize the
+    # small per-supplier aggregate once so lineitem is scanned once — Spark
+    # does not reuse the exchange across the two consumers
+    rev = rev.localCheckpoint(eager=True)
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -1079,20 +1091,24 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
-    sp = l.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum(_dec("l_quantity")).alias("q")
-    )
-    pt = sp.groupBy(F.col("l_partkey").alias("pt_key")).agg(
-        F.sum("q").alias("qp")
-    )
+    # red-part pruning pushes below BOTH aggregates (per-part totals are
+    # unaffected by dropping other parts), and the per-part total is a
+    # window over the per-(supplier, part) aggregate — one lineitem scan,
+    # pre-filtered by the broadcast part list, instead of two full scans
+    from pyspark.sql import Window
+
     red = table(spark, sf_dir, "part").filter(
         F.col("p_name").like("red%")
     ).select("p_partkey")
+    sp = (
+        l.join(F.broadcast(red), l.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+    )
     qd = F.round(F.col("q"), 2).cast("double")
     qpd = F.round(F.col("qp"), 2).cast("double")
     eligible = (
-        sp.join(pt, sp.l_partkey == F.col("pt_key"))
-        .join(F.broadcast(red), sp.l_partkey == red.p_partkey)
+        sp.withColumn("qp", F.sum("q").over(Window.partitionBy("l_partkey")))
         .filter(qd > F.lit(0.2) * qpd)
         .select("l_suppkey")
     )
