@@ -75,6 +75,13 @@ def jaccard_pairs(
     (A collect_set/array_intersect re-verify was measured 6× slower at
     sf0.1 than this count-join form; don't revert to it.)
     """
+    # The gram table feeds up to six consumers (sizes, the hot list, both
+    # sides of the candidate join, both sides of the hot correction);
+    # without materialization each one re-runs the scan+tokenize+explode
+    # lineage — 6 corpus scans at 100 TB. One eager local checkpoint makes
+    # it a single pass (measured neutral at sf0.1, where the page cache
+    # hides the rescans; the win is the scan count at scale).
+    grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
     if df_cap is not None:
         # the hot list has ≤ |grams|/df_cap entries by construction, so it

@@ -348,31 +348,41 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users who viewed, then clicked after the first view,
     then purchased after that click — min-timestamp chaining, three
     aggregations, no row explosion."""
-    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    # One events scan and ONE user-keyed exchange: the three stage
+    # timestamps chain as window mins over the same partition spec (Catalyst
+    # stacks the Window operators on a single shuffle — the join-per-stage
+    # form scanned events six times), then one Expand-based conditional
+    # distinct count per stage.
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
     us = F.unix_micros("ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min(us).alias("t1"))
+    w = Window.partitionBy("user_id")
+    is_view = F.col("event_type") == "view"
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    staged = (
+        ev.withColumn("t1", F.min(F.when(is_view, us)).over(w))
+        .withColumn(
+            "t2", F.min(F.when(is_click & (us > F.col("t1")), us)).over(w)
+        )
+        .withColumn(
+            "t3",
+            F.min(F.when(is_purchase & (us > F.col("t2")), us)).over(w),
+        )
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(us > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min(us).alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(us > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min(us).alias("t3"))
-    )
-    return (
-        v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
-        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    return staged.agg(
+        F.count_distinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).alias("n_view"),
+        F.count_distinct(
+            F.when(F.col("t2").isNotNull(), F.col("user_id"))
+        ).alias("n_view_click"),
+        F.count_distinct(
+            F.when(F.col("t3").isNotNull(), F.col("user_id"))
+        ).alias("n_view_click_purchase"),
     )
 
 

@@ -1168,27 +1168,24 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
-    late_per_order = (
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    # ONE lineitem pass: the inner join restricts to 'F' orders (exactly the
+    # orders the result can contain), then a single per-orderkey aggregate
+    # computes total distinct suppliers and, conditionally, the late ones.
+    sole_late = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        )
         .groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_late"),
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late"
+            ),
             # With n_late == 1 the min IS the sole late supplier.
-            F.min("l_suppkey").alias("late_suppkey"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_suppkey"),
         )
-        .filter(F.col("n_late") == 1)
-    )
-    supp_per_order = li.groupBy(F.col("l_orderkey").alias("p_okey")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp")
-    )
-    sole_late = (
-        late_per_order.join(
-            supp_per_order, F.col("l_orderkey") == F.col("p_okey")
-        )
-        .filter(F.col("n_supp") > 1)
+        .filter((F.col("n_late") == 1) & (F.col("n_supp") > 1))
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -90,15 +90,22 @@ def test_tpch_q12_pushes_date_range(spark):
 
 def test_tpch_q21_aggregation_shape(spark):
     plan = formatted_plan(spark, "tpch_q21")
-    # The EXISTS/NOT-EXISTS pair is collapsed into per-orderkey aggregates:
-    # distinct-supplier counts must partial-aggregate (map-side combine),
-    # the status filter must reach the orders scan, supplier must broadcast,
+    # The EXISTS/NOT-EXISTS pair is collapsed into ONE per-orderkey
+    # aggregate (total + conditional distinct supplier counts → Spark's
+    # Expand-based multi-distinct), the status filter must reach the orders
+    # scan, supplier must broadcast, lineitem must be scanned exactly once,
     # and no non-equi join may fall back to nested-loop.
-    assert "count(distinct l_suppkey" in plan
+    assert "Expand" in plan
     assert "EqualTo(o_orderstatus,F)" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # exactly three scans: lineitem, orders, supplier — one each (the old
+    # semi/anti form scanned lineitem twice)
+    assert sum(
+        l.strip().startswith("(") and ") Scan parquet" in l
+        for l in plan.splitlines()
+    ) == 3, plan
 
 
 def test_doc_stratified_sample_is_scan_only(spark):
