@@ -275,15 +275,14 @@ def minhash_lsh_dedup(
     LSH-probabilistic recall — the standard web-scale dedup contract.
 
     The shingle table feeds BOTH the signature stage and the verify stage.
-    MEASURED NEGATIVE RESULT: persisting it (MEMORY_AND_DISK) to avoid the
-    double tokenize→shingle→distinct computation is 2-3× SLOWER at sf0.001
-    and sf0.1 (1.2s→12s, 4.1s→7-12s): materializing the exploded
-    (doc_id, gram) table breaks whole-stage pipelining into both consumers
-    and costs more than recomputing the narrow scan→split→explode lineage.
-    Recomputation is the right call here — the lineage is cheap and
-    embarrassingly parallel; the cache is all serialization.
+    Measurement history: persisting it MEMORY_AND_DISK was 2-3× SLOWER
+    (1.2s→12s at sf0.001 — the block-serialization cost dwarfed the
+    recompute); an eager localCheckpoint is a wash at sf0.1 (warm 3.3s
+    recompute vs 3.6s checkpointed, cold 6.7s vs 5.0s). The checkpoint is
+    kept because it halves the CORPUS SCAN count (2 → 1) — at 100 TB the
+    rescan is the dominant cost, not the local materialization.
     """
-    grams = word_ngrams(df, ngram, text_col)
+    grams = word_ngrams(df, ngram, text_col).localCheckpoint(eager=True)
     sigs = minhash_signatures(grams, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return verify_jaccard_on_candidates(cands, grams, threshold)
