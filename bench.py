@@ -88,6 +88,7 @@ HEADLINE = [
     "doc_contamination",
     "corpus_mixture_weights",
     "doc_dedup_keep_best",
+    "uv_sketch_mergeable",
 ]
 
 

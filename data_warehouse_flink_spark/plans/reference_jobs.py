@@ -989,3 +989,34 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_stream_to_table(out, spark, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# UV via mergeable HLL sketches — the modern form of the reference's
+# UvWithBloom memory trick (DW-Flink NetworkFlowAnalysis app/UvWithBloom.scala
+# :29-93: a 32 MB Redis bitmap so UV state never holds raw ids). Apache
+# DataSketches HLL gives the same constant-memory contract PLUS mergeability:
+# per-day sketches are the stored increment, and any rollup (month, total)
+# is a lossless sketch union — no raw-id reprocessing. W9 family depth.
+# --------------------------------------------------------------------------
+@register("uv_sketch_mergeable")
+def uv_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day UV estimates from stored HLL sketches + an ALL row from their
+    union. Union-of-daily-sketches ≡ sketch-of-all (register-wise max), so
+    the ALL estimate is exactly what a full recompute would give — tested in
+    tests/test_operators.py. Estimates are approximate → rows-only gate."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    daily = ev.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sketch").cast("long").alias("uv_estimate"),
+    )
+    total = daily.agg(
+        F.lit("ALL").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("uv_estimate"),
+    )
+    return per_day.unionByName(total).orderBy("day")

@@ -495,3 +495,27 @@ def test_connected_components_chain_and_clique(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_uv_sketch_union_equals_direct_sketch(spark):
+    """Mergeability contract: union of per-day HLL sketches must estimate
+    EXACTLY what one sketch over the whole period estimates (register-wise
+    max is lossless), and land within 5% of exact distinct."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_flink_spark.io import table
+    from data_warehouse_flink_spark.plans.reference_jobs import (
+        uv_sketch_mergeable,
+    )
+
+    from conftest import SF_SMOKE
+
+    out = {r.day: r.uv_estimate for r in uv_sketch_mergeable(spark, SF_SMOKE).collect()}
+    ev = table(spark, SF_SMOKE, "events").filter(F.col("event_type") == "view")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long")
+    ).collect()[0][0]
+    exact = ev.select("user_id").distinct().count()
+    assert out["ALL"] == direct
+    assert abs(out["ALL"] - exact) / exact < 0.05
+    assert len(out) > 1  # per-day rows present
