@@ -29,6 +29,7 @@ def test_queries_and_oracles_aligned():
         "event_value_percentiles_approx",
         "doc_rolling_fingerprint",
         "knn_ivf",
+        "uv_sketch_mergeable",
     }
 
 
