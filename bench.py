@@ -89,6 +89,7 @@ HEADLINE = [
     "corpus_mixture_weights",
     "doc_dedup_keep_best",
     "uv_sketch_mergeable",
+    "doc_semantic_dedup_scores",
 ]
 
 

@@ -1044,3 +1044,84 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept"),
     )
+
+
+# ---------------------------------------------- two-signal dedup scoring ----
+@register(
+    "doc_semantic_dedup_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, vecd,
+             sqrt(list_sum(list_transform(vecd, x -> x * x))) AS norm
+      FROM v
+    )
+    SELECT cand.doc_a, cand.doc_b, cand.jaccard,
+           ROUND(list_sum(list_transform(range(1, 65),
+                   i -> a.vecd[i] * b.vecd[i])) / (a.norm * b.norm), 6)
+             AS cosine
+    FROM cand
+    JOIN n a ON cand.doc_a = a.vec_id
+    JOIN n b ON cand.doc_b = b.vec_id
+    """,
+)
+def doc_semantic_dedup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-signal near-dup scoring: trigram-Jaccard candidate pairs
+    annotated with the documents' embedding cosine (doc_id ⋈ vec_id).
+
+    The production dedup pattern: a cheap lexical candidate stage bounds
+    the pair count, the semantic signal rides along for the downstream
+    keep/drop policy. Scale shape: candidate generation is the df-capped
+    inverted-index join; the embedding join then touches only candidate
+    ids — two hash joins proportional to |candidates|, never n². (No
+    cosine cutoff here: thresholding is policy, and this corpus's
+    synthetic embeddings are independent of its text dups.)"""
+    from data_warehouse_flink_spark.functions.similarity import (
+        cosine_rounded,
+        with_norm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = jaccard_pairs(word_ngrams(docs, n=3), threshold=0.3, df_cap=10_000)
+    vecs = with_norm(_embs(spark, sf_dir)).select("vec_id", "vecd", "norm")
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vecd").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vecd").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    return (
+        cands.join(a, cands.doc_a == a.vec_a)
+        .join(b, cands.doc_b == b.vec_b)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            cosine_rounded("va", "vb", "na", "nb").alias("cosine"),
+        )
+    )
