@@ -301,24 +301,25 @@ def event_value_percentiles_approx(
 def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user robust outlier flags (median/MAD), all-JVM.
 
-    Exact `percentile(value, 0.5)` aggregates (linear interpolation, the
-    same formula as quantile_cont) replace the former grouped-map pandas
-    UDAF: two groupBy-percentile passes + co-keyed joins, no Python worker
-    round-trip and no per-user pandas frame — a whale user at 100× scale is
-    just more rows in a hash aggregate, never one giant in-memory frame.
-    All four ops shuffle on user_id, so the exchange is reused.
+    Exact `percentile(value, 0.5)` (linear interpolation, the same formula
+    as quantile_cont) replaces the former grouped-map pandas UDAF — no
+    Python worker round-trip, no per-user pandas frame. Both percentile
+    passes chain as WINDOW aggregates over the same user_id partition spec:
+    one events scan and one exchange, no joins (the groupBy+join form
+    re-scanned events per consumer — Spark does not reuse the exchange).
+    A whale user is just more rows under one window partition, never a
+    giant in-memory frame.
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
     ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
-    med = ev.groupBy("user_id").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
-    )
-    dev = ev.join(med, "user_id").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = dev.groupBy("user_id").agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad")
-    )
-    return dev.join(mad, "user_id").select(
+    dev = ev.withColumn(
+        "med", F.percentile("value", F.lit(0.5)).over(w)
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    return dev.withColumn(
+        "mad", F.percentile("adev", F.lit(0.5)).over(w)
+    ).select(
         "user_id",
         "event_id",
         F.round("value", 6).alias("value"),
