@@ -471,7 +471,14 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # freq is vocab-sized and feeds both the total and the broadcast join —
+    # materialize it so the exploded token table is built only twice (once
+    # per inherent consumer), not three times
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = freq.agg(F.sum("cnt").cast("double").alias("total"))
     scored = (
         toks.join(F.broadcast(freq), "tok")
@@ -612,7 +619,14 @@ def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds both the document-frequency aggregate and the scoring join;
+    # materialize it once (it is token-count-sized but already shuffled —
+    # without this the corpus is scanned per consumer)
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfq = tf.groupBy("term").agg(F.count("*").alias("dfq"))
     n = docs.agg(F.count("*").alias("n"))
     scored = (

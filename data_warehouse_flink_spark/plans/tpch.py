@@ -386,20 +386,27 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with orders whose total quantity exceeds 150."""
+    # ONE lineitem pass: the HAVING filter and the output sum come from the
+    # same per-order aggregate (the textbook form re-joins lineitem and
+    # re-aggregates — a second full scan of the fact table for a value the
+    # first aggregate already holds)
     l = table(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.round(F.sum(_dec("l_quantity")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
     )
     orders = table(spark, sf_dir, "orders")
-    o = orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
     c = table(spark, sf_dir, "customer")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(c, orders.o_custkey == c.c_custkey)
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
@@ -407,9 +414,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2)
             .cast("double")
             .alias("totalprice"),
-        )
-        .agg(
-            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty")
+            "sum_qty",
         )
     )
 
