@@ -220,8 +220,12 @@ def knn_ivf(
     """Approximate top-k: exact cosine rerank within the query's IVF cell
     (nprobe=1). The candidate join keys on the cell id, so pairing cost is
     Σ_cell |cell|·|queries in cell| instead of n·q."""
-    assigned = kmeans_ivf_assign(embeddings, n_cells, id_col=id_col,
-                                 vec_col=vec_col)
+    # materialize the assignment once — this IS the inverted-file index;
+    # without it both the corpus side and the query side re-run
+    # KMeans.transform over a fresh scan of the embeddings
+    assigned = kmeans_ivf_assign(
+        embeddings, n_cells, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
     corpus = assigned.select(
         F.col(id_col).alias("neighbor_id"), "cell",
         F.col("vecd").alias("cvec"), F.col("norm").alias("cnorm"),
