@@ -186,18 +186,16 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing any band bucket.
-
-    Scale path: the only shuffle keys on (band, bucket-hash); bucket sizes
-    follow collision probability, not corpus size. Dedup of pairs found in
-    multiple bands via distinct.
-    """
+    """LSH banding: one (id, band, bucket) row per signature band, where
+    bucket = hash of the band's signature slice. Two docs are LSH
+    candidates iff they share a (band, bucket) key — the primitive behind
+    both batch candidate-pair generation and the streaming dedup ledger."""
     bands_col = F.array(
         *[
             F.xxhash64(
@@ -213,9 +211,24 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         id_col, F.posexplode(bands_col).alias("band", "bucket")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket.
+
+    Scale path: the only shuffle keys on (band, bucket-hash); bucket sizes
+    follow collision probability, not corpus size. Dedup of pairs found in
+    multiple bands via distinct.
+    """
+    banded = band_keys(signatures, bands, rows_per_band, id_col)
     left = banded.select(
         F.col(id_col).alias("doc_a"), "band", "bucket"
     )

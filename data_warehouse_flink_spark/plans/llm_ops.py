@@ -702,6 +702,60 @@ def streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(dedup, spark, output_mode="append")
 
 
+# ------------------------------------------------ streaming near-dedup ----
+@register(
+    "streaming_near_dedup",
+    oracle=None,  # MinHash/LSH buckets (xxhash64 family) are not
+    # SQL-expressible in DuckDB; tests/test_streaming.py checks the
+    # admitted set against an independent simulation of the same ledger
+    # semantics and against the batch LSH candidate graph.
+)
+def streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous MinHash/LSH near-dup ingest over a 4-micro-batch replay:
+    first-seen docs are admitted, later bucket-colliding docs dropped.
+    The admitted-bucket ledger is a band-partitioned parquet state table
+    (see streaming/curation.py::near_dedup_stream)."""
+    import os
+    import tempfile
+
+    from data_warehouse_flink_spark.streaming.curation import (
+        near_dedup_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="near_dedup_")
+    replay = os.path.join(work, "replay")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # one file per doc_id residue → 4 deterministic micro-batches; the file
+    # source orders by (mtime, path), so pin strictly increasing mtimes —
+    # equal fs timestamps would fall back to random part-file names and
+    # make the batch order (hence the first-seen winner) nondeterministic
+    seen: set[str] = set()
+    for b in range(4):
+        (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(replay)
+        )
+        for name in os.listdir(replay):
+            if name.endswith(".parquet") and name not in seen:
+                os.utime(os.path.join(replay, name), (1_000_000_000 + b,) * 2)
+                seen.add(name)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(replay)
+    )
+    q = near_dedup_stream(
+        stream,
+        state_path=os.path.join(work, "ledger"),
+        out_path=os.path.join(work, "admitted"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(work, "admitted"))
+
+
 # ---------------------------------------------------- sequence packing ----
 @register(
     "doc_pack_sequences",

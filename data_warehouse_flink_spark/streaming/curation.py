@@ -3,13 +3,18 @@ job — documents arrive as a stream, pass the quality gate, are exactly
 deduplicated against *all previously seen content* (stateful
 dropDuplicates on the content hash), and land in a partitioned mart.
 
-This is the streaming twin of `plans.llm_ops.corpus_curation`'s first two
-stages. Near-dup (MinHash) stays batch-side by design: LSH banding needs
-corpus-global signatures, so the standard architecture is continuous
-exact-dedup ingest + periodic batch near-dup sweeps over the landed mart.
+This is the streaming twin of `plans.llm_ops.corpus_curation`. Exact
+dedup is a stateful dropDuplicates; near-dup ingest (``near_dedup_stream``)
+keeps the admitted corpus's LSH band buckets in a partitioned parquet
+state table — MinHash signatures are per-document, so only the *bucket
+ledger* needs to be global, and that ledger is exactly the foreachBatch
+state-table idiom `streaming/jobs.py::streaming_topn_foreachbatch`
+established.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,3 +37,103 @@ def curate_stream(
     )
     hashed = gated.withColumn("text_hash", F.md5(F.lower(F.col("text"))))
     return hashed.dropDuplicates(["text_hash"])
+
+
+def near_dedup_stream(
+    documents: DataFrame,
+    state_path: str,
+    out_path: str,
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> "object":
+    """Continuous near-dup ingest: first-seen docs are admitted, later
+    near-dups are dropped — the streaming form of MinHash/LSH dedup.
+
+    Architecture (the ``streaming_topn_foreachbatch`` state-table idiom):
+    the *bucket ledger* — every (band, bucket) key of every admitted doc —
+    lives in a parquet table partitioned by band. Each micro-batch:
+
+    1. computes MinHash signatures and LSH band keys for ITS docs only
+       (signatures are per-document — no corpus-global pass needed);
+    2. drops docs sharing any (band, bucket) with the ledger (near-dup of
+       an already-admitted doc; semi-join keyed on (band, bucket));
+    3. within the batch, keeps only bucket-minimal docs: a doc is dropped
+       if any of its buckets contains a smaller-doc_id batch doc. This is
+       the keep-one-per-LSH-bucket contract — conservative on hash-chain
+       collisions, deterministic (arrival order inside a micro-batch is
+       undefined, so doc_id is the tie-break);
+    4. appends the admitted docs' band keys to the ledger and the admitted
+       doc ids to ``out_path``.
+
+    Docs shorter than ``ngram`` tokens produce no shingles → no signature
+    → no buckets; they are always admitted (nothing to collide on), same
+    as the batch pipeline's `word_ngrams` guard.
+
+    Scale: ledger rows = bands × admitted docs, partitioned by band; the
+    per-batch joins key on (band, bucket) — collision-probability-sized
+    buckets, never corpus-sized. State growth is admitted-docs-linear, the
+    same asymptote as the exact-dedup hash ledger. At 100 TB the ledger is
+    one more partitioned dataset; nothing pre-join reaches the driver.
+    """
+    from data_warehouse_flink_spark.functions.dedup import (
+        band_keys,
+        minhash_signatures,
+        word_ngrams,
+    )
+
+    rows_per_band = num_hashes // bands
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        grams = word_ngrams(batch, ngram).localCheckpoint(eager=True)
+        sigs = minhash_signatures(grams, num_hashes)
+        keys = band_keys(sigs, bands, rows_per_band).localCheckpoint(
+            eager=True
+        )
+        has_state = os.path.isdir(state_path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(state_path)
+        )
+        if has_state:
+            ledger = spark.read.parquet(state_path)
+            dup_of_state = (
+                keys.join(ledger, on=["band", "bucket"], how="left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            clean = keys.join(dup_of_state, on="doc_id", how="left_anti")
+        else:
+            clean = keys
+        owners = clean.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("owner")
+        )
+        dup_in_batch = (
+            clean.join(owners, on=["band", "bucket"])
+            .filter(F.col("doc_id") > F.col("owner"))
+            .select("doc_id")
+            .distinct()
+        )
+        dropped = dup_in_batch if not has_state else dup_of_state.unionByName(
+            dup_in_batch
+        )
+        admitted = batch.join(
+            dropped, on="doc_id", how="left_anti"
+        ).localCheckpoint(eager=True)
+        admitted_keys = keys.join(dropped, on="doc_id", how="left_anti")
+        (
+            admitted_keys.repartition("band")
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(state_path)
+        )
+        admitted.select("doc_id").write.mode("append").parquet(out_path)
+
+    return (
+        documents.writeStream.outputMode("append")
+        .foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

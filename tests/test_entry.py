@@ -30,6 +30,7 @@ def test_queries_and_oracles_aligned():
         "doc_rolling_fingerprint",
         "knn_ivf",
         "uv_sketch_mergeable",
+        "streaming_near_dedup",
     }
 
 

@@ -635,3 +635,100 @@ def test_kafka_read_path_constructs_and_plans(spark):
     else:
         assert df.isStreaming
         assert dict(df.dtypes)["value"] == "string"
+
+
+def test_streaming_near_dedup_matches_ledger_simulation(spark, tmp_path):
+    """near_dedup_stream's admitted set equals an independent driver-side
+    simulation of the ledger semantics, computed from batch band keys:
+    per batch, drop docs whose bucket is in the ledger, then keep only
+    bucket-minimal docs among the remainder; admit the rest."""
+    import os
+
+    from data_warehouse_flink_spark.functions.dedup import (
+        band_keys,
+        minhash_signatures,
+        word_ngrams,
+    )
+    from data_warehouse_flink_spark.streaming.curation import (
+        near_dedup_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river"
+    docs = [
+        # exact-dup group across batches: 4 (residue-0 batch replays first)
+        # is first-seen and admitted; 1 and 11 arrive later and drop
+        (1, base),
+        (4, base),
+        (11, base),
+        # exact-dup pair inside one batch (both ≡ 2 mod 4): min wins
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # uniques
+        (3, "completely different text about spark structured streaming state"),
+        (8, "another unrelated document mentioning parquet ledgers and bands"),
+        # shorter than the 3-gram shingle: no buckets, always admitted
+        (5, "tiny doc"),
+        (9, "ab"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    replay = str(tmp_path / "replay")
+    seen: set[str] = set()
+    for b in range(4):
+        df.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b).coalesce(
+            1
+        ).write.mode("append").parquet(replay)
+        for name in os.listdir(replay):
+            if name.endswith(".parquet") and name not in seen:
+                os.utime(
+                    os.path.join(replay, name), (1_000_000_000 + b,) * 2
+                )
+                seen.add(name)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(replay)
+    )
+    q = near_dedup_stream(
+        stream,
+        state_path=str(tmp_path / "ledger"),
+        out_path=str(tmp_path / "admitted"),
+    )
+    q.awaitTermination()
+    admitted = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "admitted")).collect()
+    }
+
+    # independent simulation from batch-computed band keys
+    keys = band_keys(
+        minhash_signatures(word_ngrams(df, 3), 64), 16, 4
+    ).collect()
+    buckets: dict[int, set[tuple[int, int]]] = {d: set() for d, _ in docs}
+    for r in keys:
+        buckets[r.doc_id].add((r.band, r.bucket))
+    ledger: set[tuple[int, int]] = set()
+    expected: set[int] = set()
+    for b in range(4):
+        batch = sorted(d for d, _ in docs if d % 4 == b)
+        clean = [d for d in batch if not (buckets[d] & ledger)]
+        survivors = [
+            d
+            for d in clean
+            if all(
+                d <= min(e for e in clean if k in buckets[e])
+                for k in buckets[d]
+            )
+        ]
+        expected.update(survivors)
+        for d in survivors:
+            ledger |= buckets[d]
+
+    assert admitted == expected
+    # the intended collisions actually happened (guards a degenerate pass)
+    assert 4 in admitted and 1 not in admitted and 11 not in admitted
+    assert 2 in admitted and 6 not in admitted
+    assert {3, 8, 5, 9} <= admitted
+    # ledger is band-partitioned on disk
+    assert os.path.isdir(str(tmp_path / "ledger" / "band=0"))
