@@ -148,9 +148,10 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ similarity ----
-@register(
-    "knn_bruteforce",
-    oracle="""
+# Shared by the batch gate and its streaming twin (`streaming_knn`):
+# per-query results are independent, so the streamed union must equal the
+# batch output value-exactly.
+_KNN_BRUTEFORCE_ORACLE = """
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
@@ -172,8 +173,10 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS BIGINT) AS rn
     FROM pairs
     QUALIFY rn <= 5
-    """,
-)
+    """
+
+
+@register("knn_bruteforce", oracle=_KNN_BRUTEFORCE_ORACLE)
 def knn_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors vec_id < 20."""
     embs = _embs(spark, sf_dir)
@@ -187,6 +190,42 @@ def knn_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     return knn_lsh(embs, queries, k=5, n_planes=8, dim=64)
+
+
+@register("streaming_knn", oracle=_KNN_BRUTEFORCE_ORACLE)
+def streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming retrieval: the kNN query set replayed in 4 micro-batches,
+    each ranked exactly against the (checkpointed) corpus — value-equal to
+    the batch `knn_bruteforce` gate, same oracle verbatim (per-query
+    independence makes the union batch-boundary-invariant)."""
+    import os
+    import tempfile
+
+    from data_warehouse_flink_spark.streaming.retrieval import knn_stream
+
+    work = tempfile.mkdtemp(prefix="knn_stream_")
+    replay = os.path.join(work, "replay")
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    # 4 files → 4 micro-batches (order is irrelevant here: results are
+    # per-query and the union is batch-boundary-invariant)
+    for b in range(4):
+        (
+            queries.filter(F.pmod(F.col("vec_id"), F.lit(4)) == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(replay)
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(replay)
+    )
+    out = os.path.join(work, "ranked")
+    q = knn_stream(embs.localCheckpoint(eager=True), stream, out, k=5)
+    q.awaitTermination()
+    return spark.read.parquet(out)
 
 
 # ------------------------------------------------------------ text ops ----

@@ -732,3 +732,15 @@ def test_streaming_near_dedup_matches_ledger_simulation(spark, tmp_path):
     assert {3, 8, 5, 9} <= admitted
     # ledger is band-partitioned on disk
     assert os.path.isdir(str(tmp_path / "ledger" / "band=0"))
+
+
+def test_streaming_knn_equals_batch(spark):
+    """Batch/stream duality for retrieval: the 4-micro-batch streamed kNN
+    union is value-identical to the batch operator (per-query independence
+    ⇒ batch-boundary invariance)."""
+    from data_warehouse_flink_spark.registry import all_queries
+
+    qs = all_queries()
+    batch = sorted(map(tuple, qs["knn_bruteforce"].spark_fn(spark, SF_SMOKE).collect()))
+    stream = sorted(map(tuple, qs["streaming_knn"].spark_fn(spark, SF_SMOKE).collect()))
+    assert batch == stream
