@@ -230,3 +230,68 @@ def test_pii_redact_scans_1m_docs(spark, big_docs):
     out = pii_redact(aug)
     got = out.agg(F.sum("n_email").alias("s")).collect()[0]["s"]
     assert got == big_docs.count()
+
+
+def test_near_dedup_stream_at_200k_docs(spark, tmp_path):
+    """The streaming near-dup ledger at volume: 200k docs with 20k planted
+    exact-dup pairs replayed as 4 micro-batches. Exactly one doc of each
+    planted pair may survive (same text ⇒ same signature ⇒ same buckets);
+    random cross-doc LSH collisions may drop a few more, never add."""
+    import os
+    import time
+
+    from data_warehouse_flink_spark.streaming.curation import (
+        near_dedup_stream,
+    )
+
+    n_docs = 200_000
+    vocab = F.array(*[F.lit(f"w{i}") for i in range(30)])
+    # doc_id % 10 == 9 copies the text of doc_id - 9 (its decade's first)
+    seed = F.when(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 9, F.col("doc_id") - 9
+    ).otherwise(F.col("doc_id"))
+    tok = lambda salt: F.element_at(  # noqa: E731
+        vocab,
+        (F.pmod(F.xxhash64(seed, F.lit(salt)), F.lit(30)) + 1).cast("int"),
+    )
+    docs = (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("text", F.concat_ws(" ", *[tok(s) for s in range(40)]))
+    )
+
+    replay = str(tmp_path / "replay")
+    seen: set[str] = set()
+    for b in range(4):
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b).coalesce(
+            4
+        ).write.mode("append").parquet(replay)
+        for name in os.listdir(replay):
+            if name.endswith(".parquet") and name not in seen:
+                os.utime(
+                    os.path.join(replay, name), (1_000_000_000 + b,) * 2
+                )
+                seen.add(name)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "4")
+        .format("parquet")
+        .load(replay)
+    )
+    t0 = time.perf_counter()
+    q = near_dedup_stream(
+        stream,
+        state_path=str(tmp_path / "ledger"),
+        out_path=str(tmp_path / "admitted"),
+    )
+    q.awaitTermination()
+    elapsed = time.perf_counter() - t0
+    admitted = spark.read.parquet(str(tmp_path / "admitted")).count()
+    # 20k planted pairs each lose exactly one side; random LSH collisions
+    # (64 hashes / 16 bands over 30-word-vocab texts) may drop a few more
+    assert admitted <= n_docs - 20_000
+    assert admitted >= 150_000
+    print(
+        f"200k docs / 4 batches in {elapsed:.1f}s "
+        f"({int(n_docs / elapsed)} docs/s), admitted {admitted}"
+    )
