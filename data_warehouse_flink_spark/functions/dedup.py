@@ -156,22 +156,33 @@ def _affine_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    grams: DataFrame, num_hashes: int = 64, id_col: str = "doc_id"
+    grams: DataFrame,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of h_i(gram).
 
-    The shingle string is hashed ONCE (xxhash64); the k hash functions are
+    The shingle string is hashed ONCE; the k hash functions are
     the universal family h_i(g) = (a_i·g + b_i) mod p with p = 2^31-1 —
     the modulus is what makes each h_i an (approximate) independent
     permutation; a mod-free affine map is monotone in g and would collapse
     every component to the same argmin shingle, degenerating LSH banding
     to a single draw. One string hash + k multiply-add-mods per shingle,
     whole-stage codegen; the aggregation is a plain k-column min.
+
+    gram_hash picks the shingle→integer map: "xxhash64" (production fast
+    path, 31-bit mask) or "md5" (28-bit hex prefix via conv — slower, but
+    reproducible in any engine with md5(), which is what lets the
+    `doc_minhash_lsh` gate carry a value-exact DuckDB oracle).
     """
-    base = grams.select(
-        id_col,
-        F.xxhash64("gram").bitwiseAND(F.lit((1 << 31) - 1)).alias("g"),
-    )
+    if gram_hash == "xxhash64":
+        g = F.xxhash64("gram").bitwiseAND(F.lit((1 << 31) - 1))
+    elif gram_hash == "md5":
+        g = F.expr("CAST(conv(substr(md5(gram), 1, 7), 16, 10) AS BIGINT)")
+    else:
+        raise ValueError(f"unknown gram_hash {gram_hash!r}")
+    base = grams.select(id_col, g.alias("g"))
     prime = 2_147_483_647
     mins = [
         F.min(F.pmod(F.col("g") * F.lit(a) + F.lit(b), F.lit(prime))).alias(
@@ -279,6 +290,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     text_col: str = "text",
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-dup pairs with exact Jaccard.
 
@@ -296,7 +308,7 @@ def minhash_lsh_dedup(
     rescan is the dominant cost, not the local materialization.
     """
     grams = word_ngrams(df, ngram, text_col).localCheckpoint(eager=True)
-    sigs = minhash_signatures(grams, num_hashes)
+    sigs = minhash_signatures(grams, num_hashes, gram_hash=gram_hash)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return verify_jaccard_on_candidates(cands, grams, threshold)
 

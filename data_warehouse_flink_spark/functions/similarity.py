@@ -118,6 +118,12 @@ def bucketed_dedup_cosine(
     )
 
 
+def hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 42) -> "np.ndarray":
+    """The seeded hyperplane matrix — shared by the Spark bucket expression
+    and the generated DuckDB oracle so both embed the same literals."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
 def random_hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -130,8 +136,7 @@ def random_hyperplane_buckets(
     Planes are generated driver-side from a seeded RNG and embedded as
     literals — deterministic across runs and executors.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = hyperplanes(n_planes, dim, seed)
     vecd = _as_double(vec_col)
     bucket = None
     tmp = embeddings.withColumn("vecd", vecd)
@@ -140,7 +145,11 @@ def random_hyperplane_buckets(
             f"aggregate(zip_with(vecd, array({','.join(str(float(v)) for v in planes[j])}), "
             f"(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        bit = F.when(dot_j > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        # round before the sign test so the bucket id is identical across
+        # engines whose float summation order differs (same discipline as
+        # the pre-rank cosine rounding; a raw `dot > 0` could flip on
+        # |dot| ≲ 1e-13 association noise)
+        bit = F.when(F.round(dot_j, 6) > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else (bucket + bit)
     return tmp.withColumn("bucket", bucket.cast("long"))
 

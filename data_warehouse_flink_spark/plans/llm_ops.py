@@ -99,14 +99,90 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(grams, threshold=0.3, df_cap=10_000)
 
 
-@register("doc_minhash_lsh")
+def _minhash_lsh_oracle(
+    threshold: float = 0.3, num_hashes: int = 64, bands: int = 16
+) -> str:
+    """Generated oracle for the full MinHash→LSH→verify pipeline.
+
+    The affine constants come from the same `_affine_constants(seed=42)` the
+    Spark side uses; the shingle integer is the md5 28-bit hex prefix
+    (engine-portable, cf. `minhash_signatures(gram_hash="md5")`), so every
+    signature value — and therefore every band bucket and candidate pair —
+    is identical across engines. Buckets here are the raw signature-slice
+    strings where Spark hashes them (xxhash64): only the equality structure
+    matters for candidate generation, and it is the same modulo 64-bit hash
+    collisions (~n²/2⁶⁴, and a colliding pair must still pass the exact
+    Jaccard threshold to reach the output).
+    """
+    from data_warehouse_flink_spark.functions.dedup import _affine_constants
+
+    consts = _affine_constants(num_hashes)
+    p = 2_147_483_647
+    rows_per_band = num_hashes // bands
+    sig_cols = ",\n             ".join(
+        f"MIN(({a} * g + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_arms = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {hs}) AS bucket FROM sig".format(
+            b=b,
+            hs=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+    ), g AS (
+      SELECT doc_id, gram,
+             ('0x' || substr(md5(gram), 1, 7))::BIGINT AS g
+      FROM grams
+    ), sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM g GROUP BY doc_id
+    ), bands AS (
+      {band_arms}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS c
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b AND ga.gram = gb.gram
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}
+    """
+
+
+@register("doc_minhash_lsh", oracle=_minhash_lsh_oracle())
 def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (scale path).
 
-    Probabilistic recall → rows-only check; precision is exact because
-    candidates are re-verified with the true Jaccard.
+    Oracle-checked end-to-end (signatures, banding, candidates, verify):
+    the gate uses the md5 gram hash so the DuckDB oracle reproduces the
+    exact signature values (see `_minhash_lsh_oracle`); production ingest
+    keeps the cheaper xxhash64 path (`gram_hash` default).
     """
-    return minhash_lsh_dedup(_docs(spark, sf_dir), ngram=3, threshold=0.3)
+    return minhash_lsh_dedup(
+        _docs(spark, sf_dir), ngram=3, threshold=0.3, gram_hash="md5"
+    )
 
 
 @register("doc_simhash")
@@ -184,9 +260,57 @@ def knn_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(embs, queries, k=5)
 
 
-@register("knn_lsh")
+def _knn_lsh_oracle(n_planes: int = 8, dim: int = 64) -> str:
+    """Generated oracle: the seeded hyperplanes are embedded as literals in
+    BOTH engines (`similarity.hyperplanes` is the single source), and the
+    sign test rounds the dot to 6 decimals first, so bucket ids — and hence
+    the candidate sets — are engine-exact."""
+    from data_warehouse_flink_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, dim)
+    plane_cols = ",\n             ".join(
+        "[" + ", ".join(str(float(v)) for v in planes[j]) + f"] AS p{j}"
+        for j in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN ROUND(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> vecd[i] * p{j}[i])), 6) > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH planes AS (
+      SELECT {plane_cols}
+    ), v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, vecd,
+             sqrt(list_sum(list_transform(vecd, x -> x * x))) AS norm,
+             {bucket} AS bucket
+      FROM v CROSS JOIN planes
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, {dim + 1}),
+                     i -> q.vecd[i] * c.vecd[i])) / (q.norm * c.norm), 6)
+               AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket
+       AND q.vec_id < 20 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+             AS BIGINT) AS rn
+    FROM pairs
+    QUALIFY rn <= 5
+    """
+
+
+@register("knn_lsh", oracle=_knn_lsh_oracle())
 def knn_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via random-hyperplane LSH buckets."""
+    """Approximate top-5 neighbors via random-hyperplane LSH buckets.
+    Oracle-checked: the seeded planes are literal-embedded in both engines
+    (see `_knn_lsh_oracle`)."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     return knn_lsh(embs, queries, k=5, n_planes=8, dim=64)
@@ -440,12 +564,34 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_rolling_fingerprint")
+@register(
+    "doc_rolling_fingerprint",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             md5(substr(text, CAST(i AS INT), 8)) AS h
+      FROM pos
+    )
+    SELECT doc_id, h,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY h) AS BIGINT) AS rk
+    FROM grams
+    QUALIFY rk <= 8
+    """,
+)
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document sketch: bottom-8 of xxhash64 over the char
-    8-gram stream (winnowing-style). Two docs sharing sketch values share
-    raw substrings — the fingerprint family used for contamination checks.
-    Rows-only: engines disagree on the 64-bit hash function itself.
+    """Rolling-hash document sketch: bottom-8 hashes of the char 8-gram
+    stream (winnowing-style). Two docs sharing sketch values share raw
+    substrings — the fingerprint family used for contamination checks.
+
+    The gram hash is md5, whose hex-string ordering is identical in every
+    engine — that's what makes this oracle-checkable. At production scale
+    swap in xxhash64 (cheaper, same bottom-k contract) at the cost of
+    cross-engine portability of the sketch values themselves.
     """
     docs = _docs(spark, sf_dir)
     grams = docs.select(
@@ -453,7 +599,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 "transform(sequence(1, greatest(length(text) - 7, 1)), "
-                "i -> xxhash64(substr(text, i, 8)))"
+                "i -> md5(substr(text, i, 8)))"
             )
         ).alias("h"),
     ).distinct()

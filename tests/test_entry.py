@@ -22,12 +22,9 @@ def test_queries_and_oracles_aligned():
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "uv_approx",
-        "doc_minhash_lsh",
         "doc_simhash",
-        "knn_lsh",
         "multimodal_features",
         "event_value_percentiles_approx",
-        "doc_rolling_fingerprint",
         "knn_ivf",
         "uv_sketch_mergeable",
         "streaming_near_dedup",
