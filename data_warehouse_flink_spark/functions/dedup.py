@@ -314,14 +314,29 @@ def minhash_lsh_dedup(
 
 
 def simhash_signatures(
-    df: DataFrame, bits: int = 32, text_col: str = "text"
+    df: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    tok_hash: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc SimHash: bit j is the sign of Σ_token (±1) where the sign is
-    bit j of xxhash64(token). JVM-only bit arithmetic, one aggregation."""
+    bit j of the token hash. JVM-only bit arithmetic, one aggregation.
+
+    tok_hash "xxhash64" is the production fast path; "md5" (48-bit hex
+    prefix via conv) is engine-portable and lets the `doc_simhash` gate
+    carry a value-exact DuckDB oracle (bits must be ≤ 48 on that path).
+    """
+    if tok_hash == "xxhash64":
+        h = F.xxhash64("tok")
+    elif tok_hash == "md5":
+        assert bits <= 48, "md5 path extracts a 48-bit prefix"
+        h = F.expr("CAST(conv(substr(md5(tok), 1, 12), 16, 10) AS BIGINT)")
+    else:
+        raise ValueError(f"unknown tok_hash {tok_hash!r}")
     toks = (
         df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .distinct()
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", h)
     )
     bit_sums = [
         F.sum(

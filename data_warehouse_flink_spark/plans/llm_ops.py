@@ -185,16 +185,63 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_simhash")
+def _simhash_oracle(bits: int = 48, max_hamming: int = 3) -> str:
+    """Generated oracle for SimHash: 48-bit md5 token hashes, per-bit ±1
+    sums, sign-assembled signatures, then the same pigeonhole
+    quarter-blocked join the Spark side uses (lossless for Hamming ≤ 3,
+    so brute-force and blocked results are identical — the blocked form
+    keeps the oracle n·|blocks|, not n²)."""
+    quarter = bits // 4
+    mask = (1 << quarter) - 1
+    bitsum_cols = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+      FROM toks
+    ), bitsums AS (
+      SELECT doc_id,
+             {bitsum_cols}
+      FROM hashed GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bitsums
+    ), blocks AS (
+      SELECT doc_id, simhash, b AS block,
+             (simhash >> (b * {quarter})) & {mask} AS key
+      FROM sig CROSS JOIN LATERAL (
+        SELECT unnest([0, 1, 2, 3]) AS b) q
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("doc_simhash", oracle=_simhash_oracle())
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 on 48-bit signatures).
 
     48 bits (not 32): this corpus's tiny vocabulary concentrates signatures,
     so the wider signature keeps collision blocking selective; 48 stays
-    clear of signed-64 overflow in the bit assembly.
+    clear of signed-64 overflow in the bit assembly. Oracle-checked: the
+    gate uses the md5 token hash (`_simhash_oracle` reproduces signatures,
+    quarter blocking, and the Hamming verify); production ingest keeps the
+    cheaper xxhash64 path.
     """
-    sigs = simhash_signatures(_docs(spark, sf_dir), bits=48)
-    return simhash_pairs(sigs, max_hamming=3, bits=48)
+    sigs = simhash_signatures(_docs(spark, sf_dir), bits=48, tok_hash="md5")
+    return simhash_pairs(sigs, max_hamming=3, bits=48).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
 
 
 @register(

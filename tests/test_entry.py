@@ -22,7 +22,6 @@ def test_queries_and_oracles_aligned():
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "uv_approx",
-        "doc_simhash",
         "multimodal_features",
         "event_value_percentiles_approx",
         "knn_ivf",
