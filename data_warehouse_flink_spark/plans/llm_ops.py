@@ -99,20 +99,17 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(grams, threshold=0.3, df_cap=10_000)
 
 
-def _minhash_lsh_oracle(
-    threshold: float = 0.3, num_hashes: int = 64, bands: int = 16
-) -> str:
-    """Generated oracle for the full MinHash→LSH→verify pipeline.
+def _minhash_bands_sql(num_hashes: int = 64, bands: int = 16) -> str:
+    """Shared CTE prefix (toks → grams → g → sig → bands) reproducing
+    `word_ngrams` + `minhash_signatures(gram_hash="md5")` + `band_keys`.
 
     The affine constants come from the same `_affine_constants(seed=42)` the
     Spark side uses; the shingle integer is the md5 28-bit hex prefix
-    (engine-portable, cf. `minhash_signatures(gram_hash="md5")`), so every
-    signature value — and therefore every band bucket and candidate pair —
-    is identical across engines. Buckets here are the raw signature-slice
-    strings where Spark hashes them (xxhash64): only the equality structure
-    matters for candidate generation, and it is the same modulo 64-bit hash
-    collisions (~n²/2⁶⁴, and a colliding pair must still pass the exact
-    Jaccard threshold to reach the output).
+    (engine-portable), so every signature value — and therefore every band
+    bucket — is identical across engines. Buckets here are the raw
+    signature-slice strings where Spark hashes them (xxhash64): only the
+    equality structure matters, and it is the same modulo 64-bit hash
+    collisions (~n²/2⁶⁴).
     """
     from data_warehouse_flink_spark.functions.dedup import _affine_constants
 
@@ -132,8 +129,7 @@ def _minhash_lsh_oracle(
         )
         for b in range(bands)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), grams AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
@@ -143,13 +139,24 @@ def _minhash_lsh_oracle(
       SELECT doc_id, gram,
              ('0x' || substr(md5(gram), 1, 7))::BIGINT AS g
       FROM grams
-    ), sig AS (
+    ), sig AS MATERIALIZED (
       SELECT doc_id,
              {sig_cols}
       FROM g GROUP BY doc_id
-    ), bands AS (
+    ), bands AS MATERIALIZED (
       {band_arms}
-    ), cand AS (
+    )"""
+
+
+def _minhash_lsh_oracle(
+    threshold: float = 0.3, num_hashes: int = 64, bands: int = 16
+) -> str:
+    """Generated oracle for the full MinHash→LSH→verify pipeline (see
+    `_minhash_bands_sql` for the cross-engine exactness argument; a
+    colliding candidate pair must still pass the exact Jaccard threshold
+    to reach the output)."""
+    return f"""
+    WITH {_minhash_bands_sql(num_hashes, bands)}, cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -935,18 +942,82 @@ def streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ streaming near-dedup ----
-@register(
-    "streaming_near_dedup",
-    oracle=None,  # MinHash/LSH buckets (xxhash64 family) are not
-    # SQL-expressible in DuckDB; tests/test_streaming.py checks the
-    # admitted set against an independent simulation of the same ledger
-    # semantics and against the batch LSH candidate graph.
-)
+def _near_dedup_oracle(n_batches: int = 4) -> str:
+    """Generated oracle for the streaming first-seen ledger: the replay has
+    a FIXED batch structure (batch b = doc_id % n_batches, replayed in
+    order), so the stateful loop unrolls into a CTE chain — per batch:
+    docs bucket-colliding with the ledger drop, bucket-minimal survivors
+    among the remainder are admitted, and their keys accumulate into the
+    next ledger. Docs with no shingles (< n tokens) never enter `bands`
+    and are admitted unconditionally, same as the stream."""
+    stages = []
+    prev_ledger = None
+    drop_names = []
+    for b in range(n_batches):
+        bn, cn, dn, ln = f"b{b}", f"clean{b}", f"drop{b}", f"led{b}"
+        stages.append(
+            f"""{bn} AS MATERIALIZED (
+      SELECT doc_id, band, bucket FROM bands WHERE doc_id % {n_batches} = {b}
+    )"""
+        )
+        if prev_ledger is None:
+            stages.append(f"{cn} AS MATERIALIZED (SELECT * FROM {bn})")
+        else:
+            stages.append(
+                f"""dupstate{b} AS MATERIALIZED (
+      SELECT DISTINCT k.doc_id FROM {bn} k
+      JOIN {prev_ledger} l ON k.band = l.band AND k.bucket = l.bucket
+    ), {cn} AS MATERIALIZED (
+      SELECT * FROM {bn}
+      WHERE doc_id NOT IN (SELECT doc_id FROM dupstate{b})
+    )"""
+            )
+            drop_names.append(f"dupstate{b}")
+        stages.append(
+            f"""{dn} AS MATERIALIZED (
+      SELECT DISTINCT k.doc_id FROM {cn} k
+      JOIN (SELECT band, bucket, MIN(doc_id) AS owner
+            FROM {cn} GROUP BY 1, 2) o
+        ON k.band = o.band AND k.bucket = o.bucket AND k.doc_id > o.owner
+    )"""
+        )
+        drop_names.append(dn)
+        admitted_keys = (
+            f"SELECT band, bucket FROM {cn} "
+            f"WHERE doc_id NOT IN (SELECT doc_id FROM {dn})"
+        )
+        if prev_ledger is None:
+            stages.append(f"{ln} AS MATERIALIZED ({admitted_keys})")
+        else:
+            stages.append(
+                f"{ln} AS MATERIALIZED (SELECT band, bucket FROM {prev_ledger} "
+                f"UNION {admitted_keys})"
+            )
+        prev_ledger = ln
+    dropped = "\n      UNION ALL ".join(
+        f"SELECT doc_id FROM {d}" for d in drop_names
+    )
+    chain = ",\n    ".join(stages)
+    return f"""
+    WITH {_minhash_bands_sql()},
+    {chain},
+    dropped AS (
+      {dropped}
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@register("streaming_near_dedup", oracle=_near_dedup_oracle())
 def streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous MinHash/LSH near-dup ingest over a 4-micro-batch replay:
     first-seen docs are admitted, later bucket-colliding docs dropped.
     The admitted-bucket ledger is a band-partitioned parquet state table
-    (see streaming/curation.py::near_dedup_stream)."""
+    (see streaming/curation.py::near_dedup_stream). Oracle-checked: the
+    gate uses the md5 gram hash and the fixed replay structure lets
+    `_near_dedup_oracle` unroll the stateful loop into a CTE chain —
+    a value-exact SQL oracle for a stateful streaming operator."""
     import os
     import tempfile
 
@@ -983,6 +1054,7 @@ def streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream,
         state_path=os.path.join(work, "ledger"),
         out_path=os.path.join(work, "admitted"),
+        gram_hash="md5",
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(work, "admitted"))

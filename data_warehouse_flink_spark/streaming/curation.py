@@ -46,6 +46,7 @@ def near_dedup_stream(
     ngram: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    gram_hash: str = "xxhash64",
 ) -> "object":
     """Continuous near-dup ingest: first-seen docs are admitted, later
     near-dups are dropped — the streaming form of MinHash/LSH dedup.
@@ -90,7 +91,7 @@ def near_dedup_stream(
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)
         grams = word_ngrams(batch, ngram).localCheckpoint(eager=True)
-        sigs = minhash_signatures(grams, num_hashes)
+        sigs = minhash_signatures(grams, num_hashes, gram_hash=gram_hash)
         keys = band_keys(sigs, bands, rows_per_band).localCheckpoint(
             eager=True
         )

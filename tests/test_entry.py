@@ -26,7 +26,6 @@ def test_queries_and_oracles_aligned():
         "event_value_percentiles_approx",
         "knn_ivf",
         "uv_sketch_mergeable",
-        "streaming_near_dedup",
     }
 
 
