@@ -148,3 +148,34 @@ def test_corpus_mixture_weights_broadcasts_total(spark):
     # with map-side partial aggregation (two HashAggregate levels)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def _parquet_scan_count(plan: str) -> int:
+    return sum(
+        l.strip().startswith("(") and ") Scan parquet" in l
+        for l in plan.splitlines()
+    )
+
+
+def test_tpch_q18_single_fact_scan(spark):
+    """The HAVING sum and the output sum come from ONE per-order aggregate:
+    lineitem, orders, customer are each scanned exactly once (the old form
+    re-joined and re-aggregated lineitem)."""
+    plan = formatted_plan(spark, "tpch_q18")
+    assert _parquet_scan_count(plan) == 3, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_user_value_outliers_single_scan(spark):
+    """Both exact percentile passes chain as window aggregates over one
+    user-keyed exchange: one events scan, no join."""
+    plan = formatted_plan(spark, "user_value_outliers")
+    assert _parquet_scan_count(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_conversion_funnel_single_scan(spark):
+    """The funnel's per-stage firsts are chained window mins over one user
+    exchange — one events scan."""
+    plan = formatted_plan(spark, "conversion_funnel")
+    assert _parquet_scan_count(plan) == 1, plan
