@@ -200,11 +200,14 @@ def kmeans_ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantizer: seeded KMeans over the embeddings; returns each
-    vector with its `cell` assignment (plus vecd/norm for reranking).
+    """IVF coarse-quantizer TRAINING path: seeded KMeans over the embeddings;
+    returns each vector with its `cell` assignment (plus vecd/norm).
 
-    Uses pyspark.ml KMeans (distributed Lloyd's); the trained centroids are
-    the inverted-file index. Deterministic under a fixed seed + data.
+    Uses pyspark.ml KMeans (distributed Lloyd's). This is the offline trainer
+    — `tools/train_ivf_centroids.py` runs it once and freezes the centroids
+    as literals (`functions/ivf_centroids.py`); the serving path
+    (`frozen_ivf_assign`/`knn_ivf`) assigns against those frozen centroids,
+    exactly as a production IVF index trains on a sample and assigns at scale.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -218,22 +221,54 @@ def kmeans_ivf_assign(
     )
 
 
+def frozen_ivf_assign(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF serving path: assign each vector to its nearest FROZEN centroid
+    (`functions/ivf_centroids.py`, trained offline — see
+    `tools/train_ivf_centroids.py`).
+
+    cell = argmin_j ||v - c_j||², with the squared distance ROUNDED to 6
+    decimals before the argmin and first-index tie-break, so the assignment
+    is bit-identical across engines (same discipline as the hyperplane sign
+    test). Pure JVM expressions over literals — zero shuffle, scan-linear,
+    and the centroid table is a code literal so nothing is broadcast.
+    """
+    from data_warehouse_flink_spark.functions.ivf_centroids import CENTROIDS
+
+    tmp = with_norm(embeddings, vec_col)
+    dists = ", ".join(
+        f"round(aggregate(zip_with(vecd, "
+        f"array({','.join(repr(v) for v in c)}), "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + v), 6)"
+        for c in CENTROIDS
+    )
+    cell = F.expr(
+        f"CAST(array_position(array({dists}), "
+        f"array_min(array({dists}))) - 1 AS INT)"
+    )
+    return tmp.select(id_col, "vecd", "norm", cell.alias("cell"))
+
+
 def knn_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact cosine rerank within the query's IVF cell
-    (nprobe=1). The candidate join keys on the cell id, so pairing cost is
-    Σ_cell |cell|·|queries in cell| instead of n·q."""
+    (nprobe=1), cells from the frozen coarse quantizer. The candidate join
+    keys on the cell id, so pairing cost is Σ_cell |cell|·|queries in cell|
+    instead of n·q."""
     # materialize the assignment once — this IS the inverted-file index;
-    # without it both the corpus side and the query side re-run
-    # KMeans.transform over a fresh scan of the embeddings
-    assigned = kmeans_ivf_assign(
-        embeddings, n_cells, id_col=id_col, vec_col=vec_col
+    # without it both the corpus side and the query side re-run the
+    # 16-centroid argmin over a fresh scan of the embeddings
+    assigned = frozen_ivf_assign(
+        embeddings, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
     corpus = assigned.select(
         F.col(id_col).alias("neighbor_id"), "cell",

@@ -377,6 +377,7 @@ def streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch `knn_bruteforce` gate, same oracle verbatim (per-query
     independence makes the union batch-boundary-invariant)."""
     import os
+    import shutil
     import tempfile
 
     from data_warehouse_flink_spark.streaming.retrieval import knn_stream
@@ -403,7 +404,10 @@ def streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(work, "ranked")
     q = knn_stream(embs.localCheckpoint(eager=True), stream, out, k=5)
     q.awaitTermination()
-    return spark.read.parquet(out)
+    # materialize, then drop the working dir (see streaming_near_dedup)
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return result
 
 
 # ------------------------------------------------------------ text ops ----
@@ -473,13 +477,61 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ multimodal ----
-@register("multimodal_features")
+def _crc32_table() -> list[int]:
+    """zlib's reflected CRC-32 lookup table (poly 0xEDB88320)."""
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+def _multimodal_oracle() -> str:
+    """Generated oracle for the deterministic fake featurizer: DuckDB lacks
+    crc32 and blob indexing, so the payload bytes are recovered from
+    hex(encode(text)) and zlib's CRC-32 is computed with list_reduce over the
+    literal 256-entry lookup table — value-exact against the Python
+    `zlib.crc32` / byte-histogram in `functions/multimodal.py`. The codec
+    stubs stay stubbed; this proves the plumbing output bit-for-bit."""
+    tab = "[" + ", ".join(str(v) for v in _crc32_table()) + "]::BIGINT[]"
+    return f"""
+    WITH t AS (
+      SELECT {tab} AS tab
+    ), hx AS (
+      SELECT doc_id, 'text/plain' AS media_type,
+             hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), by AS (
+      SELECT doc_id, media_type, n_bytes,
+             list_transform(range(0, n_bytes), i ->
+                 (strpos('0123456789ABCDEF', substr(h, 2 * i + 1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(h, 2 * i + 2, 1)) - 1)
+             ) AS bl
+      FROM hx
+    )
+    SELECT doc_id, media_type, n_bytes,
+           xor(list_reduce(list_prepend(4294967295::BIGINT, bl),
+               (acc, x) -> xor(acc >> 8, tab[(xor(acc, x) & 255) + 1])),
+               4294967295::BIGINT) AS checksum,
+           CASE WHEN n_bytes = 0 THEN 0.0
+                ELSE ROUND(CAST(len(list_filter(bl, x -> x % 8 = 0))
+                           AS DOUBLE) / n_bytes, 6)
+           END AS feat0
+    FROM by CROSS JOIN t
+    """
+
+
+@register("multimodal_features", oracle=_multimodal_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas.
 
     Exercises the full multimodal plumbing (binary column + typed metadata +
-    batch UDF); the checksum/histogram featurizer is the deterministic stand-in
-    for the absent codecs. Rows-only check (mapInPandas is not ANSI SQL).
+    batch UDF); the checksum/histogram featurizer is the deterministic
+    stand-in for the absent codecs, and is oracle-checked value-exact (see
+    `_multimodal_oracle` — CRC-32 re-derived in SQL).
     """
     media = documents_as_media(_docs(spark, sf_dir))
     feats = extract_features(media, n_feat=8)
@@ -667,19 +719,70 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ivf")
+def _knn_ivf_oracle(dim: int = 64) -> str:
+    """Generated oracle: the frozen IVF centroids (trained offline by
+    tools/train_ivf_centroids.py, committed as literals) are embedded in BOTH
+    engines; squared distances round to 6 decimals before the argmin with
+    first-index tie-break, so cell assignments — and hence candidate sets —
+    are engine-exact. Same graduation discipline as the LSH hyperplanes."""
+    from data_warehouse_flink_spark.functions.ivf_centroids import CENTROIDS
+
+    cent_cols = ",\n             ".join(
+        "[" + ", ".join(repr(v) for v in c) + f"] AS c{j}"
+        for j, c in enumerate(CENTROIDS)
+    )
+    dists = ", ".join(
+        f"ROUND(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (vecd[i] - c{j}[i]) * (vecd[i] - c{j}[i]))), 6)"
+        for j in range(len(CENTROIDS))
+    )
+    return f"""
+    WITH cents AS (
+      SELECT {cent_cols}
+    ), v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      FROM embeddings
+    ), a AS (
+      SELECT vec_id, vecd,
+             sqrt(list_sum(list_transform(vecd, x -> x * x))) AS norm,
+             [{dists}] AS dl
+      FROM v CROSS JOIN cents
+    ), b AS (
+      SELECT vec_id, vecd, norm,
+             list_position(dl, list_min(dl)) - 1 AS cell
+      FROM a
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, {dim + 1}),
+                     i -> q.vecd[i] * c.vecd[i])) / (q.norm * c.norm), 6)
+               AS cosine
+      FROM b q JOIN b c ON q.cell = c.cell
+       AND q.vec_id < 20 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+             AS BIGINT) AS rn
+    FROM pairs
+    QUALIFY rn <= 5
+    """
+
+
+@register("knn_ivf", oracle=_knn_ivf_oracle())
 def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via a KMeans IVF index (nprobe=1).
+    """Approximate top-5 neighbors via an IVF index (nprobe=1).
 
     The third ANN tier: brute force (exact) → LSH (hash buckets) → IVF
-    (learned coarse quantizer). Rows-only: cell assignment is
-    model-dependent.
+    (KMeans coarse quantizer, trained offline and frozen as literals).
+    Oracle-checked: both engines embed the same centroid table (see
+    `_knn_ivf_oracle`).
     """
     from data_warehouse_flink_spark.functions.similarity import knn_ivf
 
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
-    return knn_ivf(embs, queries, k=5, n_cells=16)
+    return knn_ivf(embs, queries, k=5)
 
 
 @register(
@@ -1019,6 +1122,7 @@ def streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_near_dedup_oracle` unroll the stateful loop into a CTE chain —
     a value-exact SQL oracle for a stateful streaming operator."""
     import os
+    import shutil
     import tempfile
 
     from data_warehouse_flink_spark.streaming.curation import (
@@ -1057,7 +1161,14 @@ def streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram_hash="md5",
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(work, "admitted"))
+    # materialize before removing the working dir (replay + ledger +
+    # admitted are corpus-scale; leaking one per invocation — the bench
+    # runs each query 3× — would fill /tmp)
+    result = spark.read.parquet(
+        os.path.join(work, "admitted")
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return result
 
 
 # ---------------------------------------------------- sequence packing ----
@@ -1475,6 +1586,9 @@ def doc_semantic_dedup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
+    # df_cap: hot-shingle guard, a no-op at the oracle tiers (df ≤ corpus
+    # size < 10k, so the uncapped oracle stays value-exact); at web scale it
+    # bounds the Σ df² self-join — same contract as doc_ngram_jaccard.
     cands = jaccard_pairs(word_ngrams(docs, n=3), threshold=0.3, df_cap=10_000)
     vecs = with_norm(_embs(spark, sf_dir)).select("vec_id", "vecd", "norm")
     a = vecs.select(

@@ -67,16 +67,20 @@ def load_all() -> None:
         importlib.import_module(mod)
 
 
-# The driver grades a fixed-size prefix of the registry (50 entries in both
-# r1 and r2, in ``queries()`` iteration order), so iteration order decides
-# which queries get oracle evidence each round. Priority for round 3:
-# (1) the 22 SURVEY §2 gate queries — all touched by the TIMESTAMP_NTZ fix,
-#     need re-grading to prove restoration;
-# (2) tpch_q12 — oracle hash fix needs driver confirmation;
-# (3) every query never graded in r1/r2 (llm_ops tail, the full analytics
-#     suite, one sql_frontend representative) — VERDICT r2 "Next round" #6.
-# Everything else (r2-hash-green TPC-H, r1-graded llm_ops, two deferred
-# sql_frontend demos) follows in registration order; rotate next round.
+# The driver grades a fixed-size prefix of the registry (50 entries in every
+# round so far, in ``queries()`` iteration order), so iteration order decides
+# which queries get oracle evidence each round. Priority for round 4
+# (VERDICT r3 "Next round" #1):
+# (1) the 22 SURVEY §2 gate queries — stay in every round's prefix;
+# (2) the 14 oracle-bearing queries never driver-graded in r1–r3 — the
+#     minhash/simhash/keep-best/semantic/streaming-dedup family plus the
+#     pivot/grouping-sets and sql_frontend demos;
+# (3) knn_ivf + multimodal_features — graduated to value-exact oracles this
+#     round (frozen IVF centroids / SQL CRC-32), first hash-grade;
+# (4) a 12-query TPC-H reconfirmation slice (heavy hitters, all r1/r2
+#     hash-green) filling the remaining slots.
+# Everything else already has driver-green evidence from r1–r3 and follows
+# in registration order.
 _GRADING_PRIORITY = (
     # -- §2 gates (reference_jobs registration order) --
     "page_view",
@@ -101,42 +105,42 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- hash-fix confirmation --
-    "tpch_q12",
-    # -- never graded in r1 or r2 --
+    # -- never driver-graded, oracle-bearing (r3 VERDICT list) --
+    "doc_minhash_lsh",
+    "doc_simhash",
+    "knn_lsh",
+    "streaming_knn",
+    "doc_rolling_fingerprint",
+    "streaming_near_dedup",
+    "doc_dedup_keep_best",
+    "doc_semantic_dedup_scores",
+    "streaming_user_sessions",
+    "events_pivot",
+    "events_grouping_sets",
+    "sql_priority_counts",
+    "sql_nation_customer_stats",
+    "sql_lineitem_by_quantity_band",
+    # -- graduated to value-exact oracles this round --
     "knn_ivf",
-    "doc_unigram_logprob",
-    "doc_prefix_edit_distance",
-    "doc_dup_clusters",
-    "doc_tfidf",
-    "doc_stratified_sample",
-    "streaming_distinct_pairs",
-    "doc_pack_sequences",
-    "embedding_label_centroids",
-    "events_rollup",
-    "events_cube",
-    "event_value_percentiles",
-    "viewers_never_purchased",
-    "user_running_value",
-    "windowed_value_sum",
-    "pattern_error_next_error",
-    "pattern_click_followed_by_purchase",
-    "user_value_outliers",
-    "conversion_funnel",
-    "hourly_counts_gapfilled",
-    "weekly_cohort_retention",
-    "error_rate_spikes",
-    "purchase_asof_click",
-    # -- round-3 additions (first oracle evidence) --
-    "doc_repetition_score",
-    "doc_pii_redact",
-    "doc_contamination",
-    "corpus_mixture_weights",
+    "multimodal_features",
+    # -- TPC-H reconfirmation slice --
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 )
-# Deferred past the graded-50 horizon this round (rotate back next):
-# events_pivot / events_grouping_sets (events_rollup+cube cover the family),
-# event_value_percentiles_approx (rows-only → weak evidence), the
-# sql_frontend demos, r2-hash-green TPC-H, r1-graded llm_ops.
+# Deferred past the graded-50 horizon this round (all have driver-green
+# evidence from r1–r3): the remaining TPC-H, the r1-graded llm_ops family,
+# the analytics suite (r3-green), and the genuinely-approximate rows-only
+# sketches (uv_sketch_mergeable, event_value_percentiles_approx).
 
 
 def all_queries() -> dict[str, Query]:

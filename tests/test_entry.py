@@ -19,12 +19,11 @@ def test_queries_and_oracles_aligned():
     assert qs, "no queries registered"
     assert set(oracles) <= set(qs)
     # every oracle-less query is a deliberate rows-only op
+    # every oracle-less query is genuinely approximate (HLL / GK sketches)
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "uv_approx",
-        "multimodal_features",
         "event_value_percentiles_approx",
-        "knn_ivf",
         "uv_sketch_mergeable",
     }
 
