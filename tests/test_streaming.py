@@ -637,6 +637,109 @@ def test_kafka_read_path_constructs_and_plans(spark):
         assert dict(df.dtypes)["value"] == "string"
 
 
+def test_session_window_exact_gap_boundary(spark):
+    """ADVICE r3: pin the merge convention at a gap of EXACTLY 6 h. Spark's
+    session_window MERGES an event arriving at prev_ts + gap (the window
+    [t, t+gap) extends through its endpoint on merge), and the lag/sum
+    oracle's `diff > gap → new session` condition encodes the same rule —
+    so the value-exact claim for user_sessions / streaming_user_sessions
+    holds on the boundary, not just on microsecond-random testdata."""
+    import duckdb
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 06:00:00"),        # exactly gap after → merge
+        (1, "2024-01-01 12:00:00.000001"),  # gap + 1µs after → new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    got = sorted(
+        (r.n_events, r.start_us, r.end_us)
+        for r in df.groupBy(F.session_window("ts", "6 hours"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "n_events",
+            F.unix_micros("session_window.start").alias("start_us"),
+            (F.unix_micros("session_window.end") - F.lit(21_600_000_000))
+            .alias("end_us"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(f"(1, TIMESTAMP '{t}')" for _, t in rows)
+        + ") AS t(user_id, ts)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 21600000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+          SELECT user_id, ts, SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sess
+          FROM flagged
+        )
+        SELECT count(*) AS n_events, min(epoch_us(ts)) AS start_us,
+               max(epoch_us(ts)) AS end_us
+        FROM sessions GROUP BY user_id, sess
+        """).fetchall()
+    )
+    assert got == want
+    assert [n for n, _, _ in got] == [1, 2]  # boundary merged, +1µs split
+
+
+def test_kafka_loader_record_shaping(spark, tmp_path):
+    """S4: tools/kafka_load.py shapes CSV lines into Kafka record values
+    exactly as the reference producer sends them
+    (DW-Flink/.../app/KafkaProducer.scala:26-31 — one line, one record,
+    line text = value)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from kafka_load import shape_kafka_lines
+
+    csv = tmp_path / "behaviors.csv"
+    rows = ["1,42,7,pv,1511658000", "2,43,7,buy,1511658001"]
+    csv.write_text("\n".join(rows) + "\n")
+    shaped = shape_kafka_lines(spark.read.text(str(csv)))
+    assert shaped.columns == ["value"]
+    assert dict(shaped.dtypes)["value"] == "string"
+    assert sorted(r.value for r in shaped.collect()) == rows
+
+
+def test_kafka_write_path_constructs_and_plans(spark, tmp_path):
+    """S4: the batch Kafka WRITE path runs up to connector resolution with
+    our exact options (the write-side twin of the S1 read-path test). On a
+    real cluster the same call publishes the topic."""
+    import sys
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    sys.path.insert(0, "/root/repo/tools")
+    from kafka_load import load_csv_to_kafka
+
+    csv = tmp_path / "one.csv"
+    csv.write_text("1,42,7,pv,1511658000\n")
+    try:
+        load_csv_to_kafka(spark, str(csv), "hotitems", "localhost:9092")
+    except AnalysisException as e:
+        msg = str(e)
+        assert (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source: kafka" in msg
+        ), e
+        pytest.skip("spark-sql-kafka connector not on classpath (expected in CI)")
+
+
 def test_streaming_near_dedup_matches_ledger_simulation(spark, tmp_path):
     """near_dedup_stream's admitted set equals an independent driver-side
     simulation of the ledger semantics, computed from batch band keys:
