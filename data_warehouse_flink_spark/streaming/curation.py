@@ -14,10 +14,25 @@ established.
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """True if `path` holds at least one data file, probed via the Hadoop
+    FileSystem API so the path may live on any supported filesystem (HDFS,
+    object stores, local) — a driver-side os.listdir would pin the ledger to
+    the local disk and break the scale story."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            return True
+    return False
 
 
 def curate_stream(
@@ -28,7 +43,9 @@ def curate_stream(
     """Quality gate + first-seen exact dedup on a document stream.
 
     dropDuplicates on the content hash keeps state per distinct hash — at
-    100 TB that state lives in RocksDB and is the exact-dedup ledger. No
+    100 TB that state belongs in the RocksDB state store backend (a config
+    choice, `spark.sql.streaming.stateStore.providerClass`; locally it's the
+    default HDFS-backed store) and is the exact-dedup ledger. No
     watermark bound is applied to the dedup state on purpose: content
     dedup must be global, not time-scoped.
     """
@@ -95,9 +112,7 @@ def near_dedup_stream(
         keys = band_keys(sigs, bands, rows_per_band).localCheckpoint(
             eager=True
         )
-        has_state = os.path.isdir(state_path) and any(
-            not e.startswith(("_", ".")) for e in os.listdir(state_path)
-        )
+        has_state = _table_exists(spark, state_path)
         if has_state:
             ledger = spark.read.parquet(state_path)
             dup_of_state = (
