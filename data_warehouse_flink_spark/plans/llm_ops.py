@@ -23,6 +23,7 @@ from data_warehouse_flink_spark.functions.dedup import (
 from data_warehouse_flink_spark.functions.multimodal import (
     documents_as_media,
     extract_features,
+    frame_sample,
 )
 from data_warehouse_flink_spark.functions.similarity import (
     bucketed_dedup_cosine,
@@ -596,6 +597,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_type", "n_bytes", "checksum",
         F.round(F.element_at("feat", 1), 6).alias("feat0"),
     )
+
+
+def _multimodal_frames_oracle(frame_bytes: int = 64, stride: int = 4) -> str:
+    """Generated oracle for `frame_sample`'s byte-chunk stand-in: frame
+    indices come from range(0, max(len/frame_bytes, 1), stride); each
+    frame's bytes are sliced out of hex(encode(text)) and CRC-32'd with the
+    same literal-table list_reduce as `_multimodal_oracle`."""
+    tab = "[" + ", ".join(str(v) for v in _crc32_table()) + "]::BIGINT[]"
+    fb2 = frame_bytes * 2  # hex chars per frame
+    return f"""
+    WITH t AS (
+      SELECT {tab} AS tab
+    ), hx AS (
+      SELECT doc_id, 'text/plain' AS media_type,
+             hex(encode(text)) AS h,
+             octet_length(encode(text)) AS len
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, media_type, h,
+             unnest(range(0, greatest(len // {frame_bytes}, 1), {stride}))
+               AS frame_idx,
+             len
+      FROM hx
+    ), chunk AS (
+      SELECT doc_id, media_type, CAST(frame_idx AS INT) AS frame_idx,
+             substr(h, CAST(frame_idx * {fb2} + 1 AS BIGINT),
+                    CAST(least({fb2}, len * 2 - frame_idx * {fb2}) AS BIGINT))
+               AS ch
+      FROM fr
+    ), bytes AS (
+      SELECT doc_id, media_type, frame_idx,
+             CAST(len(ch) // 2 AS BIGINT) AS n_bytes,
+             list_transform(range(0, len(ch) // 2), i ->
+                 (strpos('0123456789ABCDEF', substr(ch, 2 * i + 1, 1)) - 1)
+                   * 16
+               + (strpos('0123456789ABCDEF', substr(ch, 2 * i + 2, 1)) - 1)
+             ) AS bl
+      FROM chunk
+    )
+    SELECT doc_id, media_type, frame_idx, n_bytes,
+           xor(list_reduce(list_prepend(4294967295::BIGINT, bl),
+               (acc, x) -> xor(acc >> 8, tab[(xor(acc, x) & 255) + 1])),
+               4294967295::BIGINT) AS checksum
+    FROM bytes CROSS JOIN t
+    """
+
+
+@register("multimodal_frames", oracle=_multimodal_frames_oracle())
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (the video-keyframe / audio-window
+    shape): every 4th 64-byte chunk becomes a typed frame row via Arrow
+    `mapInPandas` (`functions/multimodal.py::frame_sample`). Oracle-checked
+    value-exact — per-frame byte slicing and CRC-32 re-derived in SQL."""
+    media = documents_as_media(_docs(spark, sf_dir))
+    return frame_sample(media, frame_bytes=64, stride=4)
 
 
 # ------------------------------------------------------- corpus curation ----

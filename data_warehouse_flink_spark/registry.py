@@ -120,9 +120,10 @@ _GRADING_PRIORITY = (
     "sql_priority_counts",
     "sql_nation_customer_stats",
     "sql_lineitem_by_quantity_band",
-    # -- graduated to value-exact oracles this round --
+    # -- graduated / new value-exact oracles this round --
     "knn_ivf",
     "multimodal_features",
+    "multimodal_frames",
     # -- TPC-H reconfirmation slice --
     "tpch_q1",
     "tpch_q2",
@@ -135,7 +136,6 @@ _GRADING_PRIORITY = (
     "tpch_q18",
     "tpch_q20",
     "tpch_q21",
-    "tpch_q22",
 )
 # Deferred past the graded-50 horizon this round (all have driver-green
 # evidence from r1–r3): the remaining TPC-H, the r1-graded llm_ops family,
