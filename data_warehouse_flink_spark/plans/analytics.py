@@ -587,3 +587,93 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension maintenance (operators/scd2.py) as a graded query: four
+# daily tier snapshots derived from events, applied as successive update
+# batches — the warehouse MERGE-emulation lifecycle end to end.
+# --------------------------------------------------------------------------
+_SCD2_DAYS = ("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+_DAY_US = 86_400_000_000
+_SCD2_T0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+@register(
+    "user_tier_scd2",
+    oracle="""
+    WITH snaps AS (
+      SELECT user_id, day,
+             CASE WHEN s >= 100 THEN 'gold'
+                  WHEN s >= 10 THEN 'silver'
+                  ELSE 'bronze' END AS tier
+      FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS s
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-05'
+        GROUP BY 1, 2
+      )
+    ), seq AS (
+      SELECT user_id, day, tier,
+             lag(tier) OVER (PARTITION BY user_id ORDER BY day) AS prev_tier
+      FROM snaps
+    ), starts AS (
+      SELECT user_id, day, tier
+      FROM seq WHERE prev_tier IS NULL OR tier <> prev_tier
+    )
+    SELECT user_id, tier,
+           epoch_us(CAST(day AS TIMESTAMP)) AS valid_from_us,
+           lead(epoch_us(CAST(day AS TIMESTAMP))) OVER (
+             PARTITION BY user_id ORDER BY day) AS valid_to_us,
+           CAST(CASE WHEN lead(day) OVER (
+                  PARTITION BY user_id ORDER BY day) IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM starts
+    """,
+)
+def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of a per-user `tier` dimension over four daily batches.
+
+    Day-d snapshot: each active user's tier from that day's decimal-exact
+    value sum (gold ≥ 100 > silver ≥ 10 > bronze). `scd2_init` bootstraps
+    day 1; `scd2_apply` merges each later day (change detection via
+    attribute-hash anti-join; absent users keep their current version).
+    Oracle: the equivalent lag/lead version derivation — a new version
+    starts exactly when a user's snapshot tier differs from their previous
+    snapshot. History is localCheckpointed between batches so four chained
+    anti/semi-joins don't stack into one mega-plan (the nightly-merge
+    cadence a real dimension table runs).
+    """
+    from data_warehouse_flink_spark.operators.scd2 import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    ev = _events(spark, sf_dir)
+    hist: DataFrame | None = None
+    for i, day in enumerate(_SCD2_DAYS):
+        s = F.sum(F.col("value").cast("decimal(18,6)"))
+        snap = (
+            ev.filter(F.to_date("ts") == day)
+            .groupBy("user_id")
+            .agg(
+                F.when(s >= 100, "gold")
+                .when(s >= 10, "silver")
+                .otherwise("bronze")
+                .alias("tier")
+            )
+        )
+        ts_us = _SCD2_T0_US + i * _DAY_US
+        if hist is None:
+            hist = scd2_init(snap, "user_id", ["tier"], ts_us)
+        else:
+            hist = scd2_apply(hist, snap, "user_id", ["tier"], ts_us)
+        hist = hist.localCheckpoint(eager=True)
+    return hist.select(
+        "user_id",
+        "tier",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("is_current").cast("long").alias("is_current"),
+    )

@@ -124,6 +124,7 @@ _GRADING_PRIORITY = (
     "knn_ivf",
     "multimodal_features",
     "multimodal_frames",
+    "user_tier_scd2",
     # -- TPC-H reconfirmation slice --
     "tpch_q1",
     "tpch_q2",
@@ -134,7 +135,6 @@ _GRADING_PRIORITY = (
     "tpch_q13",
     "tpch_q17",
     "tpch_q18",
-    "tpch_q20",
     "tpch_q21",
 )
 # Deferred past the graded-50 horizon this round (all have driver-green
