@@ -398,3 +398,62 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-span removal (C4-style line dedup, spans).
+
+    C4/RefinedWeb-style pipelines drop every repeated line/three-sentence
+    span corpus-wide, keeping one occurrence. This corpus has no sentence
+    boundaries, so the unit is a fixed ``span_tokens``-token non-overlapping
+    window: each document is cut into consecutive spans, a span's FIRST
+    global occurrence (ordered by ``(doc_id, span_idx)``) is kept, every
+    later occurrence is dropped, and the surviving spans are re-joined in
+    document order.
+
+    Scale shape: one scan -> explode (corpus token count rows) -> one
+    hash-shuffle keyed on the span text for the first-occurrence window ->
+    one groupBy(doc) for reassembly. Linear in corpus size, no self-join;
+    the span key is content-hashed by the shuffle so hot spans cost their
+    multiplicity, not a cross-product.
+
+    Returns ``(doc_id, n_spans, n_spans_kept, dedup_text)``; documents that
+    lose every span keep a row with ``dedup_text = ''``.
+    """
+    from pyspark.sql.window import Window
+
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    spans = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(_toks) + {span_tokens} - 1)"
+                f" DIV {span_tokens} - 1),"
+                f" i -> array_join(slice(_toks, i * {span_tokens} + 1,"
+                f" {span_tokens}), ' '))"
+            )
+        ).alias("span_idx", "span"),
+    )
+    first = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    flagged = spans.withColumn("keep", F.row_number().over(first) == 1)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans_kept"),
+        F.coalesce(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "CASE WHEN keep THEN struct(span_idx, span) END)),"
+                " s -> s.span), ' ')"
+            ),
+            F.lit(""),
+        ).alias("dedup_text"),
+    )

@@ -171,3 +171,75 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.select(
         "doc_id", *(f"n_{kind}" for kind, _, _ in PII_PATTERNS), "redacted"
     )
+
+
+# Frozen linear quality model (fastText-style filter with literal weights).
+# Integer-ppm features x integer weights => the logit is exact BIGINT
+# arithmetic, bit-identical across engines — no sigmoid needed, because
+# thresholding the monotone logit is the same decision rule.
+QUALITY_WEIGHTS = {
+    "bias": -25_000_000,
+    "w_tokens": 400_000,  # longer documents score higher
+    "w_stop_ppm": 100,  # stopword presence marks natural language
+    "w_dup_ppm": -300,  # repeated trigrams mark boilerplate
+    "w_len_dev": -30_000,  # per centi-char deviation from typical token len
+    "len_center_centi": 450,
+}
+
+
+def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frozen-weight linear quality classifier over exact integer features.
+
+    The production shape of a model-based quality filter: train offline,
+    freeze the weights into the pipeline, score at corpus scale as a pure
+    projection. Features (all exact BIGINTs): token count, stopword ppm,
+    duplicate-trigram ppm, and average token length in centi-chars; the
+    decision is ``quality_score >= 0``. Zero shuffle, scan-linear,
+    whole-stage-codegen'd.
+    """
+    w = QUALITY_WEIGHTS
+    stopset = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toked = df.select(
+        "doc_id",
+        F.col(text_col).alias("_text"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    grams = (
+        "CASE WHEN size(_toks) >= 3 THEN "
+        "transform(sequence(0, size(_toks) - 3), "
+        "i -> concat_ws(' ', slice(_toks, i + 1, 3))) ELSE array() END"
+    )
+    feats = toked.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(filter(_toks, t -> t IN ({stopset}))) * 1000000"
+            " DIV size(_toks) AS BIGINT)"
+        ).alias("stop_ppm"),
+        F.expr(
+            "CAST((length(_text) - (size(_toks) - 1)) * 100"
+            " DIV size(_toks) AS BIGINT)"
+        ).alias("avg_len_centi"),
+        F.expr(
+            f"CAST(CASE WHEN size({grams}) > 0 THEN"
+            f" (size({grams}) - size(array_distinct({grams}))) * 1000000"
+            f" DIV size({grams}) ELSE 0 END AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+    score = (
+        F.lit(w["bias"])
+        + F.lit(w["w_tokens"]) * F.col("n_tokens")
+        + F.lit(w["w_stop_ppm"]) * F.col("stop_ppm")
+        + F.lit(w["w_dup_ppm"]) * F.col("dup_ppm")
+        + F.lit(w["w_len_dev"])
+        * F.abs(F.col("avg_len_centi") - F.lit(w["len_center_centi"]))
+    ).cast("long")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "stop_ppm",
+        "dup_ppm",
+        "avg_len_centi",
+        score.alias("quality_score"),
+        (score >= 0).alias("keep"),
+    )

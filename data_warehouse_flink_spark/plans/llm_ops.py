@@ -1715,3 +1715,86 @@ def doc_semantic_dedup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_rounded("va", "vb", "na", "nb").alias("cosine"),
         )
     )
+
+
+# ------------------------------------------- cross-doc span dedup (C4) ----
+@register(
+    "doc_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+      SELECT doc_id, i AS span_idx,
+             array_to_string(t[i*8+1 : i*8+8], ' ') AS span
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, (len(t) + 7) // 8 - 1)) AS i) s
+    ), flagged AS (
+      SELECT doc_id, span_idx, span,
+             row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, span_idx) = 1 AS keep
+      FROM spans
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_spans_kept,
+           coalesce(string_agg(CASE WHEN keep THEN span END, ' '
+                               ORDER BY span_idx), '') AS dedup_text
+    FROM flagged GROUP BY 1
+    """,
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document repeated-span removal: cut each document
+    into non-overlapping 8-token spans, keep only each span's first global
+    occurrence (ordered by doc_id, span position), re-join survivors in
+    document order. One explode + one span-keyed window shuffle + one
+    doc-keyed reassembly — linear, no self-join (see
+    functions/dedup.py::span_dedup for the scale notes)."""
+    from data_warehouse_flink_spark.functions.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir))
+
+
+# --------------------------------------- frozen-weight quality classifier ----
+@register(
+    "doc_quality_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             ((count(*) - count(DISTINCT gram)) * 1000000 // count(*))::BIGINT
+               AS dup_ppm
+      FROM (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+            FROM toks CROSS JOIN LATERAL (
+              SELECT unnest(generate_series(1, len(t) - 2)) AS i) s)
+      GROUP BY doc_id
+    ), feats AS (
+      SELECT toks.doc_id,
+             len(t)::BIGINT AS n_tokens,
+             (len(list_filter(t, x -> x IN
+                ('the','a','of','and','to','in','is','on','for','it')))
+              * 1000000 // len(t))::BIGINT AS stop_ppm,
+             coalesce(grams.dup_ppm, 0)::BIGINT AS dup_ppm,
+             ((length(text) - (len(t) - 1)) * 100 // len(t))::BIGINT
+               AS avg_len_centi
+      FROM toks LEFT JOIN grams ON toks.doc_id = grams.doc_id
+    )
+    SELECT doc_id, n_tokens, stop_ppm, dup_ppm, avg_len_centi,
+           (-25000000 + 400000 * n_tokens + 100 * stop_ppm
+            - 300 * dup_ppm
+            - 30000 * abs(avg_len_centi - 450))::BIGINT AS quality_score,
+           (-25000000 + 400000 * n_tokens + 100 * stop_ppm
+            - 300 * dup_ppm
+            - 30000 * abs(avg_len_centi - 450)) >= 0 AS keep
+    FROM feats
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weight linear quality filter (fastText-style, trained offline,
+    weights frozen as literals — functions/text.py::QUALITY_WEIGHTS).
+    Integer-exact features and logit; decision = logit >= 0. Zero-shuffle
+    scan-linear projection; at 100 TB this is the same single pass as any
+    other per-document featurizer."""
+    from data_warehouse_flink_spark.functions.text import linear_quality_score
+
+    return linear_quality_score(_docs(spark, sf_dir))

@@ -519,3 +519,47 @@ def test_uv_sketch_union_equals_direct_sketch(spark):
     assert out["ALL"] == direct
     assert abs(out["ALL"] - exact) / exact < 0.05
     assert len(out) > 1  # per-day rows present
+
+
+def test_span_dedup_first_occurrence_semantics(spark):
+    """A span repeated across (and within) documents survives only at its
+    first (doc_id, span_idx) occurrence; untouched docs round-trip; a doc
+    losing every span keeps a row with empty text."""
+    from data_warehouse_flink_spark.functions.dedup import span_dedup
+
+    rep = "w1 w2 w3 w4"  # one full span at span_tokens=4
+    docs = spark.createDataFrame(
+        [
+            (1, rep + " " + "a b c d"),  # first occurrence + unique span
+            (2, rep),  # duplicate-only doc -> empty
+            (3, "x y z q " + rep),  # later occurrence dropped, own span kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_dedup(docs, span_tokens=4).collect()
+    }
+    assert out[1].dedup_text == rep + " a b c d"
+    assert (out[1].n_spans, out[1].n_spans_kept) == (2, 2)
+    assert out[2].dedup_text == "" and out[2].n_spans_kept == 0
+    assert out[3].dedup_text == "x y z q"
+    assert (out[3].n_spans, out[3].n_spans_kept) == (2, 1)
+
+
+def test_quality_classifier_monotone_in_repetition(spark):
+    """The frozen-weight logit strictly penalizes duplicate trigrams:
+    a degenerate repeated-token doc scores below the same-length varied
+    doc, and the keep decision equals logit >= 0."""
+    from data_warehouse_flink_spark.functions.text import linear_quality_score
+
+    varied = " ".join(f"tok{i}" for i in range(60))
+    degenerate = " ".join(["spam"] * 60)
+    docs = spark.createDataFrame(
+        [(1, varied), (2, degenerate)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in linear_quality_score(docs).collect()}
+    assert rows[1].dup_ppm == 0 and rows[2].dup_ppm > 900_000
+    assert rows[2].quality_score < rows[1].quality_score
+    for r in rows.values():
+        assert r.keep == (r.quality_score >= 0)
