@@ -1798,3 +1798,89 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_flink_spark.functions.text import linear_quality_score
 
     return linear_quality_score(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------- count-min sketch ----
+@register(
+    "token_count_min_sketch",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), exact AS (
+      SELECT token, count(*)::BIGINT AS exact_count FROM tok GROUP BY 1
+    ), top AS (
+      SELECT token, exact_count FROM (
+        SELECT token, exact_count,
+               row_number() OVER (ORDER BY exact_count DESC, token) AS rn
+        FROM exact) WHERE rn <= 50
+    ), cells AS (
+      SELECT j AS row,
+             ('0x' || substr(md5(token || '#' || j), 1, 8))::BIGINT % 32
+               AS bucket,
+             count(*)::BIGINT AS cell_count
+      FROM tok CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, 3)) AS j) s
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT token, j AS row,
+             ('0x' || substr(md5(token || '#' || j), 1, 8))::BIGINT % 32
+               AS bucket
+      FROM top CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, 3)) AS j) s
+    )
+    SELECT top.token, top.exact_count,
+           min(cells.cell_count)::BIGINT AS cm_estimate,
+           (min(cells.cell_count) - top.exact_count)::BIGINT AS overestimate
+    FROM probes
+    JOIN cells USING (row, bucket)
+    JOIN top ON probes.token = top.token
+    GROUP BY 1, 2
+    """,
+)
+def token_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic count-min sketch (d=4 x w=32, md5-seeded hash rows)
+    over the corpus token stream, reported for the exact top-50 tokens:
+    exact count, CM point estimate (min over the 4 cells), and the
+    overestimate (always >= 0 — the CM guarantee; w=32 is deliberately
+    narrow so collisions and their one-sided error are visible). The cell
+    grid builds in one scan with map-side combine into 128 counters —
+    per-partition sketches merge by addition, the property that makes this
+    the fixed-memory frequency structure at 100 TB (functions/sketches.py).
+    The exact top-50 goes through the lossless per-partition top-N
+    reduction, so the global rank never sees more than 50 rows per task.
+    """
+    from data_warehouse_flink_spark.functions.sketches import (
+        cm_estimate_for,
+        cm_sketch_cells,
+    )
+    from data_warehouse_flink_spark.operators.topn import (
+        top_n_per_group_partial,
+    )
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cells = cm_sketch_cells(tok, width=32)
+    exact = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    top = (
+        top_n_per_group_partial(
+            exact.withColumn("_g", F.lit(0)),
+            partition_cols=["_g"],
+            order_col="exact_count",
+            n=50,
+            tiebreak_cols=["token"],
+        )
+        .filter(F.col("rn") <= 50)
+        .drop("_g", "rn")
+    )
+    est = cm_estimate_for(top.select("token"), cells, width=32)
+    return top.join(est, "token").select(
+        "token",
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overestimate"),
+    )

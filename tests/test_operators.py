@@ -563,3 +563,37 @@ def test_quality_classifier_monotone_in_repetition(spark):
     assert rows[2].quality_score < rows[1].quality_score
     for r in rows.values():
         assert r.keep == (r.quality_score >= 0)
+
+
+def test_cm_sketch_one_sided_error_and_mergeability(spark):
+    """Count-min guarantees estimate >= true count for EVERY token (not
+    just the reported top-N), and per-partition cell grids merge by
+    addition into exactly the whole-corpus grid."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_flink_spark.functions.sketches import (
+        cm_estimate_for,
+        cm_sketch_cells,
+    )
+
+    tok = spark.createDataFrame(
+        [(f"t{i % 37}",) for i in range(1500)], "token string"
+    )
+    cells = cm_sketch_cells(tok, width=16)
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
+    est = cm_estimate_for(exact.select("token"), cells, width=16)
+    joined = exact.join(est, "token").collect()
+    assert len(joined) == 37
+    assert all(r.cm_estimate >= r.exact_count for r in joined)
+
+    # mergeability: half-grids sum to the full grid cell-for-cell
+    h1 = cm_sketch_cells(tok.limit(700), width=16)
+    h2 = cm_sketch_cells(tok.exceptAll(tok.limit(700)), width=16)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell_count").cast("long").alias("cell_count"))
+    )
+    full = {(r.row, r.bucket): r.cell_count for r in cells.collect()}
+    got = {(r.row, r.bucket): r.cell_count for r in merged.collect()}
+    assert got == full
