@@ -296,3 +296,102 @@ def knn_ivf(
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def _pq_subdist_exprs(vec_col: str) -> "list[str]":
+    """Per-subspace 16-entry rounded squared-distance lists against the
+    frozen codebooks (functions/pq_codebooks.py). Shared by the corpus
+    encoder (argmin -> code) and the query side (the ADC lookup table)."""
+    from data_warehouse_flink_spark.functions.pq_codebooks import (
+        CODEBOOKS,
+        SUB_DIM,
+    )
+
+    exprs = []
+    for m, book in enumerate(CODEBOOKS):
+        sub = f"slice({vec_col}, {m * SUB_DIM + 1}, {SUB_DIM})"
+        dists = ", ".join(
+            f"round(aggregate(zip_with({sub}, "
+            f"array({','.join(repr(v) for v in cw)}), "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), "
+            f"(acc, v) -> acc + v), 6)"
+            for cw in book
+        )
+        exprs.append(f"array({dists})")
+    return exprs
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to M=8 codebook indices (product quantization).
+
+    The compressed representation: 8 small ints instead of 64 floats —
+    this is what a 100 TB vector corpus stores and scans. Pure JVM literal
+    expressions (codebooks are code literals, nothing broadcast); distances
+    round to 6 decimals before the argmin with first-index tie-break so
+    codes are bit-identical across engines. Zero shuffle, scan-linear.
+    """
+    tmp = with_norm(embeddings, vec_col)
+    codes = [
+        F.expr(
+            f"CAST(array_position({dl}, array_min({dl})) - 1 AS INT)"
+        ).alias(f"code{m}")
+        for m, dl in enumerate(_pq_subdist_exprs("vecd"))
+    ]
+    return tmp.select(id_col, "vecd", *codes)
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric-distance computation (ADC) over the
+    PQ-encoded corpus.
+
+    The query side precomputes, per subspace, the 16 distances from its
+    subvector to every codeword (the ADC lookup table); the corpus side is
+    scanned as CODES ONLY — each candidate's distance is 8 table lookups
+    and adds, never touching the original floats. That asymmetry is the PQ
+    scale win: the 64-float corpus never leaves storage, the scan reads
+    8 bytes/vector. Queries broadcast against the encoded corpus
+    (scan-linear), then a per-query rank takes top-k; distances and the
+    final sum round to 6 decimals, ordering ties break on neighbor id, so
+    results are engine-exact against the generated oracle.
+    """
+    from pyspark.sql.window import Window
+
+    encoded = pq_encode(embeddings, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        *[f"code{m}" for m in range(8)],
+    )
+    qside = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.expr(dl).alias(f"dt{m}")
+            for m, dl in enumerate(_pq_subdist_exprs("vecd"))
+        ],
+    )
+    adc = F.expr(
+        "round("
+        + " + ".join(f"element_at(dt{m}, code{m} + 1)" for m in range(8))
+        + ", 6)"
+    )
+    pairs = (
+        F.broadcast(qside)
+        .crossJoin(encoded)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

@@ -1884,3 +1884,82 @@ def token_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overestimate"),
     )
+
+
+# -------------------------------------------- product quantization ANN ----
+def _knn_pq_oracle(k: int = 5) -> str:
+    """Generated oracle: the frozen PQ codebooks (trained offline by
+    tools/train_pq_codebooks.py, committed as literals) are embedded in BOTH
+    engines. Per-subspace squared distances round to 6 decimals before the
+    argmin (first-index tie-break) for encoding and before the ADC sum, so
+    codes and distances are engine-exact — the same graduation discipline
+    as the IVF centroids and LSH hyperplanes."""
+    from data_warehouse_flink_spark.functions.pq_codebooks import (
+        CODEBOOKS,
+        SUB_DIM,
+    )
+
+    def dist_list(m: int, book) -> str:
+        off = m * SUB_DIM
+        entries = []
+        for cw in book:
+            terms = " + ".join(
+                f"(vecd[{off + i + 1}] - {cw[i]!r})"
+                f" * (vecd[{off + i + 1}] - {cw[i]!r})"
+                for i in range(SUB_DIM)
+            )
+            entries.append(f"ROUND({terms}, 6)")
+        return "[" + ", ".join(entries) + "]"
+
+    dl_cols = ",\n             ".join(
+        f"{dist_list(m, book)} AS dl{m}" for m, book in enumerate(CODEBOOKS)
+    )
+    code_cols = ", ".join(
+        f"list_position(dl{m}, list_min(dl{m})) - 1 AS code{m}"
+        for m in range(len(CODEBOOKS))
+    )
+    adc = " + ".join(
+        f"q.dl{m}[e.code{m} + 1]" for m in range(len(CODEBOOKS))
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      FROM embeddings
+    ), dls AS (
+      SELECT vec_id,
+             {dl_cols}
+      FROM v
+    ), enc AS (
+      SELECT vec_id, {code_cols} FROM dls
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({adc}, 6) AS adc_dist
+      FROM dls q CROSS JOIN enc e
+      WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+             AS BIGINT) AS rn
+    FROM pairs
+    QUALIFY rn <= {k}
+    """
+
+
+@register("knn_pq", oracle=_knn_pq_oracle())
+def knn_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors by product quantization + ADC scan.
+
+    The fourth ANN tier: brute force (exact) → LSH (hash buckets) → IVF
+    (cell restriction) → PQ (compressed-domain scan). The corpus is stored
+    as 8 codebook indices per vector (8 bytes, not 64 floats); queries
+    precompute per-subspace lookup tables and every candidate distance is
+    8 lookups + adds. Oracle-checked end-to-end: both engines embed the
+    same frozen codebooks (see `_knn_pq_oracle`).
+    """
+    from data_warehouse_flink_spark.functions.similarity import knn_pq
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 20)
+    return knn_pq(embs, queries, k=5)

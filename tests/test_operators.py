@@ -597,3 +597,38 @@ def test_cm_sketch_one_sided_error_and_mergeability(spark):
     full = {(r.row, r.bucket): r.cell_count for r in cells.collect()}
     got = {(r.row, r.bucket): r.cell_count for r in merged.collect()}
     assert got == full
+
+
+def test_knn_pq_codes_and_recall(spark):
+    """PQ codes are valid codebook indices, and the compressed-domain ADC
+    top-5 recalls a meaningful fraction of the exact top-5 (far above the
+    ~1% random baseline; measured 0.26 at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_flink_spark.functions.pq_codebooks import (
+        K_CODES,
+        M_SUBSPACES,
+    )
+    from data_warehouse_flink_spark.functions.similarity import (
+        knn_bruteforce,
+        knn_pq,
+        pq_encode,
+    )
+    from data_warehouse_flink_spark.io import table
+
+    from conftest import SF_SMOKE
+
+    embs = table(spark, SF_SMOKE, "embeddings")
+    enc = pq_encode(embs)
+    bounds = enc.agg(
+        *[F.min(f"code{m}").alias(f"lo{m}") for m in range(M_SUBSPACES)],
+        *[F.max(f"code{m}").alias(f"hi{m}") for m in range(M_SUBSPACES)],
+    ).collect()[0]
+    for m in range(M_SUBSPACES):
+        assert 0 <= bounds[f"lo{m}"] and bounds[f"hi{m}"] < K_CODES
+
+    qs = embs.filter(F.col("vec_id") < 20)
+    bf = knn_bruteforce(embs, qs, k=5).select("query_id", "neighbor_id")
+    pq = knn_pq(embs, qs, k=5).select("query_id", "neighbor_id")
+    recall = bf.intersect(pq).count() / bf.count()
+    assert recall >= 0.08, recall
