@@ -677,3 +677,41 @@ def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to_us",
         F.col("is_current").cast("long").alias("is_current"),
     )
+
+
+@register(
+    "events_zorder_layout",
+    oracle="""
+    WITH rows AS (
+      SELECT user_id % 32 AS xv, hour(ts) AS yv FROM events
+    ), z AS (
+      SELECT xv, yv,
+             (((xv >> 0) & 1) << 1) + (((yv >> 0) & 1) << 0)
+           + (((xv >> 1) & 1) << 3) + (((yv >> 1) & 1) << 2)
+           + (((xv >> 2) & 1) << 5) + (((yv >> 2) & 1) << 4)
+           + (((xv >> 3) & 1) << 7) + (((yv >> 3) & 1) << 6)
+           + (((xv >> 4) & 1) << 9) + (((yv >> 4) & 1) << 8) AS zv
+      FROM rows
+    )
+    SELECT (zv >> 4)::BIGINT AS file_id,
+           count(*)::BIGINT AS n_rows,
+           min(xv)::BIGINT AS min_x, max(xv)::BIGINT AS max_x,
+           min(yv)::BIGINT AS min_y, max(yv)::BIGINT AS max_y
+    FROM z GROUP BY 1
+    """,
+)
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout assignment over (user bucket, hour of day)
+    with the per-file min/max skipping stats a scan planner prunes with.
+    Every file is a complete quadtree block — at most 4 wide in EACH
+    dimension — so predicates on either column skip ~15/16 of the files,
+    where a 1-D sort would span the other column's full range. Pure integer
+    bit expressions + one small groupBy (operators/layout.py)."""
+    from data_warehouse_flink_spark.operators.layout import zorder_file_stats
+
+    ev = _events(spark, sf_dir)
+    return zorder_file_stats(
+        ev,
+        x=F.pmod(F.col("user_id"), F.lit(32)).cast("int"),
+        y=F.hour("ts").cast("int"),
+    )

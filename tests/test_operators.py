@@ -632,3 +632,37 @@ def test_knn_pq_codes_and_recall(spark):
     pq = knn_pq(embs, qs, k=5).select("query_id", "neighbor_id")
     recall = bf.intersect(pq).count() / bf.count()
     assert recall >= 0.08, recall
+
+
+def test_zorder_files_are_quadtree_blocks(spark):
+    """Over a dense 32x32 grid, every z-order file (shift 4) is a complete
+    4x4 quadtree block — span <= 3 in BOTH dimensions — whereas an x-major
+    sort into equal-size files spans a 16-value y range (5x worse). That
+    bounded rectangle is exactly why min/max stats prune on either
+    predicate column."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_flink_spark.operators.layout import zorder_file_stats
+
+    grid = spark.range(32 * 32).select(
+        (F.col("id") % 32).cast("int").alias("x"),
+        (F.col("id") / 32).cast("int").alias("y"),
+    )
+    stats = zorder_file_stats(grid, x=F.col("x"), y=F.col("y")).collect()
+    assert len(stats) == 64
+    for r in stats:
+        assert r.n_rows == 16
+        assert r.max_x - r.min_x == 3
+        assert r.max_y - r.min_y == 3
+
+    # contrast: x-major linear layout, same file count/size
+    linear = grid.select(
+        (F.col("x") * 32 + F.col("y")).alias("pos"), "x", "y"
+    ).withColumn("file_id", F.floor(F.col("pos") / 16))
+    spans = (
+        linear.groupBy("file_id")
+        .agg((F.max("y") - F.min("y")).alias("y_span"))
+        .agg(F.max("y_span"))
+        .collect()[0][0]
+    )
+    assert spans == 15  # each x-major file spans half the y range
