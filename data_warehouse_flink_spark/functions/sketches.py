@@ -81,3 +81,33 @@ def cm_estimate_for(
         .groupBy(token_col)
         .agg(F.min("cell_count").cast("long").alias("cm_estimate"))
     )
+
+
+def cm_sketch_cells_from_counts(
+    token_counts: DataFrame,
+    token_col: str = "token",
+    count_col: str = "exact_count",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Cell grid from a pre-aggregated (token, count) table.
+
+    Identical to ``cm_sketch_cells`` over the raw stream (a cell is the sum
+    of the counts of every token hashing into it), but the explode runs
+    over the vocabulary-sized count table instead of the corpus-sized token
+    stream — when a frequency table already exists, the sketch costs one
+    small reaggregation, not a second corpus scan.
+    """
+    cells = token_counts.select(
+        F.col(count_col).alias("c"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {depth - 1}), j -> "
+                f"struct(j AS row, {_bucket_expr(token_col, 'j', width)}"
+                " AS bucket))"
+            )
+        ).alias("cell"),
+    )
+    return cells.groupBy(
+        F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket")
+    ).agg(F.sum("c").cast("long").alias("cell_count"))

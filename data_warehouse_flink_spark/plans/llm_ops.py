@@ -1843,15 +1843,19 @@ def token_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count, CM point estimate (min over the 4 cells), and the
     overestimate (always >= 0 — the CM guarantee; w=32 is deliberately
     narrow so collisions and their one-sided error are visible). The cell
-    grid builds in one scan with map-side combine into 128 counters —
-    per-partition sketches merge by addition, the property that makes this
-    the fixed-memory frequency structure at 100 TB (functions/sketches.py).
-    The exact top-50 goes through the lossless per-partition top-N
-    reduction, so the global rank never sees more than 50 rows per task.
+    grid builds with map-side combine into 128 counters — per-partition
+    sketches merge by addition, the property that makes this the
+    fixed-memory frequency structure at 100 TB (functions/sketches.py).
+    Plan shape: ONE corpus scan builds the exact frequency table
+    (materialized once); the cell grid then reaggregates the
+    vocabulary-sized counts (a cell is the sum of its tokens' counts —
+    identical to sketching the raw stream), and the exact top-50 goes
+    through the lossless per-partition top-N reduction, so the global rank
+    never sees more than 50 rows per task.
     """
     from data_warehouse_flink_spark.functions.sketches import (
         cm_estimate_for,
-        cm_sketch_cells,
+        cm_sketch_cells_from_counts,
     )
     from data_warehouse_flink_spark.operators.topn import (
         top_n_per_group_partial,
@@ -1860,10 +1864,12 @@ def token_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _docs(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("token")
     )
-    cells = cm_sketch_cells(tok, width=32)
-    exact = tok.groupBy("token").agg(
-        F.count("*").cast("long").alias("exact_count")
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+        .localCheckpoint(eager=True)
     )
+    cells = cm_sketch_cells_from_counts(exact, width=32)
     top = (
         top_n_per_group_partial(
             exact.withColumn("_g", F.lit(0)),

@@ -666,3 +666,30 @@ def test_zorder_files_are_quadtree_blocks(spark):
         .collect()[0][0]
     )
     assert spans == 15  # each x-major file spans half the y range
+
+
+def test_cm_cells_from_counts_equals_raw_stream(spark):
+    """The count-weighted cell builder (one corpus scan) produces exactly
+    the raw-stream grid: a cell is the sum of its tokens' counts."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_flink_spark.functions.sketches import (
+        cm_sketch_cells,
+        cm_sketch_cells_from_counts,
+    )
+
+    tok = spark.createDataFrame(
+        [(f"w{i % 23}",) for i in range(900)], "token string"
+    )
+    raw = {
+        (r.row, r.bucket): r.cell_count
+        for r in cm_sketch_cells(tok, width=16).collect()
+    }
+    counts = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    derived = {
+        (r.row, r.bucket): r.cell_count
+        for r in cm_sketch_cells_from_counts(counts, width=16).collect()
+    }
+    assert derived == raw
