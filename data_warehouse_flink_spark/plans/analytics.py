@@ -715,3 +715,69 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         x=F.pmod(F.col("user_id"), F.lit(32)).cast("int"),
         y=F.hour("ts").cast("int"),
     )
+
+
+@register(
+    "events_compaction_plan",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             count(*)::BIGINT AS n_rows,
+             sum(length(props) + 64)::BIGINT AS est_bytes
+      FROM events GROUP BY 1
+    ), planned AS (
+      SELECT day, n_rows, est_bytes,
+             (coalesce(sum(est_bytes) OVER (
+                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) // 65536)::BIGINT AS file_group
+      FROM daily
+    )
+    SELECT day, n_rows, est_bytes, file_group,
+           sum(est_bytes) OVER (PARTITION BY file_group)::BIGINT
+             AS group_bytes,
+           count(*) OVER (PARTITION BY file_group)::BIGINT AS group_days
+    FROM planned
+    """,
+)
+def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (OPTIMIZE / bin-pack): roll the events
+    table up to per-day-partition size estimates, then bin consecutive days
+    into target-size (64 KiB at this tier) output groups by bucketing the
+    running byte total — the plan a table-maintenance job would execute as
+    one coalesced rewrite per group.
+
+    Scale shape: the only corpus-sized work is the per-day rollup (one scan,
+    one shuffle on day); everything after runs on partition METADATA — one
+    row per day — so the global-order window costs nothing even when the
+    table is 100 TB (10^4-10^5 partitions). Oversized days simply skip group
+    ids (floor of the pre-sum), so boundaries stay deterministic at every
+    tier. Sibling of `events_zorder_layout`: layout chooses what goes IN a
+    file, compaction chooses how files merge.
+    """
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("props") + F.lit(64)).alias("est_bytes"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    planned = daily.withColumn(
+        "file_group",
+        F.floor(
+            F.coalesce(F.sum("est_bytes").over(w_cum), F.lit(0)) / 65536
+        ),
+    )
+    w_grp = Window.partitionBy("file_group")
+    return planned.select(
+        "day",
+        "n_rows",
+        "est_bytes",
+        "file_group",
+        F.sum("est_bytes").over(w_grp).alias("group_bytes"),
+        F.count("*").over(w_grp).alias("group_days"),
+    )

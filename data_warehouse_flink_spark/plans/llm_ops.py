@@ -1969,3 +1969,206 @@ def knn_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     return knn_pq(embs, queries, k=5)
+
+
+# ------------------------------ DSIR-style importance weights (resampling) ----
+_DSIR_BUCKETS = 1024
+
+
+@register(
+    "doc_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t, string_split(text, ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, is_t, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, is_t, t[i] || ' ' || t[i + 1] AS gram
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+      WHERE len(t) >= 2
+    ), db AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(gram), 1, 7))::BIGINT % {_DSIR_BUCKETS}
+               AS bucket,
+             count(*)::BIGINT AS c
+      FROM grams GROUP BY 1, 2, 3
+    ), bstats AS (
+      SELECT bucket, sum(c)::BIGINT AS rawc,
+             sum(CASE WHEN is_t THEN c ELSE 0 END)::BIGINT AS tgtc
+      FROM db GROUP BY 1
+    ), tot AS (
+      SELECT sum(c)::BIGINT AS rawn,
+             sum(CASE WHEN is_t THEN c ELSE 0 END)::BIGINT AS tgtn
+      FROM db
+    ), lr AS (
+      SELECT bucket,
+             CAST(round(ln(
+               (CAST(tgtc + 1 AS DOUBLE) / CAST(tgtn + {_DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(rawc + 1 AS DOUBLE) / CAST(rawn + {_DSIR_BUCKETS} AS DOUBLE))
+             ) * 1000000.0, 0) AS BIGINT) AS lr_micro
+      FROM bstats CROSS JOIN tot
+    )
+    SELECT doc_id, sum(c)::BIGINT AS n_grams,
+           sum(c * lr_micro)::BIGINT AS weight_micro,
+           sum(c * lr_micro) > 0 AS keep
+    FROM db JOIN lr USING (bucket)
+    GROUP BY 1
+    """,
+)
+def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for target-domain resampling
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): hashed unigram+bigram features over {_DSIR_BUCKETS} buckets,
+    per-bucket smoothed log-ratio of the target distribution (here: the
+    ``lang = 'en'`` slice) vs the raw corpus, per-document weight = sum of
+    gram-count x log-ratio.
+
+    Scale shape: ONE corpus scan builds the per-(doc, bucket) count table
+    (localCheckpointed); the bucket distributions, the grand totals, and the
+    scoring join are all derived from it. The log-ratio table is ~1k rows and
+    broadcast; the only corpus-sized shuffle keys on (doc_id, bucket). The
+    keep rule is the shuffle-free ``weight > 0`` (net positive target
+    evidence) rather than a global rank — at 100 TB a quantile threshold from
+    `approx_percentile` would replace it without changing the plan shape.
+
+    Cross-engine exactness: buckets come from the md5-prefix integer idiom;
+    the log-ratio is rounded to integer micro-nats (the ln inputs are
+    identical doubles built with the same operation order in both engines),
+    and every downstream sum is BIGINT.
+    """
+    docs = _docs(spark, sf_dir)
+    b = _DSIR_BUCKETS
+    grams = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        F.explode(
+            F.expr(
+                "concat(split(text, ' '), "
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(element_at(split(text, ' '), i), ' ', "
+                "element_at(split(text, ' '), i + 1))) "
+                "ELSE CAST(array() AS array<string>) END)"
+            )
+        ).alias("gram"),
+    )
+    db = (
+        grams.withColumn(
+            "bucket",
+            F.expr(
+                f"CAST(conv(substr(md5(gram), 1, 7), 16, 10) AS BIGINT) % {b}"
+            ),
+        )
+        .groupBy("doc_id", "is_t", "bucket")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bstats = db.groupBy("bucket").agg(
+        F.sum("c").alias("rawc"),
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias(
+            "tgtc"
+        ),
+    )
+    tot = db.agg(
+        F.sum("c").alias("rawn"),
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias(
+            "tgtn"
+        ),
+    )
+    lr = bstats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST(round(ln("
+            f"(CAST(tgtc + 1 AS DOUBLE) / CAST(tgtn + {b} AS DOUBLE))"
+            f" / (CAST(rawc + 1 AS DOUBLE) / CAST(rawn + {b} AS DOUBLE))"
+            f") * 1000000.0, 0) AS BIGINT)"
+        ).alias("lr_micro"),
+    )
+    return (
+        db.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lr_micro")).alias("weight_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "weight_micro",
+            (F.col("weight_micro") > 0).alias("keep"),
+        )
+    )
+
+
+# ----------------------------------- BPE encoding with frozen merge ranks ----
+def _bpe_merged_sql(base: str, dialect: str) -> str:
+    """Nested `replace` chain applying the frozen merges in rank order.
+
+    A merge (a, b) is the global leftmost-non-overlapping replacement
+    ``' a b ' -> ' ab '`` over the space-delimited char representation —
+    `replace` has identical semantics in Spark and DuckDB, so the chain is
+    engine-exact by construction. `dialect` only picks the char-spacing
+    regex backreference syntax upstream (handled by the caller)."""
+    from data_warehouse_flink_spark.functions.bpe_merges import MERGES
+
+    expr = base
+    for a, b in MERGES:
+        expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return expr
+
+
+def _bpe_encode_oracle() -> str:
+    base = (
+        "' ' || array_to_string(list_transform(string_split(text, ' '), "
+        "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), '| ')"
+    )
+    merged = _bpe_merged_sql(base, "duckdb")
+    return f"""
+    WITH enc AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_words,
+             list_filter(string_split(trim({merged}), ' '),
+                         t -> t <> '|') AS sub
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           len(sub)::BIGINT AS n_subwords,
+           array_to_string(sub[1:12], ' ') AS subword_preview
+    FROM enc
+    """
+
+
+@register("doc_bpe_encode", oracle=_bpe_encode_oracle())
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True BPE subword encoding with a frozen merge table (Sennrich et al.
+    2016) — the real-tokenizer upgrade over `doc_bpe_tokens`' regex
+    pre-tokenizer count.
+
+    The merge ranks are trained ONCE offline (tools/train_bpe.py, the
+    IVF/PQ freeze discipline) and applied here as a rank-ordered chain of
+    literal string replacements over the char-spaced representation
+    (``' p a r t | ... '``; ``|`` is the word boundary merges cannot
+    cross). Encoding is therefore a zero-shuffle, scan-linear JVM
+    projection — whole-stage-codegen'd `replace` calls, no UDF, no state —
+    exactly what a 100 TB tokenize pass needs. The generated DuckDB oracle
+    embeds the same merges, so subword splits are engine-exact.
+    """
+    base = (
+        "concat(' ', array_join(transform(split(text, ' '), "
+        "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
+    )
+    merged = _bpe_merged_sql(base, "spark")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"filter(split(trim({merged}), ' '), t -> t != '|')"
+        ).alias("sub"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.expr("CAST(size(sub) AS BIGINT)").alias("n_subwords"),
+        F.expr("array_join(slice(sub, 1, 12), ' ')").alias("subword_preview"),
+    )

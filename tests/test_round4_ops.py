@@ -1,0 +1,120 @@
+"""Semantic tests for the round-4 operators: DSIR importance weights,
+frozen-merge BPE encoding, and the compaction planner. (Cross-engine
+value-exactness is covered for all three by test_oracle_parity.py; these
+pin the operator SEMANTICS.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from data_warehouse_flink_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+# ------------------------------------------------------- importance weights --
+def test_importance_weights_favor_target_slice(spark):
+    """The target slice (lang='en') must score higher on average than the
+    rest — that is the entire point of importance weighting."""
+    got = QUERIES["doc_importance_weights"].spark_fn(spark, SF_SMOKE)
+    from data_warehouse_flink_spark.io import table
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    rows = (
+        got.join(docs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("weight_micro").alias("w"))
+        .collect()
+    )
+    means = {r[0]: r["w"] for r in rows}
+    assert means[True] > means[False]
+    # keep flag is exactly the positive-weight rule
+    flags = got.filter(
+        (F.col("keep") != (F.col("weight_micro") > 0))
+    ).count()
+    assert flags == 0
+
+
+def test_importance_weights_gram_count(spark):
+    """n_grams = unigrams + bigrams = 2*len - 1 for every multi-token doc."""
+    got = QUERIES["doc_importance_weights"].spark_fn(spark, SF_SMOKE)
+    from data_warehouse_flink_spark.io import table
+
+    docs = table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        (2 * F.size(F.split("text", " ")) - 1).alias("expect"),
+    )
+    bad = (
+        got.join(docs, "doc_id")
+        .filter(F.col("n_grams") != F.col("expect"))
+        .count()
+    )
+    assert bad == 0
+
+
+# ------------------------------------------------------------- BPE encoding --
+def test_bpe_known_word_segmentation(spark):
+    """Apply the frozen merges to single known words and check the exact
+    subword split; 'window' and 'sort' are fully merged by the trained
+    table, 'the' stays at char level (t-h-e pairs never ranked)."""
+    from data_warehouse_flink_spark.functions.bpe_merges import MERGES
+    from data_warehouse_flink_spark.plans.llm_ops import _bpe_merged_sql
+
+    df = spark.createDataFrame(
+        [("window the sort",)], "text string"
+    )
+    base = (
+        "concat(' ', array_join(transform(split(text, ' '), "
+        "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
+    )
+    merged = _bpe_merged_sql(base, "spark")
+    out = df.select(
+        F.expr(f"filter(split(trim({merged}), ' '), t -> t != '|')").alias(
+            "sub"
+        )
+    ).collect()[0]["sub"]
+    assert out == ["window", "t", "h", "e", "sort"]
+    # merge table is non-trivial and ordered
+    assert len(MERGES) >= 16
+    assert ("e", "r") == MERGES[0]
+
+
+def test_bpe_encode_invariants(spark):
+    """Subword count is bounded by char count, at least word count; the
+    preview never contains the boundary token."""
+    got = QUERIES["doc_bpe_encode"].spark_fn(spark, SF_SMOKE)
+    bad = got.filter(
+        (F.col("n_subwords") < F.col("n_words"))
+        | F.col("subword_preview").contains("|")
+    ).count()
+    assert bad == 0
+
+
+# -------------------------------------------------------- compaction planner --
+def test_compaction_plan_groups_consecutive_and_complete(spark):
+    got = (
+        QUERIES["events_compaction_plan"]
+        .spark_fn(spark, SF_SMOKE)
+        .orderBy("day")
+        .collect()
+    )
+    # group ids are non-decreasing over the day order (consecutive packing)
+    gids = [r["file_group"] for r in got]
+    assert gids == sorted(gids)
+    # group_bytes/group_days really aggregate the group
+    by_group: dict[int, list] = {}
+    for r in got:
+        by_group.setdefault(r["file_group"], []).append(r)
+    for rows in by_group.values():
+        assert rows[0]["group_bytes"] == sum(r["est_bytes"] for r in rows)
+        assert rows[0]["group_days"] == len(rows)
+    # bin rule: a group only closes once the running total crosses the
+    # target, so every group except the last holds >= 64 KiB ... unless a
+    # single oversized day skipped ids (then that group is that day alone)
+    groups = sorted(by_group)
+    for g in groups[:-1]:
+        rows = by_group[g]
+        assert (
+            sum(r["est_bytes"] for r in rows) >= 65536 or len(rows) == 1
+        )
