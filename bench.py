@@ -90,6 +90,21 @@ HEADLINE = [
     "doc_dedup_keep_best",
     "uv_sketch_mergeable",
     "doc_semantic_dedup_scores",
+    "doc_simhash",
+    "knn_lsh",
+    "knn_ivf",
+    "knn_pq",
+    "doc_rolling_fingerprint",
+    "doc_span_dedup",
+    "doc_quality_classifier",
+    "token_count_min_sketch",
+    "events_zorder_layout",
+    "events_compaction_plan",
+    "user_tier_scd2",
+    "multimodal_features",
+    "doc_bpe_encode",
+    "doc_importance_weights",
+    "embedding_sq8",
 ]
 
 

@@ -395,3 +395,63 @@ def knn_pq(
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def sq8_encode(embeddings: DataFrame) -> DataFrame:
+    """Scalar (int8) quantization: per-dimension corpus min/max → 0..255
+    codes, plus the reconstruction error the compression costs.
+
+    The fifth vector-compression tier (brute force → LSH → IVF → PQ → SQ8):
+    production stores train per-dim ranges once, then encode every vector to
+    dim bytes. Plan shape: pass 1 aggregates the 64-row (dim, min, max)
+    stats table (tiny), pass 2 re-scans the corpus and encodes against the
+    BROADCAST stats — two scans total, zero corpus-sized shuffles, all JVM
+    array expressions.
+
+    Cross-engine exactness: float→double widening is exact; the affine
+    code formula and the reconstruction error use the same IEEE operation
+    order in both engines; the error is rounded to integer micro-units
+    before emission. Flat dimensions (max == min) encode to 0.
+
+    Returns: vec_id, code_checksum (BIGINT sum of codes), codes_preview
+    (first 8 codes, space-joined), err_micro (BIGINT, Σ(x - x̂)² × 1e6).
+    """
+    dims = embeddings.select(
+        F.posexplode(_as_double("embedding")).alias("d", "x")
+    ).groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    stats = dims.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(d, lo, hi)))").alias("st")
+    )
+    coded = embeddings.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(1, size(embedding)), i -> CASE "
+            "WHEN st[i-1].hi = st[i-1].lo THEN 0L ELSE "
+            "CAST(least(greatest(floor((CAST(element_at(embedding, i) AS "
+            "DOUBLE) - st[i-1].lo) / (st[i-1].hi - st[i-1].lo) * 255.0 "
+            "+ 0.5), 0.0), 255.0) AS BIGINT) END)"
+        ).alias("codes"),
+        F.expr(
+            "transform(sequence(1, size(embedding)), i -> "
+            "CAST(element_at(embedding, i) AS DOUBLE))"
+        ).alias("vecd"),
+        F.col("st"),
+    )
+    return coded.select(
+        "vec_id",
+        F.expr("aggregate(codes, 0L, (a, c) -> a + c)").alias(
+            "code_checksum"
+        ),
+        F.expr(
+            "array_join(transform(slice(codes, 1, 8), c -> CAST(c AS "
+            "STRING)), ' ')"
+        ).alias("codes_preview"),
+        F.expr(
+            "CAST(round(aggregate(sequence(1, size(vecd)), "
+            "CAST(0 AS DOUBLE), (acc, i) -> acc + "
+            "(vecd[i-1] - (st[i-1].lo + CAST(codes[i-1] AS DOUBLE) / 255.0"
+            " * (st[i-1].hi - st[i-1].lo))) * "
+            "(vecd[i-1] - (st[i-1].lo + CAST(codes[i-1] AS DOUBLE) / 255.0"
+            " * (st[i-1].hi - st[i-1].lo)))) * 1000000.0, 0) AS BIGINT)"
+        ).alias("err_micro"),
+    )

@@ -2172,3 +2172,50 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(size(sub) AS BIGINT)").alias("n_subwords"),
         F.expr("array_join(slice(sub, 1, 12), ' ')").alias("subword_preview"),
     )
+
+
+# --------------------------------- scalar (int8) embedding quantization ----
+@register(
+    "embedding_sq8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      FROM embeddings
+    ), dims AS (
+      SELECT i AS d, min(vecd[i]) AS lo, max(vecd[i]) AS hi
+      FROM v CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(vecd) + 1)) AS i) s
+      GROUP BY 1
+    ), stats AS (
+      SELECT list_sort(list(struct_pack(d := d, lo := lo, hi := hi))) AS st
+      FROM dims
+    ), coded AS (
+      SELECT vec_id, vecd, st,
+             list_transform(range(1, len(vecd) + 1), i -> CASE
+               WHEN st[i].hi = st[i].lo THEN 0
+               ELSE CAST(least(greatest(floor(
+                 (vecd[i] - st[i].lo) / (st[i].hi - st[i].lo) * 255.0 + 0.5),
+                 0.0), 255.0) AS BIGINT) END) AS codes
+      FROM v CROSS JOIN stats
+    )
+    SELECT vec_id,
+           list_sum(codes)::BIGINT AS code_checksum,
+           array_to_string(list_transform(codes[1:8],
+             c -> CAST(c AS VARCHAR)), ' ') AS codes_preview,
+           CAST(round(list_sum(list_transform(range(1, len(vecd) + 1),
+             i -> (vecd[i] - (st[i].lo + CAST(codes[i] AS DOUBLE) / 255.0
+                    * (st[i].hi - st[i].lo)))
+                * (vecd[i] - (st[i].lo + CAST(codes[i] AS DOUBLE) / 255.0
+                    * (st[i].hi - st[i].lo))))) * 1000000.0, 0) AS BIGINT)
+             AS err_micro
+    FROM coded
+    """,
+)
+def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of the embedding column — the fifth
+    vector-compression tier (brute force → LSH → IVF → PQ → SQ8). See
+    `functions/similarity.py::sq8_encode` for the two-pass plan shape
+    (tiny per-dim stats aggregate, broadcast, scan-linear encode)."""
+    from data_warehouse_flink_spark.functions.similarity import sq8_encode
+
+    return sq8_encode(_embs(spark, sf_dir))

@@ -118,3 +118,37 @@ def test_compaction_plan_groups_consecutive_and_complete(spark):
         assert (
             sum(r["est_bytes"] for r in rows) >= 65536 or len(rows) == 1
         )
+
+
+# ------------------------------------------------------ scalar quantization --
+def test_sq8_codes_bounded_and_error_small(spark):
+    from data_warehouse_flink_spark.functions.similarity import sq8_encode
+    from data_warehouse_flink_spark.io import table
+
+    embs = table(spark, SF_SMOKE, "embeddings")
+    out = sq8_encode(embs)
+    dim = 64
+    # checksum of dim codes each in 0..255
+    bad = out.filter(
+        (F.col("code_checksum") < 0)
+        | (F.col("code_checksum") > 255 * dim)
+    ).count()
+    assert bad == 0
+    # 8-bit reconstruction of unit-ish vectors: per-vector squared error
+    # stays tiny (err_micro = err * 1e6)
+    assert out.agg(F.max("err_micro")).collect()[0][0] < 1000
+
+
+def test_sq8_flat_dimension_codes_zero(spark):
+    from data_warehouse_flink_spark.functions.similarity import sq8_encode
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.0]), (2, [0.5, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r for r in sq8_encode(df).collect()
+    }
+    # dim 0 is flat (max == min) -> code 0; dim 1 spans [1, 2] -> 0 / 255
+    assert rows[1]["codes_preview"] == "0 0"
+    assert rows[2]["codes_preview"] == "0 255"
