@@ -105,6 +105,7 @@ HEADLINE = [
     "doc_bpe_encode",
     "doc_importance_weights",
     "embedding_sq8",
+    "events_column_stats",
 ]
 
 

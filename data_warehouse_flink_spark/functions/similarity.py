@@ -298,27 +298,61 @@ def knn_ivf(
     )
 
 
-def _pq_subdist_exprs(vec_col: str) -> "list[str]":
-    """Per-subspace 16-entry rounded squared-distance lists against the
-    frozen codebooks (functions/pq_codebooks.py). Shared by the corpus
-    encoder (argmin -> code) and the query side (the ADC lookup table)."""
+def _pq_codebook_df(spark):
+    """The frozen codebooks (functions/pq_codebooks.py) as a 128-row
+    DataFrame (m, cidx, cw) for broadcast joins. Keeping the codewords as
+    DATA instead of literal expression trees matters: the literal form made
+    every knn_pq plan carry ~128 distance subtrees that Catalyst re-optimized
+    and janino re-compiled per invocation — measured as the dominant,
+    highly-variable cost (2.7-8.6 s at sf0.1). The join form plans in
+    milliseconds and scales identically (the codebook is 8 KB)."""
+    from data_warehouse_flink_spark.functions.pq_codebooks import CODEBOOKS
+
+    rows = [
+        (m, j, [float(v) for v in cw])
+        for m, book in enumerate(CODEBOOKS)
+        for j, cw in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "m int, cidx int, cw array<double>")
+
+
+def _pq_subspace_dists(
+    df: DataFrame, id_out: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per (vector, subspace, codeword) rounded squared distance in integer
+    micro-units: one explode to (vector, m, subvector) rows, one broadcast
+    join against the codebook table. d_micro = round(d, 6) * 1e6 as BIGINT,
+    so every downstream reduction (argmin, ADC sum) is exact-integer and
+    summation-order-free."""
     from data_warehouse_flink_spark.functions.pq_codebooks import (
-        CODEBOOKS,
+        M_SUBSPACES,
         SUB_DIM,
     )
 
-    exprs = []
-    for m, book in enumerate(CODEBOOKS):
-        sub = f"slice({vec_col}, {m * SUB_DIM + 1}, {SUB_DIM})"
-        dists = ", ".join(
-            f"round(aggregate(zip_with({sub}, "
-            f"array({','.join(repr(v) for v in cw)}), "
-            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), "
-            f"(acc, v) -> acc + v), 6)"
-            for cw in book
-        )
-        exprs.append(f"array({dists})")
-    return exprs
+    spark = df.sparkSession
+    subs = df.select(
+        F.col(id_col).alias(id_out),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("vecd"),
+    ).select(
+        id_out,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {M_SUBSPACES - 1}), "
+                f"m -> struct(m AS m, "
+                f"slice(vecd, m * {SUB_DIM} + 1, {SUB_DIM}) AS sub))"
+            )
+        ).alias("s"),
+    ).select(id_out, "s.m", "s.sub")
+    return subs.join(F.broadcast(_pq_codebook_df(spark)), "m").select(
+        id_out,
+        "m",
+        "cidx",
+        F.expr(
+            "CAST(round(round(aggregate(zip_with(sub, cw, "
+            "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), "
+            "(acc, v) -> acc + v), 6) * 1000000.0, 0) AS BIGINT)"
+        ).alias("d_micro"),
+    )
 
 
 def pq_encode(
@@ -329,19 +363,22 @@ def pq_encode(
     """Encode each vector to M=8 codebook indices (product quantization).
 
     The compressed representation: 8 small ints instead of 64 floats —
-    this is what a 100 TB vector corpus stores and scans. Pure JVM literal
-    expressions (codebooks are code literals, nothing broadcast); distances
-    round to 6 decimals before the argmin with first-index tie-break so
-    codes are bit-identical across engines. Zero shuffle, scan-linear.
+    this is what a 100 TB vector corpus stores and scans. One explode +
+    broadcast codebook join + one groupBy(id) with 8 conditional
+    struct-mins (lexicographic (d_micro, cidx) min = round-then-argmin
+    with first-index tie-break, bit-identical across engines).
     """
-    tmp = with_norm(embeddings, vec_col)
-    codes = [
-        F.expr(
-            f"CAST(array_position({dl}, array_min({dl})) - 1 AS INT)"
-        ).alias(f"code{m}")
-        for m, dl in enumerate(_pq_subdist_exprs("vecd"))
-    ]
-    return tmp.select(id_col, "vecd", *codes)
+    from data_warehouse_flink_spark.functions.pq_codebooks import M_SUBSPACES
+
+    d = _pq_subspace_dists(embeddings, "_pq_id", id_col, vec_col)
+    return d.groupBy(F.col("_pq_id").alias(id_col)).agg(
+        *[
+            F.min(F.when(F.col("m") == m, F.struct("d_micro", "cidx")))[
+                "cidx"
+            ].alias(f"code{m}")
+            for m in range(M_SUBSPACES)
+        ]
+    )
 
 
 def knn_pq(
@@ -354,47 +391,52 @@ def knn_pq(
     """Approximate top-k by asymmetric-distance computation (ADC) over the
     PQ-encoded corpus.
 
-    The query side precomputes, per subspace, the 16 distances from its
-    subvector to every codeword (the ADC lookup table); the corpus side is
-    scanned as CODES ONLY — each candidate's distance is 8 table lookups
-    and adds, never touching the original floats. That asymmetry is the PQ
-    scale win: the 64-float corpus never leaves storage, the scan reads
-    8 bytes/vector. Queries broadcast against the encoded corpus
-    (scan-linear), then a per-query rank takes top-k; distances and the
-    final sum round to 6 decimals, ordering ties break on neighbor id, so
-    results are engine-exact against the generated oracle.
+    The query side keeps, per subspace, its 16 distances to every codeword
+    (the ADC lookup table, here in long form); the corpus side is scanned
+    as CODES ONLY — a candidate's distance is the sum of 8 looked-up
+    entries, joined on (subspace, code), never touching the original
+    floats. That asymmetry is the PQ scale win: the 64-float corpus never
+    leaves storage, the scan reads 8 bytes/vector. The query table is
+    queries x 128 rows and broadcast; distances live in integer
+    micro-units so the 8-way ADC sum is exact in any order, and the final
+    rank ties break on neighbor id — engine-exact against the generated
+    oracle.
     """
     from pyspark.sql.window import Window
 
-    encoded = pq_encode(embeddings, id_col=id_col, vec_col=vec_col).select(
+    from data_warehouse_flink_spark.functions.pq_codebooks import M_SUBSPACES
+
+    enc = pq_encode(embeddings, id_col=id_col, vec_col=vec_col)
+    codes_long = enc.select(
         F.col(id_col).alias("neighbor_id"),
-        *[f"code{m}" for m in range(8)],
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({m} AS m, code{m} AS code)"
+                    for m in range(M_SUBSPACES)
+                )
+                + ")"
+            )
+        ).alias("c"),
+    ).select("neighbor_id", "c.m", "c.code")
+    qd = _pq_subspace_dists(queries, "query_id", id_col, vec_col)
+    pairs = codes_long.join(
+        F.broadcast(qd.withColumnRenamed("cidx", "code")), ["m", "code"]
     )
-    qside = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        *[
-            F.expr(dl).alias(f"dt{m}")
-            for m, dl in enumerate(_pq_subdist_exprs("vecd"))
-        ],
-    )
-    adc = F.expr(
-        "round("
-        + " + ".join(f"element_at(dt{m}, code{m} + 1)" for m in range(8))
-        + ", 6)"
-    )
-    pairs = (
-        F.broadcast(qside)
-        .crossJoin(encoded)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    adc = (
+        pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            (F.sum("d_micro").cast("double") / 1000000.0).alias("adc_dist")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= k)
-    )
+    return adc.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).filter(F.col("rn") <= k)
 
 
 def sq8_encode(embeddings: DataFrame) -> DataFrame:

@@ -57,3 +57,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_time_columns(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def ensure_scan_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Redistribute a narrow-input table before compute-heavy projections.
+
+    Spark parallelizes scans by file split, but a split never crosses a
+    parquet row-group — and the driver testdata ships ONE row group per
+    file, so every scan stage (and whatever map-side work is fused into it:
+    gram explodes, 64-way MinHash, md5 sketches) runs as a single task no
+    matter how many cores the session has. On production input (many files /
+    many row groups) the scan already fans out and this returns the frame
+    untouched; only when the scan's parallelism is a fraction of the
+    cluster's does it pay one small round-robin exchange of the raw table to
+    unlock every core for the downstream projection. Row order is never
+    semantically significant in this engine (registry determinism contract),
+    so the redistribution is value-invisible.
+    """
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, n // 4):
+        return df.repartition(n)
+    return df

@@ -35,7 +35,7 @@ from data_warehouse_flink_spark.functions.text import (
     language_id,
     quality_features,
 )
-from data_warehouse_flink_spark.io import table
+from data_warehouse_flink_spark.io import ensure_scan_parallelism, table
 from data_warehouse_flink_spark.registry import register
 
 
@@ -45,6 +45,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "embeddings")
+
+
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with scan parallelism ensured — for the compute-bound
+    scan-linear queries (hash sketches, replace chains) whose entire cost
+    is map-side work fused into the scan stage. Aggregation-heavy queries
+    keep the plain scan: their cost is the shuffle, and A/B timing showed
+    the extra exchange only adds overhead there."""
+    return ensure_scan_parallelism(_docs(spark, sf_dir), spark)
+
+
+def _embs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensure_scan_parallelism(_embs(spark, sf_dir), spark)
 
 
 # ------------------------------------- shared dedup candidate pipeline ----
@@ -818,24 +831,25 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine — that's what makes this oracle-checkable. At production scale
     swap in xxhash64 (cheaper, same bottom-k contract) at the cost of
     cross-engine portability of the sketch values themselves.
-    """
-    docs = _docs(spark, sf_dir)
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 7, 1)), "
-                "i -> md5(substr(text, i, 8)))"
-            )
-        ).alias("h"),
-    ).distinct()
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("doc_id").orderBy(F.asc("h"))
-    return (
-        grams.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 8)
-        .select("doc_id", "h", F.col("rk").cast("long").alias("rk"))
+    Plan shape: the bottom-8 distinct hashes are selected INSIDE one row
+    (array_distinct → array_sort → slice over the per-doc gram array), so
+    the whole sketch is a zero-shuffle scan-linear projection — the
+    explode + distinct + rank-window form this replaces paid two corpus
+    shuffles for a per-row reduction (9.6 s → sub-second at sf0.1).
+    """
+    docs = _docs_wide(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "slice(array_sort(array_distinct(transform("
+                "sequence(1, greatest(length(text) - 7, 1)), "
+                "i -> md5(substr(text, i, 8))))), 1, 8)"
+            )
+        ).alias("rk0", "h"),
+    ).select(
+        "doc_id", "h", (F.col("rk0") + 1).cast("long").alias("rk")
     )
 
 
@@ -900,7 +914,7 @@ def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_warehouse_flink_spark.functions.similarity import knn_ivf
 
-    embs = _embs(spark, sf_dir)
+    embs = _embs_wide(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     return knn_ivf(embs, queries, k=5)
 
@@ -1966,7 +1980,7 @@ def knn_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_warehouse_flink_spark.functions.similarity import knn_pq
 
-    embs = _embs(spark, sf_dir)
+    embs = _embs_wide(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     return knn_pq(embs, queries, k=5)
 
@@ -2038,7 +2052,7 @@ def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles built with the same operation order in both engines),
     and every downstream sum is BIGINT.
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_wide(spark, sf_dir)
     b = _DSIR_BUCKETS
     grams = docs.select(
         "doc_id",
@@ -2063,6 +2077,10 @@ def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "is_t", "bucket")
         .agg(F.count("*").alias("c"))
+        # Materialized once: three consumers (bucket distributions, grand
+        # totals, scoring join) would otherwise re-run the gram explode —
+        # measured: ReuseExchange does NOT unify them post-optimization
+        # (6 corpus scans, 1.6x slower without this checkpoint).
         .localCheckpoint(eager=True)
     )
     bstats = db.groupBy("bucket").agg(
@@ -2160,7 +2178,7 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
     )
     merged = _bpe_merged_sql(base, "spark")
-    return _docs(spark, sf_dir).select(
+    return _docs_wide(spark, sf_dir).select(
         "doc_id",
         F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
         F.expr(
@@ -2218,4 +2236,4 @@ def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny per-dim stats aggregate, broadcast, scan-linear encode)."""
     from data_warehouse_flink_spark.functions.similarity import sq8_encode
 
-    return sq8_encode(_embs(spark, sf_dir))
+    return sq8_encode(_embs_wide(spark, sf_dir))

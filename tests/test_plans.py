@@ -179,3 +179,44 @@ def test_conversion_funnel_single_scan(spark):
     exchange — one events scan."""
     plan = formatted_plan(spark, "conversion_funnel")
     assert _parquet_scan_count(plan) == 1, plan
+
+
+def test_rolling_fingerprint_zero_shuffle_sketch(spark):
+    """The bottom-8 sketch is a per-row array reduction: at most the one
+    scan-parallelism exchange (io.ensure_scan_parallelism), never a
+    DISTINCT or rank-window shuffle."""
+    plan = formatted_plan(spark, "doc_rolling_fingerprint")
+    assert plan.count(") Exchange") <= 1, plan
+    assert "Window" not in plan, plan
+    assert _parquet_scan_count(plan) == 1, plan
+
+
+def test_bpe_encode_scan_linear(spark):
+    """The frozen-merge replace chain is a projection: one scan, at most
+    the scan-parallelism exchange."""
+    plan = formatted_plan(spark, "doc_bpe_encode")
+    assert plan.count(") Exchange") <= 1, plan
+    assert _parquet_scan_count(plan) == 1, plan
+
+
+def test_importance_weights_broadcasts_ratio_table(spark):
+    """The log-ratio and grand-total tables join back by broadcast —
+    the corpus-sized side never shuffles for the join."""
+    plan = formatted_plan(spark, "doc_importance_weights")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_compaction_plan_single_scan(spark):
+    """Day rollup is the only corpus-sized work: one events scan; the
+    global-order window runs on per-day metadata."""
+    plan = formatted_plan(spark, "events_compaction_plan")
+    assert _parquet_scan_count(plan) == 1, plan
+
+
+def test_knn_pq_joins_not_literal_trees(spark):
+    """PQ distances come from broadcast codebook joins (data), not literal
+    expression trees: both the encode join and the ADC join broadcast."""
+    plan = formatted_plan(spark, "knn_pq")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
