@@ -106,6 +106,8 @@ HEADLINE = [
     "doc_importance_weights",
     "embedding_sq8",
     "events_column_stats",
+    "event_value_histogram_quantiles",
+    "events_key_skew_profile",
 ]
 
 

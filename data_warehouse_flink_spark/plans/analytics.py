@@ -882,3 +882,175 @@ def events_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return stacked.select("s.*")
+
+
+@register(
+    "event_value_histogram_quantiles",
+    oracle="""
+    WITH stats AS (
+      SELECT min(value) AS lo, max(value) AS hi, count(*)::BIGINT AS n
+      FROM events
+    ), binned AS (
+      SELECT CASE WHEN s.hi = s.lo THEN 0 ELSE
+               CAST(least(floor((e.value - s.lo)
+                 / ((s.hi - s.lo) / 1000.0)), 999.0) AS BIGINT) END AS bin,
+             count(*)::BIGINT AS cnt
+      FROM events e CROSS JOIN stats s GROUP BY 1
+    ), cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum,
+             coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+      FROM binned
+    ), qs AS (
+      SELECT unnest(['p50', 'p90', 'p95', 'p99']) AS quantile,
+             unnest([0.5, 0.9, 0.95, 0.99]) AS p
+    ), hits AS (
+      SELECT q.quantile, q.p, s.lo, s.hi, s.n,
+             CAST(ceil(q.p * s.n) AS BIGINT) AS rank,
+             min_by(struct_pack(bin := c.bin, cnt := c.cnt,
+                                cum_before := c.cum_before), c.bin) AS h
+      FROM qs q CROSS JOIN stats s
+      JOIN cum c ON c.cum >= CAST(ceil(q.p * s.n) AS BIGINT)
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT quantile,
+           h.bin AS bin,
+           round(lo + (CAST(h.bin AS DOUBLE)
+             + (CAST(rank - h.cum_before AS DOUBLE)
+                / CAST(h.cnt AS DOUBLE)))
+             * ((hi - lo) / 1000.0), 6) AS est_value
+    FROM hits
+    """,
+)
+def event_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch via a fixed-width histogram: 1000 equi-width
+    bins over the observed range, quantiles read off the cumulative bin
+    counts with linear interpolation inside the crossing bin.
+
+    This is the DETERMINISTIC member of the approximate-quantile family
+    (`event_value_percentiles_approx`'s GK sketch is order-dependent and
+    can only be rows-only checked; bin counts are order-free, so this one
+    is value-exact against the oracle). Mergeability is literal: the sketch
+    state is 1000 BIGINT cells that sum across partitions — exactly what
+    Catalyst's partial aggregation already does — so the same query shape
+    rolls up per-day sketches at 100 TB. Two scans by construction (range
+    pass, bin pass), both full-pushdown column-pruned.
+    """
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("value")
+    stats = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(
+                "CASE WHEN hi = lo THEN 0L ELSE "
+                "CAST(least(floor((value - lo) / ((hi - lo) / 1000.0)), "
+                "999.0) AS BIGINT) END"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("bin")
+    cum = binned.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    qs = spark.createDataFrame(
+        [("p50", 0.5), ("p90", 0.9), ("p95", 0.95), ("p99", 0.99)],
+        "quantile string, p double",
+    )
+    hits = (
+        qs.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.expr("CAST(ceil(p * n) AS BIGINT)"))
+        .join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
+        .groupBy("quantile", "p", "lo", "hi", "n", "rank")
+        .agg(F.min(F.struct("bin", "cnt", "cum_before")).alias("h"))
+    )
+    return hits.select(
+        "quantile",
+        F.col("h.bin").alias("bin"),
+        F.expr(
+            "round(lo + (CAST(h.bin AS DOUBLE) + "
+            "(CAST(rank - h.cum_before AS DOUBLE) / CAST(h.cnt AS DOUBLE)))"
+            " * ((hi - lo) / 1000.0), 6)"
+        ).alias("est_value"),
+    )
+
+
+@register(
+    "events_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1
+    ), agg AS (
+      SELECT count(*)::BIGINT AS n_keys, max(cnt)::BIGINT AS max_cnt,
+             sum(cnt)::BIGINT AS n_rows
+      FROM per_key
+    ), ranked AS (
+      SELECT user_id, cnt,
+             row_number() OVER (ORDER BY cnt DESC, user_id)::BIGINT AS rank
+      FROM per_key
+    )
+    SELECT r.user_id, r.cnt, r.rank, a.n_keys,
+           a.max_cnt, (a.max_cnt * 1000 * a.n_keys / a.n_rows)::BIGINT
+             AS skew_milli
+    FROM ranked r CROSS JOIN agg a
+    WHERE r.rank <= 5
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic for shuffle planning: per-key cardinality
+    profile of the events stream keyed by user — the measurement that
+    decides whether a join/agg needs `operators/skew.py::salted_join` or
+    AQE's skew handling. Emits the 5 heaviest keys plus the corpus-level
+    skew factor (max key count over mean key count, in exact integer
+    milli-units: max * 1000 * n_keys / n_rows).
+
+    One scan, one key-shuffle; everything downstream is key-cardinality
+    metadata. The global rank window only ever sees per-key counts, not
+    rows.
+    """
+    from pyspark.sql import Window
+
+    per_key = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("n_rows"),
+    )
+    ranked = per_key.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("user_id")))
+        .cast("long"),
+    ).filter(F.col("rank") <= 5)
+    return ranked.crossJoin(F.broadcast(agg)).select(
+        "user_id",
+        "cnt",
+        "rank",
+        "n_keys",
+        "max_cnt",
+        F.expr("CAST(max_cnt * 1000 * n_keys DIV n_rows AS BIGINT)").alias(
+            "skew_milli"
+        ),
+    )

@@ -152,3 +152,54 @@ def test_sq8_flat_dimension_codes_zero(spark):
     # dim 0 is flat (max == min) -> code 0; dim 1 spans [1, 2] -> 0 / 255
     assert rows[1]["codes_preview"] == "0 0"
     assert rows[2]["codes_preview"] == "0 255"
+
+
+# ------------------------------------------------- histogram quantile sketch --
+def test_histogram_quantiles_close_to_exact(spark):
+    """The 1000-bin estimate must land within one bin width of the true
+    percentile (linear interpolation guarantees it for the crossing bin)."""
+    from data_warehouse_flink_spark.io import table
+
+    got = {
+        r["quantile"]: r["est_value"]
+        for r in QUERIES["event_value_histogram_quantiles"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    width = (hi - lo) / 1000.0
+    exact = ev.agg(
+        F.expr(
+            "percentile(value, array(0.5, 0.9, 0.95, 0.99))"
+        ).alias("p")
+    ).collect()[0]["p"]
+    for q, e in zip(("p50", "p90", "p95", "p99"), exact):
+        assert abs(got[q] - e) <= width + 1e-9, (q, got[q], e, width)
+
+
+def test_key_skew_profile_invariants(spark):
+    from data_warehouse_flink_spark.io import table
+
+    rows = (
+        QUERIES["events_key_skew_profile"]
+        .spark_fn(spark, SF_SMOKE)
+        .orderBy("rank")
+        .collect()
+    )
+    assert len(rows) == 5
+    # heaviest key first, counts non-increasing, skew factor >= 1.0
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert rows[0]["cnt"] == rows[0]["max_cnt"]
+    assert rows[0]["skew_milli"] >= 1000
+    # the reported top key really is the argmax
+    ev = table(spark, SF_SMOKE, "events")
+    top = (
+        ev.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), F.asc("user_id"))
+        .first()
+    )
+    assert rows[0]["user_id"] == top["user_id"]
+    assert rows[0]["cnt"] == top["count"]
