@@ -108,6 +108,8 @@ HEADLINE = [
     "events_column_stats",
     "event_value_histogram_quantiles",
     "events_key_skew_profile",
+    "orders_integrity_checks",
+    "events_k_anonymity",
 ]
 
 

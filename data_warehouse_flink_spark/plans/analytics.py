@@ -1008,7 +1008,7 @@ def event_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
       FROM per_key
     )
     SELECT r.user_id, r.cnt, r.rank, a.n_keys,
-           a.max_cnt, (a.max_cnt * 1000 * a.n_keys / a.n_rows)::BIGINT
+           a.max_cnt, (a.max_cnt * 1000 * a.n_keys // a.n_rows)::BIGINT
              AS skew_milli
     FROM ranked r CROSS JOIN agg a
     WHERE r.rank <= 5
@@ -1053,4 +1053,145 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(max_cnt * 1000 * n_keys DIV n_rows AS BIGINT)").alias(
             "skew_milli"
         ),
+    )
+
+
+@register(
+    "orders_integrity_checks",
+    oracle="""
+    SELECT 'orphan_customer' AS check_name,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT
+             AS n_violations,
+           (SELECT count(*) FROM orders)::BIGINT AS n_checked
+    UNION ALL
+    SELECT 'duplicate_orderkey',
+           (SELECT coalesce(sum(cnt), 0) FROM (
+              SELECT count(*)::BIGINT AS cnt FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1))::BIGINT,
+           (SELECT count(*) FROM orders)::BIGINT
+    UNION ALL
+    SELECT 'null_orderdate',
+           (SELECT count(*) FROM orders
+            WHERE o_orderdate IS NULL)::BIGINT,
+           (SELECT count(*) FROM orders)::BIGINT
+    UNION ALL
+    SELECT 'nonpositive_totalprice',
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice <= 0)::BIGINT,
+           (SELECT count(*) FROM orders)::BIGINT
+    UNION ALL
+    SELECT 'orphan_lineitem_order',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+           (SELECT count(*) FROM lineitem)::BIGINT
+    """,
+)
+def orders_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style data-quality suite over the order pipeline: referential
+    integrity (orders→customer, lineitem→orders, via LEFT ANTI joins),
+    primary-key uniqueness, null and domain checks — one (check_name,
+    n_violations, n_checked) row per expectation.
+
+    Plan shape: each FK check is a broadcast anti-join (the key side
+    broadcasts; at 100 TB the orders-key side of the lineitem check flips
+    to a shuffle anti-join automatically once it outgrows the broadcast
+    threshold — same declarative plan). The uniqueness check is one
+    key-shuffle. Checks are unioned, so Spark runs them as independent
+    stages of one job.
+    """
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    lineitem = table(spark, sf_dir, "lineitem")
+    n_orders = orders.count()
+    n_lineitem = lineitem.count()
+
+    def row(name: str, df_viol: DataFrame, checked: int) -> DataFrame:
+        return df_viol.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_violations"),
+            F.lit(checked).cast("long").alias("n_checked"),
+        )
+
+    orphan_cust = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.lit("duplicate_orderkey").alias("check_name"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_violations"),
+            F.lit(n_orders).cast("long").alias("n_checked"),
+        )
+    )
+    null_date = orders.filter(F.col("o_orderdate").isNull())
+    bad_total = orders.filter(F.col("o_totalprice") <= 0)
+    orphan_line = lineitem.join(
+        F.broadcast(orders.select("o_orderkey")),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    return (
+        row("orphan_customer", orphan_cust, n_orders)
+        .unionAll(dup_keys)
+        .unionAll(row("null_orderdate", null_date, n_orders))
+        .unionAll(row("nonpositive_totalprice", bad_total, n_orders))
+        .unionAll(row("orphan_lineitem_order", orphan_line, n_lineitem))
+    )
+
+
+@register(
+    "events_k_anonymity",
+    oracle="""
+    WITH groups AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, hour(ts) AS hr,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_groups,
+           sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END)::BIGINT
+             AS n_small_groups,
+           sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END)::BIGINT
+             AS suppressed_rows,
+           (sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) * 1000000
+              // sum(cnt))::BIGINT AS suppression_ppm
+    FROM groups GROUP BY 1
+    """,
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=10) over the quasi-identifier tuple
+    (event_type, day, hour): how many equivalence classes fall below k,
+    and what fraction of rows a release would have to suppress — the
+    governance measurement that pairs with `doc_pii_redact` on the
+    content side.
+
+    Two cheap aggregations (rows → quasi-identifier groups → per-type
+    rollup); the integer-ppm suppression rate keeps the output exact
+    across engines. At 100 TB the same shape runs on any identifier
+    tuple; cardinality is bounded by the QI domain, not the row count.
+    """
+    ev = _events(spark, sf_dir)
+    groups = ev.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count("*").alias("cnt"))
+    small = F.when(F.col("cnt") < 10, F.col("cnt")).otherwise(F.lit(0))
+    return groups.groupBy("event_type").agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("cnt") < 10, 1).otherwise(0)).alias(
+            "n_small_groups"
+        ),
+        F.sum(small).alias("suppressed_rows"),
+        F.expr(
+            "CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) * 1000000"
+            " DIV sum(cnt) AS BIGINT)"
+        ).alias("suppression_ppm"),
     )

@@ -203,3 +203,49 @@ def test_key_skew_profile_invariants(spark):
     )
     assert rows[0]["user_id"] == top["user_id"]
     assert rows[0]["cnt"] == top["count"]
+
+
+# ----------------------------------------------------------- data quality --
+def test_integrity_checks_detect_injected_violations(spark, tmp_path):
+    """Copy the smoke tier's order pipeline, inject one orphan order, one
+    duplicated order key, and one orphan lineitem — the suite must count
+    exactly those."""
+    from data_warehouse_flink_spark.io import table
+
+    d = str(tmp_path / "sf_bad")
+    orders = table(spark, SF_SMOKE, "orders")
+    first = orders.limit(1)
+    tampered = (
+        orders.unionAll(first.withColumn("o_custkey", F.lit(-1)))
+        .unionAll(first)  # duplicate order key (twice -> 2 dup rows)
+    )
+    tampered.write.parquet(f"{d}/orders.parquet")
+    table(spark, SF_SMOKE, "customer").write.parquet(
+        f"{d}/customer.parquet"
+    )
+    lineitem = table(spark, SF_SMOKE, "lineitem")
+    lineitem.unionAll(
+        lineitem.limit(1).withColumn("l_orderkey", F.lit(-12345))
+    ).write.parquet(f"{d}/lineitem.parquet")
+
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in QUERIES["orders_integrity_checks"].spark_fn(spark, d).collect()
+    }
+    assert got["orphan_customer"] == 1
+    # the first order key now appears 3x (original + orphan copy + dup)
+    assert got["duplicate_orderkey"] == 3
+    assert got["orphan_lineitem_order"] == 1
+    assert got["null_orderdate"] == 0
+    assert got["nonpositive_totalprice"] == 0
+
+
+def test_k_anonymity_counts_small_groups(spark):
+    rows = (
+        QUERIES["events_k_anonymity"].spark_fn(spark, SF_SMOKE).collect()
+    )
+    for r in rows:
+        assert 0 <= r["n_small_groups"] <= r["n_groups"]
+        assert 0 <= r["suppression_ppm"] <= 1_000_000
+        if r["n_small_groups"] == r["n_groups"]:
+            assert r["suppression_ppm"] == 1_000_000
