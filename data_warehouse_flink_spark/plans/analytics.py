@@ -884,6 +884,58 @@ def events_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select("s.*")
 
 
+def _hist_bin_expr():
+    """value -> 1000-bin index, given lo/hi columns in scope."""
+    return F.expr(
+        "CASE WHEN hi = lo THEN 0L ELSE "
+        "CAST(least(floor((value - lo) / ((hi - lo) / 1000.0)), "
+        "999.0) AS BIGINT) END"
+    )
+
+
+def _hist_quantiles_from_bins(
+    spark: SparkSession, binned: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Quantile read-off from a (bin, cnt) sketch table: cumulative counts,
+    first crossing bin per requested quantile, in-bin linear interpolation.
+    Shared by the batch query and its streaming twin — mergeability means
+    the sketch TABLE is the contract, not how it was accumulated."""
+    w = Window.orderBy("bin")
+    cum = binned.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    qs = spark.createDataFrame(
+        [("p50", 0.5), ("p90", 0.9), ("p95", 0.95), ("p99", 0.99)],
+        "quantile string, p double",
+    )
+    hits = (
+        qs.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.expr("CAST(ceil(p * n) AS BIGINT)"))
+        .join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
+        .groupBy("quantile", "p", "lo", "hi", "n", "rank")
+        .agg(F.min(F.struct("bin", "cnt", "cum_before")).alias("h"))
+    )
+    return hits.select(
+        "quantile",
+        F.col("h.bin").alias("bin"),
+        F.expr(
+            "round(lo + (CAST(h.bin AS DOUBLE) + "
+            "(CAST(rank - h.cum_before AS DOUBLE) / CAST(h.cnt AS DOUBLE)))"
+            " * ((hi - lo) / 1000.0), 6)"
+        ).alias("est_value"),
+    )
+
+
 @register(
     "event_value_histogram_quantiles",
     oracle="""
@@ -937,8 +989,6 @@ def event_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     rolls up per-day sketches at 100 TB. Two scans by construction (range
     pass, bin pass), both full-pushdown column-pruned.
     """
-    from pyspark.sql import Window
-
     ev = _events(spark, sf_dir).select("value")
     stats = ev.agg(
         F.min("value").alias("lo"),
@@ -947,50 +997,93 @@ def event_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     )
     binned = (
         ev.crossJoin(F.broadcast(stats))
-        .select(
-            F.expr(
-                "CASE WHEN hi = lo THEN 0L ELSE "
-                "CAST(least(floor((value - lo) / ((hi - lo) / 1000.0)), "
-                "999.0) AS BIGINT) END"
-            ).alias("bin")
-        )
+        .select(_hist_bin_expr().alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.orderBy("bin")
-    cum = binned.select(
-        "bin",
-        "cnt",
-        F.sum("cnt").over(w).alias("cum"),
-        F.coalesce(
-            F.sum("cnt").over(
-                Window.orderBy("bin").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("cum_before"),
+    return _hist_quantiles_from_bins(spark, binned, stats)
+
+
+@register(
+    "streaming_value_histogram_quantiles",
+    oracle="""
+    WITH stats AS (
+      SELECT min(value) AS lo, max(value) AS hi, count(*)::BIGINT AS n
+      FROM events
+    ), binned AS (
+      SELECT CASE WHEN s.hi = s.lo THEN 0 ELSE
+               CAST(least(floor((e.value - s.lo)
+                 / ((s.hi - s.lo) / 1000.0)), 999.0) AS BIGINT) END AS bin,
+             count(*)::BIGINT AS cnt
+      FROM events e CROSS JOIN stats s GROUP BY 1
+    ), cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum,
+             coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+      FROM binned
+    ), qs AS (
+      SELECT unnest(['p50', 'p90', 'p95', 'p99']) AS quantile,
+             unnest([0.5, 0.9, 0.95, 0.99]) AS p
+    ), hits AS (
+      SELECT q.quantile, q.p, s.lo, s.hi, s.n,
+             CAST(ceil(q.p * s.n) AS BIGINT) AS rank,
+             min_by(struct_pack(bin := c.bin, cnt := c.cnt,
+                                cum_before := c.cum_before), c.bin) AS h
+      FROM qs q CROSS JOIN stats s
+      JOIN cum c ON c.cum >= CAST(ceil(q.p * s.n) AS BIGINT)
+      GROUP BY 1, 2, 3, 4, 5
     )
-    qs = spark.createDataFrame(
-        [("p50", 0.5), ("p90", 0.9), ("p95", 0.95), ("p99", 0.99)],
-        "quantile string, p double",
+    SELECT quantile,
+           h.bin AS bin,
+           round(lo + (CAST(h.bin AS DOUBLE)
+             + (CAST(rank - h.cum_before AS DOUBLE)
+                / CAST(h.cnt AS DOUBLE)))
+             * ((hi - lo) / 1000.0), 6) AS est_value
+    FROM hits
+    """,
+)
+def streaming_value_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of `event_value_histogram_quantiles`: the 1000-bin
+    sketch is maintained as a Structured Streaming aggregation over the
+    replayed event stream (complete mode, availableNow), then quantiles are
+    read off the final sketch table.
+
+    This is the mergeability claim made executable: bins accumulated
+    micro-batch by micro-batch through the state store equal bins computed
+    in one batch pass, so the streaming run reuses the BATCH oracle
+    verbatim. The sketch bounds (lo/hi) come from a one-time range pass and
+    are pinned as literals — exactly how a production sketch fixes its
+    bounds before ingestion starts.
+    """
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    lo, hi, n = (
+        _events(spark, sf_dir)
+        .agg(F.min("value"), F.max("value"), F.count("*"))
+        .first()
     )
-    hits = (
-        qs.crossJoin(F.broadcast(stats))
-        .withColumn("rank", F.expr("CAST(ceil(p * n) AS BIGINT)"))
-        .join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
-        .groupBy("quantile", "p", "lo", "hi", "n", "rank")
-        .agg(F.min(F.struct("bin", "cnt", "cum_before")).alias("h"))
+    stream = stream_events(spark, sf_dir).select("value")
+    if hi == lo:
+        bin_col = F.lit(0).cast("long")
+    else:
+        bin_col = F.expr(
+            f"CAST(least(floor((value - {lo!r}) / (({hi!r} - {lo!r}) "
+            "/ 1000.0)), 999.0) AS BIGINT)"
+        )
+    binned_stream = stream.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").alias("cnt")
     )
-    return hits.select(
-        "quantile",
-        F.col("h.bin").alias("bin"),
-        F.expr(
-            "round(lo + (CAST(h.bin AS DOUBLE) + "
-            "(CAST(rank - h.cum_before AS DOUBLE) / CAST(h.cnt AS DOUBLE)))"
-            " * ((hi - lo) / 1000.0), 6)"
-        ).alias("est_value"),
+    binned = run_stream_to_table(
+        binned_stream, spark, output_mode="complete"
     )
+    stats = spark.createDataFrame(
+        [(float(lo), float(hi), int(n))], "lo double, hi double, n long"
+    )
+    return _hist_quantiles_from_bins(spark, binned, stats)
 
 
 @register(
