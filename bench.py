@@ -110,6 +110,8 @@ HEADLINE = [
     "events_key_skew_profile",
     "orders_integrity_checks",
     "events_k_anonymity",
+    "user_cdc_snapshot",
+    "events_props_json",
 ]
 
 

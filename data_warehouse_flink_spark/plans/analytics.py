@@ -1288,3 +1288,86 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV sum(cnt) AS BIGINT)"
         ).alias("suppression_ppm"),
     )
+
+
+@register(
+    "user_cdc_snapshot",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_type, value, epoch_us(ts)::BIGINT AS ts_us,
+             event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           (value::DECIMAL(18,6))::VARCHAR AS last_value,
+           ts_us AS last_ts_us
+    FROM log
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def user_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: treat the event stream as a change log keyed by
+    user (every event an upsert; ``error`` a delete tombstone) and
+    materialize the current snapshot — latest record per key wins, keys
+    whose latest record is a tombstone disappear. The SCD1 sibling of
+    `user_tier_scd2`'s history-keeping MERGE.
+
+    One key-shuffle for the per-key latest-record rank (ts, event_id
+    total order — deterministic under ties); scales as any keyed window.
+    At 100 TB this is the periodic compaction a streaming CDC ingest runs
+    per partition; the same plan serves both.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,6)) AS STRING)").alias(
+                "last_value"
+            ),
+            F.unix_micros("ts").alias("last_ts_us"),
+        )
+    )
+
+
+@register(
+    "events_props_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           round(sum(value::DECIMAL(18,6)), 6)::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics: extract a field from the JSON ``props``
+    payload with a JSON-path expression (JVM-side `get_json_object`, no
+    UDF) and aggregate on it — the schema-on-read pattern for event
+    payloads that never got promoted to columns.
+
+    At 100 TB the note that matters: JSON parsing happens in the scan
+    stage's projection (codegen'd, scan-linear), and only the extracted
+    key shuffles. Promoting hot fields to real columns (or a parquet
+    variant type) is the storage-side upgrade; the query shape is
+    unchanged.
+    """
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("long").alias("k")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("sum_value"),
+    )

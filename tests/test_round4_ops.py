@@ -249,3 +249,33 @@ def test_k_anonymity_counts_small_groups(spark):
         assert 0 <= r["suppression_ppm"] <= 1_000_000
         if r["n_small_groups"] == r["n_groups"]:
             assert r["suppression_ppm"] == 1_000_000
+
+
+# ------------------------------------------------------------ CDC snapshot --
+def test_cdc_snapshot_tombstones_and_latest_wins(spark):
+    from data_warehouse_flink_spark.io import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    snap = {
+        r["user_id"]: r
+        for r in QUERIES["user_cdc_snapshot"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    latest = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    for r in latest:
+        if r["event_type"] == "error":
+            assert r["user_id"] not in snap  # tombstoned
+        else:
+            assert snap[r["user_id"]]["last_event_type"] == r["event_type"]
+    # at least one tombstone actually exercised
+    assert any(r["event_type"] == "error" for r in latest)
