@@ -112,6 +112,7 @@ HEADLINE = [
     "events_k_anonymity",
     "user_cdc_snapshot",
     "events_props_json",
+    "knn_rrf",
 ]
 
 

@@ -2237,3 +2237,74 @@ def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_flink_spark.functions.similarity import sq8_encode
 
     return sq8_encode(_embs_wide(spark, sf_dir))
+
+
+# --------------------------------- hybrid retrieval: reciprocal-rank fusion ----
+def _knn_rrf_oracle() -> str:
+    """Generated oracle: the LSH and IVF oracle queries verbatim as CTE
+    bodies, fused by integer-exact reciprocal rank (1e6 DIV (60 + rank),
+    summed per candidate — no floats anywhere in the fusion)."""
+    lsh = _knn_lsh_oracle()
+    ivf = _knn_ivf_oracle()
+    return f"""
+    WITH lsh_hits AS ({lsh}),
+    ivf_hits AS ({ivf}),
+    pooled AS (
+      SELECT query_id, neighbor_id, rn FROM lsh_hits
+      UNION ALL
+      SELECT query_id, neighbor_id, rn FROM ivf_hits
+    ), fused AS (
+      SELECT query_id, neighbor_id,
+             sum(1000000 // (60 + rn))::BIGINT AS rrf_micro
+      FROM pooled GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rrf_micro,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY rrf_micro DESC, neighbor_id) AS BIGINT) AS rn
+    FROM fused
+    QUALIFY rn <= 5
+    """
+
+
+@register("knn_rrf", oracle=_knn_rrf_oracle())
+def knn_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the LSH-tier and IVF-tier candidate lists by
+    reciprocal-rank fusion (Cormack et al. 2009), the standard way modern
+    retrieval stacks combine heterogeneous rankers. Candidates surfaced by
+    both tiers rise; each tier covers the other's hash/cell blind spots.
+
+    The fusion is integer-exact (1e6 DIV (60 + rank), summed) — no float
+    scores cross the tiers, so the whole pipeline stays value-exact against
+    the composed oracle. Cost is the two tier queries (each bucket/cell
+    restricted) plus a per-query rank over at most 2k pooled rows —
+    scale-wise it inherits the tiers' shapes, adding nothing corpus-sized.
+    """
+    from pyspark.sql import Window
+    from data_warehouse_flink_spark.functions.similarity import (
+        knn_ivf,
+        knn_lsh,
+    )
+
+    embs = _embs_wide(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 20)
+    pooled = (
+        knn_lsh(embs, queries, k=5)
+        .select("query_id", "neighbor_id", "rn")
+        .unionAll(
+            knn_ivf(embs, queries, k=5).select(
+                "query_id", "neighbor_id", "rn"
+            )
+        )
+    )
+    fused = pooled.groupBy("query_id", "neighbor_id").agg(
+        F.expr("CAST(sum(1000000 DIV (60 + rn)) AS BIGINT)").alias(
+            "rrf_micro"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("neighbor_id")
+    )
+    return fused.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).filter(F.col("rn") <= 5)

