@@ -295,3 +295,84 @@ def test_near_dedup_stream_at_200k_docs(spark, tmp_path):
         f"200k docs / 4 batches in {elapsed:.1f}s "
         f"({int(n_docs / elapsed)} docs/s), admitted {admitted}"
     )
+
+
+def test_bpe_encode_scans_1m_docs(spark, big_docs):
+    """The frozen-merge replace chain at volume: scan-linear, no shuffle
+    in the encode projection itself."""
+    from data_warehouse_flink_spark.plans.llm_ops import _bpe_merged_sql
+
+    base = (
+        "concat(' ', array_join(transform(split(text, ' '), "
+        "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
+    )
+    merged = _bpe_merged_sql(base, "spark")
+    out = big_docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(size(filter(split(trim({merged}), ' '), "
+            "t -> t != '|')) AS BIGINT)"
+        ).alias("n_subwords"),
+    )
+    assert (
+        "Exchange"
+        not in out._jdf.queryExecution().executedPlan().toString()
+    )
+    agg = out.agg(
+        F.count("*").alias("n"), F.min("n_subwords").alias("lo")
+    ).collect()[0]
+    assert agg["n"] >= 1_000_000 and agg["lo"] >= 40
+
+
+def test_importance_weights_at_1m_docs(spark, big_docs):
+    """DSIR shape at volume: gram/bucket table + broadcast ratio join over
+    1M docs (~80M grams)."""
+    import data_warehouse_flink_spark.plans.llm_ops as L
+
+    docs = big_docs.withColumn(
+        "lang",
+        F.when(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0, "en").otherwise(
+            "de"
+        ),
+    )
+    orig = L._docs_wide
+    L._docs_wide = lambda s, d: docs
+    try:
+        out = L.doc_importance_weights(spark, "ignored")
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        ).collect()[0]
+    finally:
+        L._docs_wide = orig
+    assert agg["n"] >= 1_000_000
+    assert 0 < agg["kept"] < agg["n"]
+
+
+def test_histogram_quantiles_at_5m(spark, big_events):
+    """The 1000-bin sketch at 5M rows: partial-agg mergeable, estimates
+    land within a bin width of the exact percentiles."""
+    import data_warehouse_flink_spark.plans.analytics as A
+
+    ev = big_events.withColumn(
+        "value",
+        (F.pmod(F.xxhash64("event_id", F.lit(9)), F.lit(100000)) / 100.0),
+    )
+    orig = A._events
+    A._events = lambda s, d: ev
+    try:
+        rows = {
+            r["quantile"]: r["est_value"]
+            for r in A.event_value_histogram_quantiles(
+                spark, "ignored"
+            ).collect()
+        }
+    finally:
+        A._events = orig
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    width = (hi - lo) / 1000.0
+    exact = ev.agg(
+        F.expr("percentile(value, array(0.5, 0.99))").alias("p")
+    ).collect()[0]["p"]
+    assert abs(rows["p50"] - exact[0]) <= width + 1e-9
+    assert abs(rows["p99"] - exact[1]) <= width + 1e-9
