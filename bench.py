@@ -113,6 +113,8 @@ HEADLINE = [
     "user_cdc_snapshot",
     "events_props_json",
     "knn_rrf",
+    "doc_hash_embedding",
+    "doc_text_knn",
 ]
 
 

@@ -2312,3 +2312,197 @@ def knn_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn(
         "rn", F.row_number().over(w).cast("long")
     ).filter(F.col("rn") <= 5)
+
+
+# ------------------------- feature-hashing text embeddings + text-to-text kNN ----
+_HEMB_DIMS = 64
+_HEMB_BUCKETS = 256
+
+_HEMB_V_SQL = f"""
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), bucketed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 7))::BIGINT % {_HEMB_BUCKETS}
+               AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM toks GROUP BY 1, 2
+    ), signs AS (
+      SELECT d.dim, b.bucket,
+             CASE WHEN ('0x' || substr(md5(d.dim::VARCHAR || ':'
+                 || b.bucket::VARCHAR), 1, 1))::BIGINT % 2 = 0
+               THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(range(0, {_HEMB_DIMS})) AS dim) d
+      CROSS JOIN (SELECT unnest(range(0, {_HEMB_BUCKETS})) AS bucket) b
+    ), v AS (
+      SELECT doc_id, dim, sum(cnt * s)::BIGINT AS v
+      FROM bucketed JOIN signs USING (bucket) GROUP BY 1, 2
+    )"""
+
+
+def _hash_emb_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dim, v): the feature-hashing ("hashing trick") embedding in
+    long form — token counts hashed into buckets, projected by a seeded
+    Rademacher (+/-1) matrix that BOTH engines derive from md5 parity, so
+    every coordinate is an exact BIGINT. The projection matrix is computed
+    data (a 64x256 cross join), not literal expression trees (the PQ
+    lesson). Cached per (session, sf): the embedder feeds both registered
+    queries."""
+    b, d = _HEMB_BUCKETS, _HEMB_DIMS
+
+    def build() -> DataFrame:
+        docs = _docs_wide(spark, sf_dir)
+        toks = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        bucketed = (
+            toks.select(
+                "doc_id",
+                F.expr(
+                    f"CAST(conv(substr(md5(tok), 1, 7), 16, 10) AS BIGINT)"
+                    f" % {b}"
+                ).alias("bucket"),
+            )
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+        signs = (
+            spark.range(d)
+            .selectExpr("id AS dim")
+            .crossJoin(spark.range(b).selectExpr("id AS bucket"))
+            .selectExpr(
+                "dim",
+                "bucket",
+                "CASE WHEN CAST(conv(substr(md5(concat(CAST(dim AS STRING),"
+                " ':', CAST(bucket AS STRING))), 1, 1), 16, 10) AS BIGINT)"
+                " % 2 = 0 THEN 1L ELSE -1L END AS s",
+            )
+        )
+        return (
+            bucketed.join(F.broadcast(signs), "bucket")
+            .groupBy("doc_id", "dim")
+            .agg(F.sum(F.col("cnt") * F.col("s")).alias("v"))
+        )
+
+    return _cached(spark, sf_dir, "hash_emb_v", build)
+
+
+@register(
+    "doc_hash_embedding",
+    oracle=f"""
+    WITH {_HEMB_V_SQL}
+    SELECT doc_id,
+           sum(v * v)::BIGINT AS norm2,
+           {", ".join(
+               f"sum(CASE WHEN dim = {k} THEN v ELSE 0 END)::BIGINT AS d{k}"
+               for k in range(8)
+           )}
+    FROM v GROUP BY 1
+    """,
+)
+def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text -> embedding without a model: the feature-hashing trick
+    (Weinberger et al. 2009). Token counts hash into {_HEMB_BUCKETS}
+    buckets and project through a seeded +/-1 matrix to {_HEMB_DIMS}
+    integer coordinates — the bridge from the documents table into the
+    similarity stack when no learned embedding exists.
+
+    Everything is BIGINT end-to-end (counts x signs), so the embedding is
+    value-exact across engines with no float discipline needed. Scale
+    shape: one corpus scan -> (doc, bucket) counts (bounded by tokens),
+    one broadcast of the 16k-row projection matrix, two keyed aggregations.
+    Emits the squared norm plus the first 8 coordinates.
+    """
+    v = _hash_emb_long(spark, sf_dir)
+    return v.groupBy("doc_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("norm2"),
+        *[
+            F.sum(F.when(F.col("dim") == k, F.col("v")).otherwise(0)).alias(
+                f"d{k}"
+            )
+            for k in range(8)
+        ],
+    )
+
+
+@register(
+    "doc_text_knn",
+    oracle=f"""
+    WITH {_HEMB_V_SQL}, norms AS (
+      SELECT doc_id, sum(v * v)::BIGINT AS n2 FROM v GROUP BY 1
+    ), dots AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             sum(q.v * c.v)::BIGINT AS dot
+      FROM v q JOIN v c USING (dim)
+      WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             round(CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)), 6)
+               AS cosine
+      FROM dots d
+      JOIN norms qn ON qn.doc_id = d.query_id
+      JOIN norms cn ON cn.doc_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+             AS BIGINT) AS rn
+    FROM scored QUALIFY rn <= 5
+    """,
+)
+def doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-text top-5 neighbors over the hash embeddings: integer dot
+    products (broadcast query side joined on dim), cosine from exact
+    BIGINT norms rounded before the rank — ANN over raw documents with no
+    model and no float drift. Composes `doc_hash_embedding`'s cached
+    long-form table; cost beyond it is queries x corpus x dims integer
+    multiplies, the brute-force baseline of this text tier."""
+    from pyspark.sql import Window
+
+    v = _hash_emb_long(spark, sf_dir)
+    norms = v.groupBy("doc_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("n2")
+    )
+    qv = v.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "dim", F.col("v").alias("qv")
+    )
+    dots = (
+        v.join(F.broadcast(qv), "dim")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(
+                norms.select(
+                    F.col("doc_id").alias("query_id"),
+                    F.col("n2").alias("qn2"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            norms.select(
+                F.col("doc_id").alias("neighbor_id"),
+                F.col("n2").alias("cn2"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "round(CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE)"
+                " * CAST(cn2 AS DOUBLE)), 6)"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).filter(F.col("rn") <= 5)

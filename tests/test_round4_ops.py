@@ -302,3 +302,54 @@ def test_rrf_fuses_tier_candidates(spark):
     both = pool.count() - lsh.count() - ivf.count()  # negative if overlap
     top_scores = rrf.filter("rn = 1").select("rrf_micro").collect()
     assert all(r["rrf_micro"] >= 1000000 // 65 for r in top_scores)
+
+
+# ------------------------------------------------------- hash embeddings --
+def test_hash_embedding_matches_direct_projection(spark):
+    """Spot-check one document's embedding against a driver-side
+    recomputation of the hashing trick."""
+    import hashlib
+
+    from data_warehouse_flink_spark.io import table
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _HEMB_BUCKETS,
+        _HEMB_DIMS,
+    )
+
+    doc = (
+        table(spark, SF_SMOKE, "documents")
+        .filter("doc_id = 0")
+        .collect()[0]
+    )
+    counts: dict[int, int] = {}
+    for tok in doc["text"].split(" "):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:7], 16) % _HEMB_BUCKETS
+        counts[b] = counts.get(b, 0) + 1
+
+    def sign(j, b):
+        h = hashlib.md5(f"{j}:{b}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    expect = [
+        sum(c * sign(j, b) for b, c in counts.items())
+        for j in range(_HEMB_DIMS)
+    ]
+    row = (
+        QUERIES["doc_hash_embedding"]
+        .spark_fn(spark, SF_SMOKE)
+        .filter("doc_id = 0")
+        .collect()[0]
+    )
+    assert [row[f"d{k}"] for k in range(8)] == expect[:8]
+    assert row["norm2"] == sum(v * v for v in expect)
+
+
+def test_text_knn_self_similarity_sanity(spark):
+    """Nearest text neighbors have positive cosine and never include the
+    query itself."""
+    rows = QUERIES["doc_text_knn"].spark_fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+    top = [r for r in rows if r["rn"] == 1]
+    assert all(r["cosine"] > 0 for r in top)
