@@ -1339,6 +1339,56 @@ def user_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_user_cdc_snapshot",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_type, value, epoch_us(ts)::BIGINT AS ts_us,
+             event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           (value::DECIMAL(18,6))::VARCHAR AS last_value,
+           ts_us AS last_ts_us
+    FROM log
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def streaming_user_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `user_cdc_snapshot`: the CDC apply as a continuous
+    query — latest record per key maintained in the state store by a
+    complete-mode struct-max aggregation over the replayed change stream,
+    tombstones dropped from the materialized snapshot.
+
+    The struct max on (ts, event_id, ...) is associative and commutative,
+    so micro-batch accumulation equals the one-pass batch compaction and
+    the BATCH oracle applies verbatim — same argument as the streaming
+    histogram sketch. This is how a CDC ingest actually runs in
+    production: the batch query is the backfill, this is the tail.
+    """
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    stream = stream_events(spark, sf_dir)
+    latest = stream.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("last")
+    )
+    snap = run_stream_to_table(latest, spark, output_mode="complete")
+    return snap.filter(F.col("last.event_type") != "error").select(
+        "user_id",
+        F.col("last.event_type").alias("last_event_type"),
+        F.expr(
+            "CAST(CAST(last.value AS DECIMAL(18,6)) AS STRING)"
+        ).alias("last_value"),
+        F.unix_micros("last.ts").alias("last_ts_us"),
+    )
+
+
+@register(
     "events_props_json",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

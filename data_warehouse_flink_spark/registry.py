@@ -77,8 +77,9 @@ def load_all() -> None:
 #     pivot/grouping-sets and sql_frontend demos;
 # (3) knn_ivf + multimodal_features — graduated to value-exact oracles this
 #     round (frozen IVF centroids / SQL CRC-32), first hash-grade;
-# (4) a 12-query TPC-H reconfirmation slice (heavy hitters, all r1/r2
-#     hash-green) filling the remaining slots.
+# (4) the strongest late-round-4 additions — first-time driver evidence
+#     beats re-confirming TPC-H queries that are already r1/r2 hash-green,
+#     so the reconfirmation slice yielded its slots to them.
 # Everything else already has driver-green evidence from r1–r3 and follows
 # in registration order.
 _GRADING_PRIORITY = (
@@ -125,17 +126,17 @@ _GRADING_PRIORITY = (
     "multimodal_features",
     "multimodal_frames",
     "user_tier_scd2",
-    # -- TPC-H reconfirmation slice --
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q9",
-    "tpch_q13",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q21",
+    # -- late-round-4 additions (first-time driver evidence) --
+    "doc_importance_weights",
+    "doc_bpe_encode",
+    "embedding_sq8",
+    "knn_pq",
+    "knn_rrf",
+    "events_compaction_plan",
+    "events_column_stats",
+    "event_value_histogram_quantiles",
+    "orders_integrity_checks",
+    "doc_hash_embedding",
 )
 # Deferred past the graded-50 horizon this round (all have driver-green
 # evidence from r1–r3): the remaining TPC-H, the r1-graded llm_ops family,
