@@ -32,6 +32,16 @@ def get_spark(
         .appName(app_name)
         # local mode = single JVM: driver memory is the only memory knob.
         .config("spark.driver.memory", mem)
+        # A long analytics session compiles thousands of whole-stage-codegen
+        # classes; the JVM's default 240 MB reserved code cache fills after
+        # ~80-90 distinct queries, the JIT silently stops compiling, and
+        # late-session queries degrade 4-10x (measured: the same query 1.6 s
+        # early in a bench session, 17.8 s at position ~100). A 1 GB code
+        # cache removes the cliff on any long-lived driver/executor.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
         # Shuffle parallelism ~ cores locally; AQE coalesces small partitions
         # at runtime so an over-estimate is cheap on a real cluster.
         .config(
