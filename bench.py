@@ -115,6 +115,7 @@ HEADLINE = [
     "knn_rrf",
     "doc_hash_embedding",
     "doc_text_knn",
+    "corpus_curation_v2",
 ]
 
 

@@ -2506,3 +2506,96 @@ def doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rn", F.row_number().over(w).cast("long")
     ).filter(F.col("rn") <= 5)
+
+
+# ----------------------- end-to-end modern curation pipeline (composed) ----
+def _curation_v2_oracle() -> str:
+    """Composed oracle: the registered quality-classifier and DSIR oracles
+    verbatim as subqueries, joined into the stage funnel. Nested WITHs are
+    subquery-scoped, so their internal CTE names cannot collide."""
+    from data_warehouse_flink_spark.registry import _REGISTRY
+
+    quality = _REGISTRY["doc_quality_classifier"].oracle
+    dsir = _REGISTRY["doc_importance_weights"].oracle
+    return f"""
+    WITH q AS (
+      SELECT doc_id, keep AS q_keep FROM ({quality}) _q
+    ), imp AS (
+      SELECT doc_id, keep AS imp_keep FROM ({dsir}) _i
+    ), base AS (
+      SELECT d.doc_id, d.source, md5(d.text) AS h, q.q_keep, imp.imp_keep
+      FROM documents d JOIN q USING (doc_id) JOIN imp USING (doc_id)
+    ), flagged AS (
+      SELECT source, q_keep, imp_keep, doc_id,
+             q_keep AND doc_id = min(CASE WHEN q_keep THEN doc_id END)
+               OVER (PARTITION BY h) AS d_keep
+      FROM base
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_total,
+           sum(CASE WHEN q_keep THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+           sum(CASE WHEN d_keep THEN 1 ELSE 0 END)::BIGINT AS n_dedup,
+           sum(CASE WHEN d_keep AND imp_keep THEN 1 ELSE 0 END)::BIGINT
+             AS n_final
+    FROM flagged GROUP BY 1
+    """
+
+
+@register("corpus_curation_v2", oracle=_curation_v2_oracle())
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation pipeline end-to-end, as ONE composed query:
+    frozen-weight quality classification → exact dedup among survivors
+    (min-doc-id canonical per content hash) → DSIR importance keep —
+    reported as a per-source retention funnel (total → quality → dedup →
+    final), the shape a data-governance dashboard consumes.
+
+    Composition is the point: every stage is an already-oracle-checked
+    registered operator, and the composed oracle embeds those oracles
+    verbatim as subqueries, so the pipeline's correctness follows the
+    stages'. Scale shape: the classifier is scan-linear, dedup is one
+    content-hash window, the DSIR side is its own two-scan shape; nothing
+    new shuffles.
+
+    Testdata note: the shipped corpus plants NEAR-duplicates (the
+    Jaccard/MinHash family's territory — `doc_dedup_keep_best` holds the
+    canonical-selection contract there); byte-exact duplicates only appear
+    from sf0.1 up, so at the oracle tiers the dedup stage passes everything
+    through — verified, not assumed, by the composed oracle.
+    """
+    from pyspark.sql import Window
+
+    from data_warehouse_flink_spark.functions.text import (
+        linear_quality_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q = linear_quality_score(docs).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    imp = doc_importance_weights(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("imp_keep")
+    )
+    base = (
+        docs.select("doc_id", "source", F.md5("text").alias("h"))
+        .join(q, "doc_id")
+        .join(imp, "doc_id")
+    )
+    w = Window.partitionBy("h")
+    flagged = base.withColumn(
+        "d_keep",
+        F.col("q_keep")
+        & (
+            F.col("doc_id")
+            == F.min(
+                F.when(F.col("q_keep"), F.col("doc_id"))
+            ).over(w)
+        ),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("q_keep").cast("long")).alias("n_quality"),
+        F.sum(F.col("d_keep").cast("long")).alias("n_dedup"),
+        F.sum(
+            (F.col("d_keep") & F.col("imp_keep")).cast("long")
+        ).alias("n_final"),
+    )
