@@ -128,10 +128,14 @@ def main() -> None:
     queries = all_queries()
 
     # Warm the JVM + parquet footers + whole-stage-codegen/Arrow machinery so
-    # the first measured query doesn't pay one-time startup costs: a trivial
-    # scan plus one representative windowed aggregation, both unrecorded.
+    # the first measured queries don't pay one-time startup costs: a trivial
+    # scan plus one representative query per major input table (events,
+    # lineitem+orders, documents, embeddings), all unrecorded. A single
+    # warm-up query left the other tables' first consumers paying cold page
+    # cache + codegen (measured: page_view 0.45 s warm vs 1.8 s cold-start).
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
-    queries[HEADLINE[0]].spark_fn(spark, sf_dir).count()
+    for warm in ("page_view", "tpch_q6", "doc_token_stats", "knn_bruteforce"):
+        queries[warm].spark_fn(spark, sf_dir).count()
 
     # min of 3 runs per query: the steady-state number (first run pays
     # one-time codegen/janino compilation and page-cache misses, which a
