@@ -116,6 +116,7 @@ HEADLINE = [
     "doc_hash_embedding",
     "doc_text_knn",
     "corpus_curation_v2",
+    "events_backfill_plan",
 ]
 
 

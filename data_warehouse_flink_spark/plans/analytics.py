@@ -1421,3 +1421,70 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "events_backfill_plan",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT CAST(round(2 * median(cnt), 0) AS BIGINT) AS med2 FROM daily
+    ), cal AS (
+      SELECT strftime(d, '%Y-%m-%d') AS day
+      FROM (SELECT unnest(generate_series(
+              (SELECT min(day)::DATE FROM daily),
+              (SELECT max(day)::DATE FROM daily),
+              INTERVAL 1 DAY)) AS d) s
+    )
+    SELECT c.day,
+           coalesce(dl.cnt, 0)::BIGINT AS cnt,
+           CASE WHEN dl.cnt IS NULL THEN 'missing'
+                WHEN 40 * dl.cnt < 19 * m.med2 THEN 'underfilled'
+                ELSE 'ok' END AS status
+    FROM cal c LEFT JOIN daily dl USING (day) CROSS JOIN med m
+    """,
+)
+def events_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner: reconcile the partition calendar against what the
+    table actually holds — every day between the observed min and max gets
+    a status of ``missing`` (no rows: a backfill target), ``underfilled``
+    (below 95% of the median day: a re-ingest candidate), or ``ok``.
+    The orchestration-side sibling of `events_compaction_plan`.
+
+    The only corpus-sized work is the per-day rollup; the calendar is
+    generated (`sequence` of dates), the median threshold is one exact
+    aggregate (2x median stays integral, so the 95% rule is pure BIGINT
+    arithmetic), and the reconciliation join runs on day-count metadata.
+    """
+    daily = _events(spark, sf_dir).groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    med = daily.agg(
+        F.expr(
+            "CAST(round(2 * percentile(cnt, 0.5), 0) AS BIGINT)"
+        ).alias("med2")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(
+            F.expr(
+                "sequence(to_date(lo), to_date(hi), interval 1 day)"
+            )
+        ).alias("d")
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("day"))
+    return (
+        cal.join(daily, "day", "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "day",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.when(F.col("cnt").isNull(), "missing")
+            .when(40 * F.col("cnt") < 19 * F.col("med2"), "underfilled")
+            .otherwise("ok")
+            .alias("status"),
+        )
+    )
