@@ -352,3 +352,78 @@ def test_text_knn_self_similarity_sanity(spark):
         assert r["neighbor_id"] != r["query_id"]
     top = [r for r in rows if r["rn"] == 1]
     assert all(r["cosine"] > 0 for r in top)
+
+
+def test_histogram_quantiles_monotone(spark):
+    got = {
+        r["quantile"]: r["est_value"]
+        for r in QUERIES["event_value_histogram_quantiles"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got["p50"] <= got["p90"] <= got["p95"] <= got["p99"]
+
+
+def test_streaming_histogram_equals_batch(spark):
+    """The merge-law claim, asserted directly: streaming-accumulated bins
+    read off the same quantiles as the batch pass."""
+    batch = sorted(
+        map(
+            tuple,
+            QUERIES["event_value_histogram_quantiles"]
+            .spark_fn(spark, SF_SMOKE)
+            .collect(),
+        )
+    )
+    stream = sorted(
+        map(
+            tuple,
+            QUERIES["streaming_value_histogram_quantiles"]
+            .spark_fn(spark, SF_SMOKE)
+            .collect(),
+        )
+    )
+    assert batch == stream
+
+
+def test_streaming_cdc_equals_batch(spark):
+    batch = sorted(
+        map(
+            tuple,
+            QUERIES["user_cdc_snapshot"].spark_fn(spark, SF_SMOKE).collect(),
+        )
+    )
+    stream = sorted(
+        map(
+            tuple,
+            QUERIES["streaming_user_cdc_snapshot"]
+            .spark_fn(spark, SF_SMOKE)
+            .collect(),
+        )
+    )
+    assert batch == stream
+
+
+def test_backfill_plan_covers_full_calendar(spark):
+    rows = (
+        QUERIES["events_backfill_plan"]
+        .spark_fn(spark, SF_SMOKE)
+        .orderBy("day")
+        .collect()
+    )
+    days = [r["day"] for r in rows]
+    import datetime as dt
+
+    d0 = dt.date.fromisoformat(days[0])
+    d1 = dt.date.fromisoformat(days[-1])
+    assert len(days) == (d1 - d0).days + 1  # contiguous calendar
+    assert len(set(days)) == len(days)
+    for r in rows:
+        assert (r["status"] == "missing") == (r["cnt"] == 0)
+
+
+def test_curation_v2_funnel_monotone(spark):
+    for r in QUERIES["corpus_curation_v2"].spark_fn(spark, SF_SMOKE).collect():
+        assert (
+            r["n_total"] >= r["n_quality"] >= r["n_dedup"] >= r["n_final"] >= 0
+        )
