@@ -117,6 +117,7 @@ HEADLINE = [
     "doc_text_knn",
     "corpus_curation_v2",
     "events_backfill_plan",
+    "events_tier_point_in_time",
 ]
 
 

@@ -680,6 +680,88 @@ def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_tier_point_in_time",
+    oracle="""
+    WITH hist AS (
+      SELECT * FROM (
+    WITH snaps AS (
+      SELECT user_id, day,
+             CASE WHEN s >= 100 THEN 'gold'
+                  WHEN s >= 10 THEN 'silver'
+                  ELSE 'bronze' END AS tier
+      FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS s
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-05'
+        GROUP BY 1, 2
+      )
+    ), seq AS (
+      SELECT user_id, day, tier,
+             lag(tier) OVER (PARTITION BY user_id ORDER BY day) AS prev_tier
+      FROM snaps
+    ), starts AS (
+      SELECT user_id, day, tier
+      FROM seq WHERE prev_tier IS NULL OR tier <> prev_tier
+    )
+    SELECT user_id, tier,
+           epoch_us(CAST(day AS TIMESTAMP)) AS valid_from_us,
+           lead(epoch_us(CAST(day AS TIMESTAMP))) OVER (
+             PARTITION BY user_id ORDER BY day) AS valid_to_us,
+           CAST(CASE WHEN lead(day) OVER (
+                  PARTITION BY user_id ORDER BY day) IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM starts
+    ) _h
+    )
+    SELECT coalesce(h.tier, 'unknown') AS tier,
+           e.event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(e.value::DECIMAL(18,6)), 6)::DOUBLE AS sum_value
+    FROM events e LEFT JOIN hist h
+      ON e.user_id = h.user_id
+     AND epoch_us(e.ts) >= h.valid_from_us
+     AND (h.valid_to_us IS NULL OR epoch_us(e.ts) < h.valid_to_us)
+    GROUP BY 1, 2
+    """,
+)
+def events_tier_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact-to-dimension join: every event picks up the
+    user's tier AS OF the event's own timestamp from the SCD2 history —
+    the temporal-join pattern that makes type-2 dimensions worth keeping.
+    Events before a user's first version report 'unknown'.
+
+    Plan shape: the history is dimension-sized, so the join is a broadcast
+    HASH join on user_id with the validity range as a residual filter —
+    the fact side streams partition-local, nothing corpus-sized shuffles
+    for the join itself. The composed oracle embeds the verified SCD2
+    oracle verbatim, so the temporal semantics (half-open [from, to)
+    intervals, NULL-open current rows) are pinned by construction.
+    """
+    hist = user_tier_scd2(spark, sf_dir)
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    joined = ev.join(
+        F.broadcast(hist),
+        (ev.user_id == hist.user_id)
+        & (F.col("ts_us") >= F.col("valid_from_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("ts_us") < F.col("valid_to_us"))
+        ),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("tier"), F.lit("unknown")).alias("tier"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@register(
     "events_zorder_layout",
     oracle="""
     WITH rows AS (
