@@ -1,8 +1,14 @@
 """Benchmark harness: runs the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+and prints ONE compact JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "sf": ...,
+   "n_queries": N, "queries": {...}}
+
+The driver's output-tail capture truncates long lines (the 97-query inline
+map overflowed it in round 4 and destroyed the perf record), so the printed
+line carries only the headline aggregate, and the full per-query timing map
+is written to a repo sidecar `BENCH_QUERIES_r{N}.json` (N inferred from the
+existing BENCH_r*.json ledger) plus a stable `BENCH_QUERIES_latest.json`.
 
 Each query is executed with a count() action (full plan, no driver collect of
 payload rows). Wall time includes plan + execution, not session startup.
@@ -162,11 +168,29 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf_dir,
+        "n_queries": len(timings),
     }
     if errors:
         payload["errors"] = errors
+
+    # Per-query sidecar: infer the round from the driver's BENCH_r*.json
+    # ledger (this run feeds BENCH_r{max+1}); also refresh a stable alias.
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    tag = f"r{max(rounds) + 1:02d}" if rounds else "r00"
+    sidecar = {**payload, "queries": timings}
+    for name in (f"BENCH_QUERIES_{tag}.json", "BENCH_QUERIES_latest.json"):
+        with open(os.path.join(REPO_ROOT, name), "w") as fh:
+            json.dump(sidecar, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+
     print(json.dumps(payload))
     spark.stop()
 

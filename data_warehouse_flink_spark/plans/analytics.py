@@ -848,12 +848,14 @@ def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # Exact BIGINT division (DIV), not floor(double /): the cumulative byte
+    # sum of a 100 TB table exceeds 2^53 and a double round-trip would put
+    # group boundaries off-by-one vs the oracle's integer `//`.
     planned = daily.withColumn(
-        "file_group",
-        F.floor(
-            F.coalesce(F.sum("est_bytes").over(w_cum), F.lit(0)) / 65536
-        ),
-    )
+        "cum_bytes", F.coalesce(F.sum("est_bytes").over(w_cum), F.lit(0))
+    ).withColumn(
+        "file_group", F.expr("CAST(cum_bytes DIV 65536 AS BIGINT)")
+    ).drop("cum_bytes")
     w_grp = Window.partitionBy("file_group")
     return planned.select(
         "day",

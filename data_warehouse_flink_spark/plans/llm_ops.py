@@ -2125,14 +2125,14 @@ def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------- BPE encoding with frozen merge ranks ----
-def _bpe_merged_sql(base: str, dialect: str) -> str:
+def _bpe_merged_sql(base: str) -> str:
     """Nested `replace` chain applying the frozen merges in rank order.
 
     A merge (a, b) is the global leftmost-non-overlapping replacement
     ``' a b ' -> ' ab '`` over the space-delimited char representation —
     `replace` has identical semantics in Spark and DuckDB, so the chain is
-    engine-exact by construction. `dialect` only picks the char-spacing
-    regex backreference syntax upstream (handled by the caller)."""
+    engine-exact by construction (each caller builds its own dialect's
+    char-spacing regex for `base` before calling this)."""
     from data_warehouse_flink_spark.functions.bpe_merges import MERGES
 
     expr = base
@@ -2146,7 +2146,7 @@ def _bpe_encode_oracle() -> str:
         "' ' || array_to_string(list_transform(string_split(text, ' '), "
         "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), '| ')"
     )
-    merged = _bpe_merged_sql(base, "duckdb")
+    merged = _bpe_merged_sql(base)
     return f"""
     WITH enc AS (
       SELECT doc_id,
@@ -2181,7 +2181,7 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(' ', array_join(transform(split(text, ' '), "
         "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
     )
-    merged = _bpe_merged_sql(base, "spark")
+    merged = _bpe_merged_sql(base)
     return _docs_wide(spark, sf_dir).select(
         "doc_id",
         F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),

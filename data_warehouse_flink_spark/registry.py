@@ -106,42 +106,47 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- never driver-graded, oracle-bearing (r3 VERDICT list) --
-    "doc_minhash_lsh",
-    "doc_simhash",
-    "knn_lsh",
-    "streaming_knn",
-    "doc_rolling_fingerprint",
-    "streaming_near_dedup",
-    "doc_dedup_keep_best",
-    "doc_semantic_dedup_scores",
-    "streaming_user_sessions",
-    "events_pivot",
-    "events_grouping_sets",
-    "sql_priority_counts",
-    "sql_nation_customer_stats",
-    "sql_lineitem_by_quantity_band",
-    # -- graduated / new value-exact oracles this round --
-    "knn_ivf",
-    "multimodal_features",
-    "multimodal_frames",
-    "user_tier_scd2",
-    # -- late-round-4 additions (first-time driver evidence) --
-    "doc_importance_weights",
-    "doc_bpe_encode",
-    "embedding_sq8",
-    "knn_pq",
-    "knn_rrf",
-    "events_compaction_plan",
-    "events_column_stats",
-    "event_value_histogram_quantiles",
-    "orders_integrity_checks",
-    "doc_hash_embedding",
+    # -- never driver-graded, oracle-bearing (r4 VERDICT list: the 14
+    #    round-4-new operators that were only local-parity-verified) --
+    "doc_span_dedup",
+    "doc_quality_classifier",
+    "token_count_min_sketch",
+    "events_zorder_layout",
+    "events_key_skew_profile",
+    "events_k_anonymity",
+    "user_cdc_snapshot",
+    "streaming_user_cdc_snapshot",
+    "events_props_json",
+    "doc_text_knn",
+    "streaming_value_histogram_quantiles",
+    "corpus_curation_v2",
+    "events_backfill_plan",
+    "events_tier_point_in_time",
+    # -- round-5 additions / re-confirmation slots. These start as TPC-H
+    #    regrades (r1/r2 driver-green) and yield, one by one, to round-5-new
+    #    operators once those are sf0.01 parity-verified locally — keeping
+    #    driver evidence at most one round behind the code. --
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q18",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "doc_dedup_exact",
+    "doc_ngram_jaccard",
 )
-# Deferred past the graded-50 horizon this round (all have driver-green
-# evidence from r1–r3): the remaining TPC-H, the r1-graded llm_ops family,
-# the analytics suite (r3-green), and the genuinely-approximate rows-only
-# sketches (uv_sketch_mergeable, event_value_percentiles_approx).
+# Deferred past the graded-50 horizon this round: the remaining TPC-H and
+# the r1–r4 driver-green llm_ops/analytics families, plus the
+# genuinely-approximate rows-only sketches (uv_sketch_mergeable,
+# event_value_percentiles_approx). Every deferred oracle-bearing query has
+# driver hash-green evidence from some prior round (r1–r4); the local
+# oracle-parity suite re-verifies all of them each session.
 
 
 def all_queries() -> dict[str, Query]:
