@@ -68,7 +68,7 @@ def test_bpe_known_word_segmentation(spark):
         "concat(' ', array_join(transform(split(text, ' '), "
         "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
     )
-    merged = _bpe_merged_sql(base, "spark")
+    merged = _bpe_merged_sql(base)
     out = df.select(
         F.expr(f"filter(split(trim({merged}), ' '), t -> t != '|')").alias(
             "sub"

@@ -306,7 +306,7 @@ def test_bpe_encode_scans_1m_docs(spark, big_docs):
         "concat(' ', array_join(transform(split(text, ' '), "
         "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
     )
-    merged = _bpe_merged_sql(base, "spark")
+    merged = _bpe_merged_sql(base)
     out = big_docs.select(
         "doc_id",
         F.expr(
