@@ -110,6 +110,7 @@ HEADLINE = [
     "multimodal_features",
     "doc_bpe_encode",
     "doc_importance_weights",
+    "doc_importance_weights_fast",
     "embedding_sq8",
     "events_column_stats",
     "event_value_histogram_quantiles",

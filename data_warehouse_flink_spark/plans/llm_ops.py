@@ -2057,32 +2057,69 @@ def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles built with the same operation order in both engines),
     and every downstream sum is BIGINT.
     """
-    docs = _docs_wide(spark, sf_dir)
+    return _dsir_weights(spark, sf_dir, bucket_hash="md5")
+
+
+@register("doc_importance_weights_fast", oracle=None)
+def doc_importance_weights_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape DSIR: identical plan to `doc_importance_weights` but
+    buckets via `xxhash64(gram) % B` instead of the md5-prefix idiom (~1.8×
+    cheaper gram stage, measured sf0.1). xxhash64 has no DuckDB counterpart,
+    so this is a rows-only entry; the hash-independent invariants (same
+    doc_ids, identical per-doc n_grams, same grand totals) are pinned against
+    the md5 gate in tests/test_round5_ops.py."""
+    return _dsir_weights(spark, sf_dir, bucket_hash="xxhash64")
+
+
+def _dsir_doc_buckets(
+    spark: SparkSession, sf_dir: str, bucket_hash: str
+) -> DataFrame:
+    """Per-(doc, bucket) gram counts: ONE corpus scan, tokenized once.
+
+    The token array is hoisted into a column — inlining `split(text, ' ')`
+    into the gram expression re-evaluated it up to 5× per row (Catalyst's
+    CollapseProject keeps the projection because the alias is non-cheap and
+    multiply-referenced); hoisting measured 0.84 s → 0.54 s for this stage
+    at sf0.1."""
     b = _DSIR_BUCKETS
-    grams = docs.select(
-        "doc_id",
-        (F.col("lang") == "en").alias("is_t"),
-        F.explode(
-            F.expr(
-                "concat(split(text, ' '), "
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat(element_at(split(text, ' '), i), ' ', "
-                "element_at(split(text, ' '), i + 1))) "
-                "ELSE CAST(array() AS array<string>) END)"
-            )
-        ).alias("gram"),
-    )
-    db = (
-        grams.withColumn(
-            "bucket",
-            F.expr(
-                f"CAST(conv(substr(md5(gram), 1, 7), 16, 10) AS BIGINT) % {b}"
-            ),
+    grams = (
+        _docs_wide(spark, sf_dir)
+        .withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_t"),
+            F.explode(
+                F.expr(
+                    "concat(toks, "
+                    "CASE WHEN size(toks) >= 2 THEN "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1))) "
+                    "ELSE CAST(array() AS array<string>) END)"
+                )
+            ).alias("gram"),
         )
+    )
+    if bucket_hash == "md5":
+        bucket = F.expr(
+            f"CAST(conv(substr(md5(gram), 1, 7), 16, 10) AS BIGINT) % {b}"
+        )
+    elif bucket_hash == "xxhash64":
+        bucket = F.pmod(F.xxhash64("gram"), F.lit(b))
+    else:
+        raise ValueError(f"unknown bucket_hash {bucket_hash!r}")
+    return (
+        grams.withColumn("bucket", bucket)
         .groupBy("doc_id", "is_t", "bucket")
         .agg(F.count("*").alias("c"))
     )
+
+
+def _dsir_weights(
+    spark: SparkSession, sf_dir: str, bucket_hash: str
+) -> DataFrame:
+    b = _DSIR_BUCKETS
+    db = _dsir_doc_buckets(spark, sf_dir, bucket_hash)
     # Two consumers of db (bucket stats, scoring join) = two corpus scans;
     # the grand totals fold algebraically out of bstats, NOT a third db
     # consumer. Deliberately NO localCheckpoint: a per-invocation eager

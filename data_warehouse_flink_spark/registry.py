@@ -126,7 +126,7 @@ _GRADING_PRIORITY = (
     #    regrades (r1/r2 driver-green) and yield, one by one, to round-5-new
     #    operators once those are sf0.01 parity-verified locally — keeping
     #    driver evidence at most one round behind the code. --
-    "tpch_q1",
+    "doc_importance_weights_fast",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",

@@ -18,13 +18,15 @@ def test_queries_and_oracles_aligned():
     oracles = entrymod.oracle_sql()
     assert qs, "no queries registered"
     assert set(oracles) <= set(qs)
-    # every oracle-less query is a deliberate rows-only op
-    # every oracle-less query is genuinely approximate (HLL / GK sketches)
+    # every oracle-less query is a deliberate rows-only op: genuinely
+    # approximate (HLL / GK sketches) or engine-specific hashing with the
+    # exact twin pinned locally (doc_importance_weights_fast vs the md5 gate)
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "uv_approx",
         "event_value_percentiles_approx",
         "uv_sketch_mergeable",
+        "doc_importance_weights_fast",
     }
 
 
