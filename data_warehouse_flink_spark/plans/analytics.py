@@ -1442,17 +1442,28 @@ def user_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_user_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `user_cdc_snapshot`: the CDC apply as a continuous
-    query — latest record per key maintained in the state store by a
-    complete-mode struct-max aggregation over the replayed change stream,
-    tombstones dropped from the materialized snapshot.
+    query — latest record per key maintained in the state store by an
+    UPDATE-mode struct-max aggregation, merged into a hash-bucketed parquet
+    snapshot via `merge_upsert_foreachbatch` (read touched buckets →
+    anti-join replaced keys → dynamic-partition-overwrite). Tombstoned keys
+    stay in the table (their latest record IS the tombstone) and are
+    filtered on read, exactly like the batch compaction.
 
-    The struct max on (ts, event_id, ...) is associative and commutative,
-    so micro-batch accumulation equals the one-pass batch compaction and
-    the BATCH oracle applies verbatim — same argument as the streaming
-    histogram sketch. This is how a CDC ingest actually runs in
-    production: the batch query is the backfill, this is the tail.
+    Update mode + keyed merge is the 100 TB shape: each micro-batch rewrites
+    only the buckets containing changed keys. The previous complete-mode
+    form re-emitted (and rewrote) the ENTIRE snapshot every micro-batch —
+    correct, but state-volume-bound. Correctness argument is unchanged: the
+    struct max on (ts, event_id, ...) is associative and commutative, so
+    per-batch refinements upserted key-by-key converge to the one-pass batch
+    compaction and the BATCH oracle applies verbatim.
     """
-    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_flink_spark.streaming.mart import (
+        merge_upsert_foreachbatch,
+    )
     from data_warehouse_flink_spark.streaming.sources import stream_events
 
     stream = stream_events(spark, sf_dir)
@@ -1461,15 +1472,25 @@ def streaming_user_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("ts", "event_id", "event_type", "value")
         ).alias("last")
     )
-    snap = run_stream_to_table(latest, spark, output_mode="complete")
-    return snap.filter(F.col("last.event_type") != "error").select(
-        "user_id",
-        F.col("last.event_type").alias("last_event_type"),
-        F.expr(
-            "CAST(CAST(last.value AS DECIMAL(18,6)) AS STRING)"
-        ).alias("last_value"),
-        F.unix_micros("last.ts").alias("last_ts_us"),
+    work = tempfile.mkdtemp(prefix="cdc_snapshot_")
+    table = os.path.join(work, "snapshot")
+    q = merge_upsert_foreachbatch(latest, table, ["user_id"], n_buckets=16)
+    q.awaitTermination()
+    snap = (
+        spark.read.parquet(table)
+        .filter(F.col("last.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("last.event_type").alias("last_event_type"),
+            F.expr(
+                "CAST(CAST(last.value AS DECIMAL(18,6)) AS STRING)"
+            ).alias("last_value"),
+            F.unix_micros("last.ts").alias("last_ts_us"),
+        )
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(work, ignore_errors=True)
+    return snap
 
 
 @register(

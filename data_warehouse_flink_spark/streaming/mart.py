@@ -54,3 +54,91 @@ def upsert_partitions_foreachbatch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_upsert_foreachbatch(
+    agg: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_buckets: int = 64,
+):
+    """MERGE-style keyed upsert for update-mode streaming aggregates whose
+    grouping key is too fine to be a partition column (e.g. a per-user CDC
+    snapshot: one partition per user would mean millions of directories).
+
+    The table is partitioned by ``bucket = pmod(xxhash64(key), n_buckets)``
+    — a FIXED partition count independent of key cardinality. Each
+    micro-batch:
+
+      1. buckets the changed rows,
+      2. reads back ONLY the touched buckets (partition pruning),
+      3. anti-joins out the old versions of the changed keys,
+      4. dynamically overwrites just those buckets with old-kept ∪ new.
+
+    Per-batch IO is proportional to the touched buckets' size, never the
+    snapshot — the scale-safe replacement for a complete-mode re-emission,
+    which rewrites ALL state every micro-batch (a killer at 100 TB of
+    keys). The merged slice is staged through parquet before the overwrite:
+    the anti-join reads the same path the overwrite rewrites, and staging
+    (rather than localCheckpoint) both breaks that cycle and avoids leaking
+    a cached block per micro-batch.
+
+    Without an ACID table format this is the classic parquet MERGE idiom;
+    with Delta/Iceberg available the body becomes a single ``MERGE INTO``
+    with identical semantics.
+    """
+    from pyspark.sql import functions as F
+
+    staging = path.rstrip("/") + "__staging"
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new = batch_df.withColumn(
+            "bucket", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
+        )
+        # ≤ n_buckets small ints — collecting them buys STATIC partition
+        # pruning on the read-back (isin on the partition column), which a
+        # join-based semi filter would only get via runtime DPP.
+        touched = [
+            r["bucket"] for r in new.select("bucket").distinct().collect()
+        ]
+        try:
+            existing = (
+                spark.read.parquet(path)
+                .filter(F.col("bucket").isin(touched))
+                # parquet partition-column inference narrows the bucket
+                # longs to int32 on read-back; cast back before the union
+                .withColumn("bucket", F.col("bucket").cast("long"))
+                .join(
+                    new.select(*key_cols).distinct(), key_cols, "left_anti"
+                )
+            )
+            merged = existing.unionByName(new)
+        except Exception:
+            merged = new  # first micro-batch: table does not exist yet
+        merged.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                staged.repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -30,3 +30,45 @@ def test_dsir_fast_matches_md5_gate_on_hash_independent_columns(spark):
     assert fast == exact
     keep_rate = sum(r["keep"] for r in fast_rows) / len(fast_rows)
     assert 0.05 < keep_rate < 0.95
+
+
+def test_merge_upsert_preserves_untouched_keys_in_touched_buckets(
+    spark, tmp_path
+):
+    """merge_upsert_foreachbatch MERGE semantics across micro-batches:
+    with n_buckets=1 every key lands in the same bucket, so batch 2's
+    single-key update rewrites the one bucket that also holds every
+    untouched key — those must survive the overwrite, and only the
+    changed key's value may move."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_flink_spark.streaming.mart import (
+        merge_upsert_foreachbatch,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    # two source files + maxFilesPerTrigger=1 → two micro-batches in ONE
+    # stream run: batch 1 upserts all 10 keys, batch 2's update-mode
+    # emission carries ONLY the changed key (k=3), so the merge must carry
+    # the other 9 keys through the bucket overwrite untouched.
+    spark.createDataFrame(
+        [(k, 1) for k in range(10)], "k long, v long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(3, 7)], "k long, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    latest = stream.groupBy("k").agg(F.max("v").alias("v"))
+    q = merge_upsert_foreachbatch(latest, table, ["k"], n_buckets=1)
+    q.awaitTermination()
+
+    got = {
+        r["k"]: r["v"] for r in spark.read.parquet(table).collect()
+    }
+    assert got == {k: (7 if k == 3 else 1) for k in range(10)}
