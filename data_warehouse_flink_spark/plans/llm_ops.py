@@ -2071,10 +2071,17 @@ def doc_importance_weights_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir_weights(spark, sf_dir, bucket_hash="xxhash64")
 
 
-def _dsir_doc_buckets(
+def _dsir_grams(
     spark: SparkSession, sf_dir: str, bucket_hash: str
 ) -> DataFrame:
-    """Per-(doc, bucket) gram counts: ONE corpus scan, tokenized once.
+    """One bucketed row PER GRAM occurrence (doc_id, is_t, bucket) — the
+    raw table both DSIR consumers aggregate, each with a high-reduction
+    key. An earlier shape pre-aggregated to (doc_id, is_t, bucket) counts
+    "so both consumers share one groupBy", but that key has ~1 bucket
+    per 2 grams — a 79M-row → 40M-group aggregate with near-zero partial
+    reduction that dominated the whole query (292 s of a 300 s 1M-doc
+    smoke). Aggregating per consumer instead (bucket: 79M→1k; doc_id:
+    79M→1M) keeps every partial agg effective.
 
     The token array is hoisted into a column — inlining `split(text, ' ')`
     into the gram expression re-evaluated it up to 5× per row (Catalyst's
@@ -2108,27 +2115,23 @@ def _dsir_doc_buckets(
         bucket = F.pmod(F.xxhash64("gram"), F.lit(b))
     else:
         raise ValueError(f"unknown bucket_hash {bucket_hash!r}")
-    return (
-        grams.withColumn("bucket", bucket)
-        .groupBy("doc_id", "is_t", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
+    return grams.select("doc_id", "is_t", bucket.alias("bucket"))
 
 
 def _dsir_weights(
     spark: SparkSession, sf_dir: str, bucket_hash: str
 ) -> DataFrame:
     b = _DSIR_BUCKETS
-    db = _dsir_doc_buckets(spark, sf_dir, bucket_hash)
-    # Two consumers of db (bucket stats, scoring join) = two corpus scans;
-    # the grand totals fold algebraically out of bstats, NOT a third db
-    # consumer. Deliberately NO localCheckpoint: a per-invocation eager
-    # checkpoint leaks a cached block per call, and across a long
-    # bench/driver session that heap pressure cost far more than the
-    # second scan (13.7 s vs ~1.5 s at sf0.1, measured).
-    bstats = db.groupBy("bucket").agg(
-        F.sum("c").alias("rawc"),
-        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias(
+    g = _dsir_grams(spark, sf_dir, bucket_hash)
+    # Two consumers of g (bucket stats, scoring) = two corpus scans; the
+    # grand totals fold algebraically out of bstats, NOT a third consumer.
+    # Deliberately NO localCheckpoint: a per-invocation eager checkpoint
+    # leaks a cached block per call, and across a long bench/driver session
+    # that heap pressure cost far more than the second scan (13.7 s vs
+    # ~1.5 s at sf0.1, measured).
+    bstats = g.groupBy("bucket").agg(
+        F.count("*").alias("rawc"),
+        F.sum(F.when(F.col("is_t"), F.lit(1)).otherwise(F.lit(0))).alias(
             "tgtc"
         ),
     )
@@ -2146,11 +2149,11 @@ def _dsir_weights(
         ).alias("lr_micro"),
     )
     return (
-        db.join(F.broadcast(lr), "bucket")
+        g.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_grams"),
-            F.sum(F.col("c") * F.col("lr_micro")).alias("weight_micro"),
+            F.count("*").alias("n_grams"),
+            F.sum("lr_micro").alias("weight_micro"),
         )
         .select(
             "doc_id",

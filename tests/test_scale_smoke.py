@@ -376,3 +376,73 @@ def test_histogram_quantiles_at_5m(spark, big_events):
     ).collect()[0]["p"]
     assert abs(rows["p50"] - exact[0]) <= width + 1e-9
     assert abs(rows["p99"] - exact[1]) <= width + 1e-9
+
+
+def test_curation_v2_funnel_at_1m_docs(spark, big_docs):
+    """The composed curation pipeline (quality → exact dedup → DSIR keep)
+    at 1M docs: scan-linear classifier + one content-hash window + the
+    two-scan DSIR shape. Plants byte-exact duplicates (doc_id % 10 == 9
+    reuses text of doc_id - 9 via source composition below is NOT possible
+    on the shared fixture, so dedup is exercised by hash collisions of the
+    30-word-vocab 40-token texts; the funnel monotonicity and full-count
+    invariants are what this smoke pins at volume)."""
+    import time
+
+    import data_warehouse_flink_spark.plans.llm_ops as L
+
+    docs = big_docs.withColumn(
+        "source",
+        F.when(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(3)) == 0, "web")
+        .when(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(3)) == 1, "books")
+        .otherwise("code"),
+    ).withColumn(
+        "lang",
+        F.when(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0, "en").otherwise(
+            "de"
+        ),
+    )
+    orig_docs, orig_wide = L._docs, L._docs_wide
+    L._docs = lambda s, d: docs
+    L._docs_wide = lambda s, d: docs
+    try:
+        t0 = time.perf_counter()
+        rows = L.corpus_curation_v2(spark, "ignored").collect()
+        elapsed = time.perf_counter() - t0
+    finally:
+        L._docs, L._docs_wide = orig_docs, orig_wide
+    assert {r["source"] for r in rows} == {"web", "books", "code"}
+    total = sum(r["n_total"] for r in rows)
+    assert total == big_docs.count()
+    for r in rows:
+        assert r["n_total"] >= r["n_quality"] >= r["n_dedup"] >= r["n_final"] >= 0
+    print(f"curation_v2 over {total} docs in {elapsed:.1f}s")
+
+
+def test_tier_point_in_time_at_5m_events(spark, big_events):
+    """Fact-to-SCD2 temporal join at 5M facts: the history build is
+    dimension-sized (USERS keys), the join side is a broadcast hash join
+    with validity-range residual. Invariants: every fact lands exactly one
+    tier (left join, no fan-out because validity intervals are disjoint
+    per user), and pre-history facts report 'unknown'."""
+    import time
+
+    import data_warehouse_flink_spark.plans.analytics as A
+
+    ev = big_events.withColumn(
+        "value",
+        (F.pmod(F.xxhash64("event_id", F.lit(11)), F.lit(20000)) / 100.0),
+    )
+    orig = A._events
+    A._events = lambda s, d: ev
+    try:
+        t0 = time.perf_counter()
+        rows = A.events_tier_point_in_time(spark, "ignored").collect()
+        elapsed = time.perf_counter() - t0
+    finally:
+        A._events = orig
+    n = sum(r["n_events"] for r in rows)
+    assert n == big_events.count()  # disjoint intervals: no join fan-out
+    tiers = {r["tier"] for r in rows}
+    assert tiers <= {"gold", "silver", "bronze", "unknown"}
+    assert len(tiers) >= 2
+    print(f"tier point-in-time over {n} facts in {elapsed:.1f}s")
