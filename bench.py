@@ -125,6 +125,9 @@ HEADLINE = [
     "corpus_curation_v2",
     "events_backfill_plan",
     "events_tier_point_in_time",
+    "doc_dedup_sweep",
+    "events_sessionize_gap_stats",
+    "doc_url_dedup",
 ]
 
 

@@ -243,3 +243,20 @@ def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         score.alias("quality_score"),
         (score >= 0).alias("keep"),
     )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization for crawl dedup: strip query string and
+    fragment, lowercase the scheme://host prefix (hosts are
+    case-insensitive; paths are not), drop a leading ``www.``, and trim a
+    trailing path slash. Pure regex/string expressions (Java and RE2
+    compatible), zero shuffle — the normalize-before-dedup step every
+    web-corpus ingest runs before grouping by URL.
+    """
+    no_q = F.regexp_replace(url, "[?#].*", "")
+    head = F.regexp_extract(no_q, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]+", 0)
+    path = F.substring(no_q, F.length(head) + 1, F.lit(1_000_000))
+    return F.concat(
+        F.regexp_replace(F.lower(head), "://www\\.", "://"),
+        F.regexp_replace(path, "/$", ""),
+    )

@@ -1593,3 +1593,74 @@ def events_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@register(
+    "events_sessionize_gap_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts)::BIGINT AS ts_us,
+             lag(epoch_us(ts)::BIGINT) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN prev_us IS NULL
+                    OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0
+             END AS new_sess
+      FROM seq
+    ), sess AS (
+      SELECT user_id, ts_us,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id,
+             count(*)::BIGINT AS n_events,
+             (max(ts_us) - min(ts_us))::BIGINT AS duration_us
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CASE WHEN n_events = 1 THEN '1'
+                WHEN n_events <= 3 THEN '2-3'
+                WHEN n_events <= 7 THEN '4-7'
+                ELSE '8+' END AS size_band,
+           count(*)::BIGINT AS n_sessions,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           sum(duration_us)::BIGINT AS sum_duration_us,
+           max(duration_us)::BIGINT AS max_duration_us
+    FROM per_session GROUP BY 1
+    """,
+)
+def events_sessionize_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-size/duration distribution at a 30-minute inactivity gap —
+    the engagement report sessionization exists to feed (complement of
+    `user_sessions`, which emits the raw sessions). Size bands keep the
+    output a fixed handful of rows at any corpus size.
+
+    Plan: one user-keyed shuffle for the lag/cumsum sessionization, one
+    (user, session) aggregate on the SAME partitioning (no second
+    exchange), then a 4-group band rollup — everything after the first
+    shuffle is partition-local until the final tiny aggregate. All stats
+    are exact BIGINTs (durations in epoch micros).
+    """
+    from data_warehouse_flink_spark.operators.detection import sessionize
+
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    sess = sessionize(ev, "user_id", "ts", gap_sec=1800)
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+    band = (
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 3, "2-3")
+        .when(F.col("n_events") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return per_session.groupBy(band.alias("size_band")).agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("duration_us").alias("sum_duration_us"),
+        F.max("duration_us").alias("max_duration_us"),
+    )

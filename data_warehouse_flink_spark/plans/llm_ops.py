@@ -2639,3 +2639,174 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d_keep") & F.col("imp_keep")).cast("long")
         ).alias("n_final"),
     )
+
+
+# ------------------------- dedup threshold sweep (policy dashboard) ----
+_JACCARD_PAIRS_CTE = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+    )
+"""
+
+_SWEEP_THRESHOLDS = ("0.3", "0.5", "0.7", "0.9")
+
+
+@register(
+    "doc_dedup_sweep",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTE},
+    th AS (
+      SELECT unnest(['0.3', '0.5', '0.7', '0.9']) AS threshold
+    ), hits AS (
+      SELECT th.threshold, p.doc_a, p.doc_b
+      FROM th JOIN pairs p ON p.jaccard >= CAST(th.threshold AS DOUBLE)
+    ), agg AS (
+      SELECT threshold,
+             count(*)::BIGINT AS n_pairs,
+             count(DISTINCT doc_b)::BIGINT AS n_docs_dropped
+      FROM hits GROUP BY 1
+    )
+    SELECT th.threshold,
+           coalesce(agg.n_pairs, 0)::BIGINT AS n_pairs,
+           coalesce(agg.n_docs_dropped, 0)::BIGINT AS n_docs_dropped,
+           ((SELECT count(*) FROM documents)
+            - coalesce(agg.n_docs_dropped, 0))::BIGINT AS n_docs_kept
+    FROM th LEFT JOIN agg USING (threshold)
+    """,
+)
+def doc_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-policy threshold sweep: for each Jaccard cutoff, how many
+    near-dup pairs fire and how much corpus a greedy keep-smallest-id
+    policy retains — the dashboard a data-curation team reads before
+    committing to a dedup threshold (the retention/contamination knob of
+    Lee et al. 2022's dedup studies).
+
+    One pass: the shared candidate-pair table (loosest threshold, cached
+    family-wide) is crossed with the 4-row threshold literals and
+    re-aggregated — no per-threshold rescan of the corpus. The drop rule
+    (a doc is dropped iff it pairs with ANY smaller doc_id at >= t) is the
+    standard greedy policy and needs no per-threshold connected
+    components. Thresholds travel as STRINGS so the grading hash never
+    compares floats.
+    """
+    pairs = _candidate_pairs(spark, sf_dir)
+    th = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold string"
+    )
+    hits = pairs.join(
+        F.broadcast(th),
+        F.col("jaccard") >= F.col("threshold").cast("double"),
+    )
+    agg = hits.groupBy("threshold").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_b").alias("n_docs_dropped"),
+    )
+    total = _docs(spark, sf_dir).agg(F.count("*").alias("n_total"))
+    return (
+        th.join(agg, "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_dropped", F.lit(0)).alias("n_docs_dropped"),
+            (
+                F.col("n_total") - F.coalesce("n_docs_dropped", F.lit(0))
+            ).alias("n_docs_kept"),
+        )
+    )
+
+
+# --------------------------------------------- URL canonicalization dedup ----
+# The documents table carries no URL column, so the page URL is DERIVED
+# deterministically from (doc_id, source, lang) with deliberately messy
+# casing / www / trailing-slash / query / fragment variation — identical
+# expressions in both engines, i.e. the frozen-literals-as-data idiom. The
+# operator under test is `canonicalize_url` + the group-by, not the
+# synthesis.
+_URL_SYNTH_SPARK = (
+    "concat('HTTPS://', CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END, "
+    "source, CAST(doc_id % 7 AS STRING), '.COM/', lang, '/page-', "
+    "CAST(doc_id % 97 AS STRING), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN concat('?utm_source=feed&ref=', "
+    "CAST(doc_id AS STRING)) ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN concat('#sec-', "
+    "CAST(doc_id AS STRING)) ELSE '' END)"
+)
+_URL_SYNTH_DUCK = (
+    "'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END || "
+    "source || CAST(doc_id % 7 AS VARCHAR) || '.COM/' || lang || '/page-' "
+    "|| CAST(doc_id % 97 AS VARCHAR) "
+    "|| CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END "
+    "|| CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=' || "
+    "CAST(doc_id AS VARCHAR) ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN '#sec-' || "
+    "CAST(doc_id AS VARCHAR) ELSE '' END"
+)
+
+
+@register(
+    "doc_url_dedup",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, {_URL_SYNTH_DUCK} AS url FROM documents
+    ), strip AS (
+      SELECT doc_id, regexp_replace(url, '[?#].*', '') AS no_q FROM urls
+    ), parts AS (
+      SELECT doc_id, no_q,
+             regexp_extract(no_q,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+') AS head
+      FROM strip
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(lower(head), '://www\\.', '://')
+             || regexp_replace(substr(no_q, length(head) + 1), '/$', '')
+               AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           min(doc_id)::BIGINT AS canonical_doc_id,
+           count(*)::BIGINT AS n_docs
+    FROM canon GROUP BY 1
+    """,
+)
+def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style URL dedup: canonicalize each page URL (case-fold the
+    host, drop www/query/fragment/trailing slash) and keep the first doc
+    per canonical URL — the cheapest, highest-precision dedup tier a web
+    corpus runs BEFORE any content hashing (WET-file processing order in
+    CCNet / RefinedWeb). One hash-groupBy on the canonical string; the
+    normalization itself is zero-shuffle regex projection.
+    """
+    from data_warehouse_flink_spark.functions.text import canonicalize_url
+
+    urls = _docs_wide(spark, sf_dir).select(
+        "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
+    )
+    return (
+        urls.select(
+            "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )

@@ -127,9 +127,9 @@ _GRADING_PRIORITY = (
     #    operators once those are sf0.01 parity-verified locally — keeping
     #    driver evidence at most one round behind the code. --
     "doc_importance_weights_fast",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
+    "doc_dedup_sweep",
+    "events_sessionize_gap_stats",
+    "doc_url_dedup",
     "tpch_q7",
     "tpch_q9",
     "tpch_q12",
