@@ -128,6 +128,8 @@ HEADLINE = [
     "doc_dedup_sweep",
     "events_sessionize_gap_stats",
     "doc_url_dedup",
+    "doc_weighted_sample",
+    "doc_perplexity_bucket",
 ]
 
 

@@ -2810,3 +2810,168 @@ def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
         )
     )
+
+
+# ------------------- weighted reservoir sampling (Efraimidis–Spirakis) ----
+@register(
+    "doc_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             CAST(round(-ln(
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                 + 1) / 268435457.0)
+             ) / CAST(n_chars AS DOUBLE) * 1000000000.0, 0) AS BIGINT)
+               AS key_nano
+      FROM documents
+    ), ranked AS (
+      SELECT source, doc_id, n_chars, key_nano,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key_nano, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, doc_id, n_chars, key_nano, rn::BIGINT AS rn
+    FROM ranked WHERE rn <= 50
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 50 docs per source stratum,
+    weight = document length (Efraimidis–Spirakis A-ES: draw u ~ U(0,1)
+    per item, keep the k smallest -ln(u)/w — equivalent to the k largest
+    u^(1/w), the distributed one-pass weighted reservoir). The sampling
+    the mixture stage runs when token budgets are weighted by length or
+    quality rather than uniform.
+
+    Determinism/exactness: u derives from the md5 28-bit integer idiom on
+    doc_id (u = (h+1)/(2^28+1) ∈ (0,1)); the key is rounded to integer
+    NANO-units before ranking (ln agrees across engines at this scale —
+    same discipline as the DSIR log-ratio micro-nats), ties break on
+    doc_id. Plan: zero-shuffle key projection + one per-source top-k
+    window; at 1000 executors the rank partitions by stratum.
+    """
+    docs = _docs_wide(spark, sf_dir)
+    h = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT)"
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"CAST(round(-ln(({h} + 1) / 268435457.0) "
+            f"/ CAST(n_chars AS DOUBLE) * 1000000000.0, 0) AS BIGINT)"
+        ).alias("key_nano"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("key_nano", "doc_id")
+    return keyed.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).filter(F.col("rn") <= 50)
+
+
+# --------------------- bigram-LM perplexity buckets (CCNet head/middle/tail) ----
+# Frozen bucket thresholds in micro-nats of average bigram NLL — trained
+# offline on a corpus sample and frozen like QUALITY_WEIGHTS / the IVF
+# centroids (CCNet freezes its Wikipedia-LM perplexity cutoffs the same
+# way); chosen as the sf0.01 tertile boundaries.
+_PPL_HEAD_MAX = 3_374_000
+_PPL_MIDDLE_MAX = 3_398_000
+
+
+@register(
+    "doc_perplexity_bucket",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+    ), cu AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    cb AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    v AS (SELECT count(DISTINCT w) AS vocab FROM (
+      SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)),
+    nll AS (
+      SELECT bg.doc_id,
+             CAST(round(-ln((cb.c2 + 1.0) / (cu.c1 + v.vocab))
+                        * 1000000.0, 0) AS BIGINT) AS nll_micro
+      FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+    ), agg AS (
+      SELECT doc_id, sum(nll_micro)::BIGINT AS nll_sum_micro,
+             count(*)::BIGINT AS n_bigrams
+      FROM nll GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, nll_sum_micro,
+           (nll_sum_micro // n_bigrams)::BIGINT AS avg_nll_micro,
+           CASE WHEN nll_sum_micro // n_bigrams < {_PPL_HEAD_MAX}
+                  THEN 'head'
+                WHEN nll_sum_micro // n_bigrams < {_PPL_MIDDLE_MAX}
+                  THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM agg
+    """,
+)
+def doc_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partitioning: score each document under an
+    add-one-smoothed bigram LM fit on the corpus itself (p(w2|w1) =
+    (c(w1,w2)+1)/(c(w1)+V)), average the negative log-likelihood per
+    bigram, and bucket into head/middle/tail at FROZEN thresholds — the
+    quality-partitioning step CCNet runs before choosing which slice
+    trains the model.
+
+    Plan shape: one explode to bigram occurrences, two high-reduction
+    count aggregates (bigram types, first-token counts), a join of the
+    occurrence stream back to its counts (shuffle keyed on the bigram —
+    at web scale this is the LM-scoring join and partitions cleanly),
+    and one per-doc sum. Bucketing is a scan-local CASE on exact
+    integers: no global sort, no ntile, nothing that would serialize at
+    100 TB. Exactness: NLL in integer micro-nats (ln rounded at 1e-6 —
+    the DSIR discipline), bucket compare on exact BIGINT division.
+    """
+    docs = _docs_wide(spark, sf_dir).withColumn(
+        "toks", F.split("text", " ")
+    ).filter(F.size("toks") >= 2)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cu = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    v = (
+        bg.select(F.col("w1").alias("w"))
+        .unionAll(bg.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("vocab"))
+    )
+    nll = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(round(-ln((c2 + 1.0) / (c1 + vocab)) * 1000000.0, 0)"
+                " AS BIGINT)"
+            ).alias("nll_micro"),
+        )
+    )
+    agg = nll.groupBy("doc_id").agg(
+        F.sum("nll_micro").alias("nll_sum_micro"),
+        F.count("*").alias("n_bigrams"),
+    )
+    avg = F.expr("nll_sum_micro DIV n_bigrams")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_sum_micro",
+        avg.cast("long").alias("avg_nll_micro"),
+        F.when(avg < _PPL_HEAD_MAX, "head")
+        .when(avg < _PPL_MIDDLE_MAX, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

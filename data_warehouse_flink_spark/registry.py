@@ -130,8 +130,8 @@ _GRADING_PRIORITY = (
     "doc_dedup_sweep",
     "events_sessionize_gap_stats",
     "doc_url_dedup",
-    "tpch_q7",
-    "tpch_q9",
+    "doc_weighted_sample",
+    "doc_perplexity_bucket",
     "tpch_q12",
     "tpch_q16",
     "tpch_q18",
