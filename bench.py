@@ -130,6 +130,7 @@ HEADLINE = [
     "doc_url_dedup",
     "doc_weighted_sample",
     "doc_perplexity_bucket",
+    "knn_ivf_pq",
 ]
 
 

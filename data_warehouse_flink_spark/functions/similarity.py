@@ -497,3 +497,69 @@ def sq8_encode(embeddings: DataFrame) -> DataFrame:
             " * (st[i-1].hi - st[i-1].lo)))) * 1000000.0, 0) AS BIGINT)"
         ).alias("err_micro"),
     )
+
+
+def knn_ivf_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: ADC scan restricted to the query's coarse cell (nprobe=1) —
+    the production ANN index layout (FAISS IVFPQ): the corpus is stored as
+    cell-partitioned PQ code lists (8 bytes/vector + a cell id), a query
+    probes one cell and pays 8 table lookups per candidate. Composes the
+    two frozen, oracle-checked stages verbatim: `frozen_ivf_assign` for the
+    cell and `pq_encode`/`_pq_subspace_dists` for the compressed distances.
+
+    Scale shape: candidate volume is Σ_cell |cell|·|queries probing it|
+    (the IVF win) and each candidate costs integer lookups, never floats
+    (the PQ win). The per-query ADC tables plus cell ids broadcast; the
+    only corpus-sized work is the code-list scan keyed on (cell, m, code).
+    """
+    from pyspark.sql import Window
+
+    from data_warehouse_flink_spark.functions.pq_codebooks import M_SUBSPACES
+
+    # cell assignment IS the coarse index; codes ARE the stored corpus
+    assigned = frozen_ivf_assign(
+        embeddings, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cell").localCheckpoint(eager=True)
+    enc = pq_encode(embeddings, id_col=id_col, vec_col=vec_col)
+    codes_long = enc.join(assigned, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({m} AS m, code{m} AS code)"
+                    for m in range(M_SUBSPACES)
+                )
+                + ")"
+            )
+        ).alias("c"),
+    ).select("neighbor_id", "cell", "c.m", "c.code")
+
+    qd = _pq_subspace_dists(queries, "query_id", id_col, vec_col)
+    qcell = assigned.join(
+        queries.select(F.col(id_col).alias("query_id")), 
+        assigned[id_col] == F.col("query_id"),
+    ).select("query_id", "cell")
+    qtab = qd.withColumnRenamed("cidx", "code").join(qcell, "query_id")
+
+    pairs = codes_long.join(F.broadcast(qtab), ["cell", "m", "code"])
+    adc = (
+        pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            (F.sum("d_micro").cast("double") / 1000000.0).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return adc.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).filter(F.col("rn") <= k)

@@ -2975,3 +2975,97 @@ def doc_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ------------------------------- IVF-PQ: cell-restricted compressed scan ----
+def _knn_ivf_pq_oracle(k: int = 5, dim: int = 64) -> str:
+    """Generated oracle composing the two frozen stages: the IVF centroid
+    cell assignment (verbatim from `_knn_ivf_oracle`'s CTE chain) and the
+    PQ encode/ADC tables (verbatim from `_knn_pq_oracle`'s), with the pair
+    join restricted to the query's cell — both literal tables embedded, so
+    cells, codes, and distances are engine-exact."""
+    from data_warehouse_flink_spark.functions.ivf_centroids import CENTROIDS
+    from data_warehouse_flink_spark.functions.pq_codebooks import (
+        CODEBOOKS,
+        SUB_DIM,
+    )
+
+    cent_cols = ",\n             ".join(
+        "[" + ", ".join(repr(v) for v in c) + f"] AS c{j}"
+        for j, c in enumerate(CENTROIDS)
+    )
+    cdists = ", ".join(
+        f"ROUND(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (vecd[i] - c{j}[i]) * (vecd[i] - c{j}[i]))), 6)"
+        for j in range(len(CENTROIDS))
+    )
+
+    def dist_list(m: int, book) -> str:
+        off = m * SUB_DIM
+        entries = []
+        for cw in book:
+            terms = " + ".join(
+                f"(vecd[{off + i + 1}] - {cw[i]!r})"
+                f" * (vecd[{off + i + 1}] - {cw[i]!r})"
+                for i in range(SUB_DIM)
+            )
+            entries.append(f"ROUND({terms}, 6)")
+        return "[" + ", ".join(entries) + "]"
+
+    dl_cols = ",\n             ".join(
+        f"{dist_list(m, book)} AS dl{m}" for m, book in enumerate(CODEBOOKS)
+    )
+    code_cols = ", ".join(
+        f"list_position(dl{m}, list_min(dl{m})) - 1 AS code{m}"
+        for m in range(len(CODEBOOKS))
+    )
+    adc = " + ".join(
+        f"q.dl{m}[e.code{m} + 1]" for m in range(len(CODEBOOKS))
+    )
+    return f"""
+    WITH cents AS (
+      SELECT {cent_cols}
+    ), v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      FROM embeddings
+    ), cellt AS (
+      SELECT vec_id,
+             list_position(dl, list_min(dl)) - 1 AS cell
+      FROM (
+        SELECT vec_id, [{cdists}] AS dl FROM v CROSS JOIN cents
+      )
+    ), dls AS (
+      SELECT vec_id,
+             {dl_cols}
+      FROM v
+    ), enc AS (
+      SELECT d.vec_id, cellt.cell, {code_cols}
+      FROM dls d JOIN cellt USING (vec_id)
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({adc}, 6) AS adc_dist
+      FROM (SELECT dls.*, cellt.cell FROM dls JOIN cellt USING (vec_id)) q
+      JOIN enc e ON q.cell = e.cell
+      WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+             AS BIGINT) AS rn
+    FROM pairs
+    QUALIFY rn <= {k}
+    """
+
+
+@register("knn_ivf_pq", oracle=_knn_ivf_pq_oracle())
+def knn_ivf_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via IVF-PQ (nprobe=1 + ADC) — the
+    composed production index: coarse cells bound the candidate set, PQ
+    codes bound the per-candidate cost. Fifth and final ANN tier; see
+    `functions/similarity.py::knn_ivf_pq` for the plan shape."""
+    from data_warehouse_flink_spark.functions.similarity import knn_ivf_pq
+
+    embs = _embs_wide(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 20)
+    return knn_ivf_pq(embs, queries, k=5)

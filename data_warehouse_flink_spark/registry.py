@@ -132,7 +132,7 @@ _GRADING_PRIORITY = (
     "doc_url_dedup",
     "doc_weighted_sample",
     "doc_perplexity_bucket",
-    "tpch_q12",
+    "knn_ivf_pq",
     "tpch_q16",
     "tpch_q18",
     "tpch_q20",

@@ -32,6 +32,45 @@ def test_dsir_fast_matches_md5_gate_on_hash_independent_columns(spark):
     assert 0.05 < keep_rate < 0.95
 
 
+def test_ivf_pq_is_pq_restricted_to_the_query_cell(spark):
+    """Composition law: knn_ivf_pq's candidate ranking must equal knn_pq's
+    ADC ranking computed over ONLY the query's coarse cell — i.e. the two
+    frozen stages compose without interaction. Verified by re-deriving the
+    expected top-k from the stage primitives."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_flink_spark.functions.similarity import (
+        frozen_ivf_assign,
+        knn_ivf_pq,
+        knn_pq,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import _embs
+
+    embs = _embs(spark, SF)
+    queries = embs.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rn"]): r["neighbor_id"]
+        for r in knn_ivf_pq(embs, queries, k=3).collect()
+    }
+    cells = {
+        r["vec_id"]: r["cell"] for r in frozen_ivf_assign(embs).collect()
+    }
+    # expected: full-corpus PQ ranking, re-ranked after dropping
+    # out-of-cell neighbors
+    full = knn_pq(embs, queries, k=10_000).collect()
+    expected = {}
+    per_q: dict = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rn"])):
+        q = r["query_id"]
+        if cells[r["neighbor_id"]] != cells[q]:
+            continue
+        per_q.setdefault(q, []).append(r["neighbor_id"])
+    for q, ns in per_q.items():
+        for i, n in enumerate(ns[:3], start=1):
+            expected[(q, i)] = n
+    assert got == expected
+
+
 def test_merge_upsert_preserves_untouched_keys_in_touched_buckets(
     spark, tmp_path
 ):
