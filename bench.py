@@ -131,6 +131,8 @@ HEADLINE = [
     "doc_weighted_sample",
     "doc_perplexity_bucket",
     "knn_ivf_pq",
+    "doc_exact_substring_dedup",
+    "events_rollup_incremental",
 ]
 
 

@@ -1664,3 +1664,55 @@ def events_sessionize_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("duration_us").alias("sum_duration_us"),
         F.max("duration_us").alias("max_duration_us"),
     )
+
+
+@register(
+    "events_rollup_incremental",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS cnt,
+           sum((value::DECIMAL(18,6) * 1000000)::BIGINT)::BIGINT AS sum_value_micro
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, proven by construction:
+    the daily (type, day) rollup is computed as BASE (events before
+    2024-01-08) merged with DELTA (events from 2024-01-08 on) through the
+    partial-aggregate merge law — counts add, micro-unit sums add — and the
+    oracle recomputes the whole table from scratch. This is the batch
+    statement of what `merge_upsert_foreachbatch` / the streaming mart rely
+    on every micro-batch: agg(a ∪ b) = merge(agg(a), agg(b)).
+
+    At 100 TB this is THE maintenance plan: the base aggregate is a stored
+    table read back (here: recomputed partition-pruned branch — the filter
+    reaches the scan), and only the delta partition is scanned fresh; the
+    merge groupBy touches aggregate-sized data, never raw events. Sums are
+    exact integer micro-units, so merge order cannot drift.
+    """
+    cutoff = "2024-01-08"
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        ).alias("v_micro"),
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count("*").alias("cnt"),
+            F.sum("v_micro").alias("sum_value_micro"),
+        )
+
+    base = agg(ev.filter(F.col("day") < cutoff))
+    delta = agg(ev.filter(F.col("day") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value_micro").alias("sum_value_micro"),
+        )
+    )

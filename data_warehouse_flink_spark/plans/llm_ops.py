@@ -3069,3 +3069,87 @@ def knn_ivf_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs_wide(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     return knn_ivf_pq(embs, queries, k=5)
+
+
+# -------------------- exact-substring dedup (overlapping window scan) ----
+@register(
+    "doc_exact_substring_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, array_to_string(t[i : i + 15], ' ') AS w
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 15)) AS i) s
+      WHERE len(t) >= 16
+    ), cnt AS (
+      SELECT w, count(*) AS c FROM wins GROUP BY 1
+    ), per_doc AS (
+      SELECT wins.doc_id,
+             count(*)::BIGINT AS n_windows,
+             sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dup_windows
+      FROM wins JOIN cnt USING (w) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+           coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0
+                ELSE (p.n_dup_windows * 1000000) // p.n_windows
+           END::BIGINT AS dup_ppm,
+           (CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0
+                 ELSE (p.n_dup_windows * 1000000) // p.n_windows
+            END <= 500000) AS keep
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring contamination scan (the practical tier of Lee et
+    al. 2022's suffix-array dedup): slide an OVERLAPPING 16-token window
+    over every document, mark windows whose exact text recurs anywhere in
+    the corpus, and flag documents more than half made of repeated
+    substrings. Complements `doc_span_dedup` (non-overlapping spans,
+    rewrites text): overlapping windows measure the duplicated FRACTION
+    without alignment artifacts, which is what the keep/drop policy needs.
+
+    Plan: one explode (n_tokens rows per doc — linear), one window-keyed
+    count, one join back, one per-doc aggregate; zero quadratic anything.
+    The shuffle key is the window STRING for oracle portability —
+    production swaps it for xxhash64(w) (same shape, 8-byte keys;
+    collision-safe counting per Bloom-filter-dedup practice).
+    """
+    docs = _docs_wide(spark, sf_dir).withColumn("toks", F.split("text", " "))
+    wins = docs.filter(F.size("toks") >= 16).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 15), "
+                "i -> array_join(slice(toks, i, 16), ' '))"
+            )
+        ).alias("w"),
+    )
+    cnt = wins.groupBy("w").agg(F.count("*").alias("c"))
+    per_doc = (
+        wins.join(cnt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    ppm = F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0)).otherwise(
+        F.expr("n_dup_windows * 1000000 DIV n_windows")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            ppm.cast("long").alias("dup_ppm"),
+            (ppm <= 500000).alias("keep"),
+        )
+    )

@@ -133,8 +133,8 @@ _GRADING_PRIORITY = (
     "doc_weighted_sample",
     "doc_perplexity_bucket",
     "knn_ivf_pq",
-    "tpch_q16",
-    "tpch_q18",
+    "doc_exact_substring_dedup",
+    "events_rollup_incremental",
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
