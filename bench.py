@@ -133,6 +133,8 @@ HEADLINE = [
     "knn_ivf_pq",
     "doc_exact_substring_dedup",
     "events_rollup_incremental",
+    "events_dq_anomaly",
+    "doc_minhash_lsh_fast",
 ]
 
 

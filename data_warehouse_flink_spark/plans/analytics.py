@@ -1716,3 +1716,156 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_value_micro").alias("sum_value_micro"),
         )
     )
+
+
+@register(
+    "streaming_sessionize_gap_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts)::BIGINT AS ts_us,
+             lag(epoch_us(ts)::BIGINT) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN prev_us IS NULL
+                    OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0
+             END AS new_sess
+      FROM seq
+    ), sess AS (
+      SELECT user_id, ts_us,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id,
+             count(*)::BIGINT AS n_events,
+             (max(ts_us) - min(ts_us))::BIGINT AS duration_us
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CASE WHEN n_events = 1 THEN '1'
+                WHEN n_events <= 3 THEN '2-3'
+                WHEN n_events <= 7 THEN '4-7'
+                ELSE '8+' END AS size_band,
+           count(*)::BIGINT AS n_sessions,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           sum(duration_us)::BIGINT AS sum_duration_us,
+           max(duration_us)::BIGINT AS max_duration_us
+    FROM per_session GROUP BY 1
+    """,
+)
+def streaming_sessionize_gap_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of `events_sessionize_gap_stats`: per-user 30-minute
+    sessions built by the state store's native ``session_window`` merge,
+    then the same fixed band rollup over the materialized sessions. A
+    closed session_window [first, last+gap) spans exactly one batch
+    session (duration = end - gap - start), so the BATCH oracle applies
+    verbatim — same merge argument as `streaming_user_sessions`, extended
+    one aggregate further.
+    """
+    from data_warehouse_flink_spark.streaming.jobs import (
+        run_stream_to_table,
+        with_watermark,
+    )
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    gap_us = 1_800_000_000  # 30 min, matching the batch gate
+    stream = with_watermark(stream_events(spark, sf_dir), "ts", "0 seconds")
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count("*").alias("n_events"))
+    sessions = agg.select(
+        "user_id",
+        "n_events",
+        (
+            F.unix_micros(F.col("session_window.end"))
+            - F.lit(gap_us)
+            - F.unix_micros(F.col("session_window.start"))
+        ).alias("duration_us"),
+    )
+    mat = run_stream_to_table(sessions, spark, output_mode="complete")
+    band = (
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 3, "2-3")
+        .when(F.col("n_events") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return mat.groupBy(band.alias("size_band")).agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("duration_us").alias("sum_duration_us"),
+        F.max("duration_us").alias("max_duration_us"),
+    )
+
+
+@register(
+    "events_dq_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT day, cnt,
+             list(cnt) OVER (ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS trail
+      FROM daily
+    ), m AS (
+      SELECT day, cnt, len(trail)::BIGINT AS n_trail,
+             list_sort(trail)[4]::BIGINT AS med7
+      FROM w
+    )
+    SELECT day, cnt, n_trail,
+           CASE WHEN n_trail < 7 THEN NULL ELSE med7 END AS med7,
+           CASE WHEN n_trail < 7 THEN 'warmup'
+                WHEN cnt * 10 > med7 * 13 THEN 'spike'
+                WHEN cnt * 10 < med7 * 7 THEN 'drop'
+                ELSE 'ok' END AS status
+    FROM m
+    """,
+)
+def events_dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volume anomaly detection: each day's event count vs
+    the exact median of its trailing 7-day window — ±30% flags a
+    spike/drop, the first-line data-quality monitor an ingest pipeline
+    pages on. The 7-median is the 4th smallest of the window's counts
+    (exact integers, no percentile interpolation), the ±30% compare is an
+    integer cross-multiply — nothing floats.
+
+    Scale: the only corpus-sized work is the one day rollup; the ordered
+    window runs over day-grain METADATA (30 rows here, ~36.5k rows for a
+    century), so the single-partition ORDER BY is free at any corpus size
+    — same argument as the compaction planner.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    trail = daily.select(
+        "day",
+        "cnt",
+        F.size(F.collect_list("cnt").over(w)).cast("long").alias("n_trail"),
+        F.expr("try_element_at(array_sort(collect_list(cnt) OVER "
+               "(ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), 4)"
+               ).alias("raw_med7"),
+    )
+    return trail.select(
+        "day",
+        "cnt",
+        "n_trail",
+        F.when(F.col("n_trail") < 7, F.lit(None).cast("long"))
+        .otherwise(F.col("raw_med7"))
+        .alias("med7"),
+        F.when(F.col("n_trail") < 7, "warmup")
+        .when(F.col("cnt") * 10 > F.col("raw_med7") * 13, "spike")
+        .when(F.col("cnt") * 10 < F.col("raw_med7") * 7, "drop")
+        .otherwise("ok")
+        .alias("status"),
+    )

@@ -3153,3 +3153,22 @@ def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ppm <= 500000).alias("keep"),
         )
     )
+
+
+@register("doc_minhash_lsh_fast", oracle=None)
+def doc_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape MinHash+LSH: identical pipeline to the
+    `doc_minhash_lsh` gate but shingles hash through xxhash64 (31-bit
+    mask) instead of the md5 28-bit oracle idiom — the path a real ingest
+    runs. Rows-only entry (xxhash64 has no DuckDB counterpart); its
+    correctness contract is pinned locally instead: every emitted pair is
+    EXACT-Jaccard verified (the verify stage recomputes Jaccard from the
+    raw shingles, so hash choice affects only candidate recall), and the
+    result must be a subset of the brute-force `doc_ngram_jaccard` pairs
+    with identical jaccard values (tests/test_round5_ops.py).
+    """
+    from data_warehouse_flink_spark.functions.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _docs(spark, sf_dir), ngram=3, threshold=0.3, gram_hash="xxhash64"
+    )

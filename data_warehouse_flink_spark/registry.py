@@ -135,9 +135,9 @@ _GRADING_PRIORITY = (
     "knn_ivf_pq",
     "doc_exact_substring_dedup",
     "events_rollup_incremental",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
+    "streaming_sessionize_gap_stats",
+    "events_dq_anomaly",
+    "doc_minhash_lsh_fast",
     "doc_dedup_exact",
     "doc_ngram_jaccard",
 )

@@ -27,6 +27,7 @@ def test_queries_and_oracles_aligned():
         "event_value_percentiles_approx",
         "uv_sketch_mergeable",
         "doc_importance_weights_fast",
+        "doc_minhash_lsh_fast",
     }
 
 

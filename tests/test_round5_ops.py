@@ -71,6 +71,39 @@ def test_ivf_pq_is_pq_restricted_to_the_query_cell(spark):
     assert got == expected
 
 
+def test_minhash_fast_pairs_are_exact_verified_subset(spark):
+    """doc_minhash_lsh_fast (xxhash64 shingle hash, production path) has no
+    DuckDB oracle; its contract: every emitted pair must appear in the
+    brute-force `doc_ngram_jaccard` result with the IDENTICAL exact
+    jaccard value (the verify stage recomputes Jaccard from raw shingles,
+    so hash choice only affects candidate recall, never values), and
+    recall against the md5-gate LSH must be substantial (same banding
+    math, different but equally-uniform hash family)."""
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        doc_minhash_lsh,
+        doc_minhash_lsh_fast,
+        doc_ngram_jaccard,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in doc_ngram_jaccard(spark, SF).collect()
+    }
+    fast = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in doc_minhash_lsh_fast(spark, SF).collect()
+    }
+    assert fast, "fast LSH found no pairs at all"
+    for pair, jac in fast.items():
+        assert exact.get(pair) == jac
+    gate = {
+        (r["doc_a"], r["doc_b"])
+        for r in doc_minhash_lsh(spark, SF).collect()
+    }
+    if gate:
+        assert len(set(fast) & gate) >= len(gate) * 0.8
+
+
 def test_merge_upsert_preserves_untouched_keys_in_touched_buckets(
     spark, tmp_path
 ):
