@@ -135,6 +135,7 @@ HEADLINE = [
     "events_rollup_incremental",
     "events_dq_anomaly",
     "doc_minhash_lsh_fast",
+    "doc_tokenizer_fertility",
 ]
 
 

@@ -1869,3 +1869,73 @@ def events_dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("status"),
     )
+
+
+@register(
+    "streaming_dq_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT day, cnt,
+             list(cnt) OVER (ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS trail
+      FROM daily
+    ), m AS (
+      SELECT day, cnt, len(trail)::BIGINT AS n_trail,
+             list_sort(trail)[4]::BIGINT AS med7
+      FROM w
+    )
+    SELECT day, cnt, n_trail,
+           CASE WHEN n_trail < 7 THEN NULL ELSE med7 END AS med7,
+           CASE WHEN n_trail < 7 THEN 'warmup'
+                WHEN cnt * 10 > med7 * 13 THEN 'spike'
+                WHEN cnt * 10 < med7 * 7 THEN 'drop'
+                ELSE 'ok' END AS status
+    FROM m
+    """,
+)
+def streaming_dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `events_dq_anomaly`: the per-day counts are
+    maintained by an update-mode streaming aggregate (day-keyed counts are
+    the canonical mergeable state — counts add across micro-batches), and
+    the trailing-median flagging runs over the materialized day table.
+    The monitor a streaming ingest actually pages on: state is O(days),
+    the flag pass is day-grain metadata, and the batch oracle applies
+    verbatim because count(a ∪ b) = count(a) + count(b).
+    """
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    stream = stream_events(spark, sf_dir)
+    daily = stream.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    mat = run_stream_to_table(daily, spark, output_mode="complete")
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    trail = mat.select(
+        "day",
+        "cnt",
+        F.size(F.collect_list("cnt").over(w)).cast("long").alias("n_trail"),
+        F.expr("try_element_at(array_sort(collect_list(cnt) OVER "
+               "(ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), 4)"
+               ).alias("raw_med7"),
+    )
+    return trail.select(
+        "day",
+        "cnt",
+        "n_trail",
+        F.when(F.col("n_trail") < 7, F.lit(None).cast("long"))
+        .otherwise(F.col("raw_med7"))
+        .alias("med7"),
+        F.when(F.col("n_trail") < 7, "warmup")
+        .when(F.col("cnt") * 10 > F.col("raw_med7") * 13, "spike")
+        .when(F.col("cnt") * 10 < F.col("raw_med7") * 7, "drop")
+        .otherwise("ok")
+        .alias("status"),
+    )

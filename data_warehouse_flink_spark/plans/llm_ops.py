@@ -3172,3 +3172,61 @@ def doc_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         _docs(spark, sf_dir), ngram=3, threshold=0.3, gram_hash="xxhash64"
     )
+
+
+# ----------------------- tokenizer fertility report (BPE cost by slice) ----
+def _fertility_oracle() -> str:
+    base = (
+        "' ' || array_to_string(list_transform(string_split(text, ' '), "
+        "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), '| ')"
+    )
+    merged = _bpe_merged_sql(base)
+    return f"""
+    WITH enc AS (
+      SELECT lang, source,
+             len(string_split(text, ' '))::BIGINT AS n_words,
+             len(list_filter(string_split(trim({merged}), ' '),
+                             t -> t <> '|'))::BIGINT AS n_subwords
+      FROM documents
+    )
+    SELECT lang, source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_words)::BIGINT AS n_words,
+           sum(n_subwords)::BIGINT AS n_subwords,
+           (sum(n_subwords) * 1000000 // sum(n_words))::BIGINT
+             AS fertility_ppm
+    FROM enc GROUP BY 1, 2
+    """
+
+
+@register("doc_tokenizer_fertility", oracle=_fertility_oracle())
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subwords per word, in exact ppm) by
+    (lang, source) — the report that decides whether a tokenizer is
+    acceptable for a corpus slice before a training run burns compute on
+    it (fertility >> 1 means the merges were trained on the wrong
+    distribution). Reuses the frozen-merge BPE encode verbatim; the rollup
+    adds one tiny aggregate to the zero-shuffle encode scan.
+    """
+    base = (
+        "concat(' ', array_join(transform(split(text, ' '), "
+        "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
+    )
+    merged = _bpe_merged_sql(base)
+    enc = _docs_wide(spark, sf_dir).select(
+        "lang",
+        "source",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"CAST(size(filter(split(trim({merged}), ' '), "
+            "t -> t != '|')) AS BIGINT)"
+        ).alias("n_subwords"),
+    )
+    return enc.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_subwords").alias("n_subwords"),
+        F.expr(
+            "CAST(sum(n_subwords) * 1000000 DIV sum(n_words) AS BIGINT)"
+        ).alias("fertility_ppm"),
+    )

@@ -138,8 +138,8 @@ _GRADING_PRIORITY = (
     "streaming_sessionize_gap_stats",
     "events_dq_anomaly",
     "doc_minhash_lsh_fast",
-    "doc_dedup_exact",
-    "doc_ngram_jaccard",
+    "doc_tokenizer_fertility",
+    "streaming_dq_anomaly",
 )
 # Deferred past the graded-50 horizon this round: the remaining TPC-H and
 # the r1–r4 driver-green llm_ops/analytics families, plus the
