@@ -1691,23 +1691,30 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge groupBy touches aggregate-sized data, never raw events. Sums are
     exact integer micro-units, so merge order cannot drift.
     """
-    cutoff = "2024-01-08"
-    ev = _events(spark, sf_dir).select(
-        "event_type",
-        F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        F.expr(
-            "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
-        ).alias("v_micro"),
-    )
+    # the split predicate lives on the RAW timestamp so it pushes into the
+    # parquet scan (a date_format-derived string compare would not); the
+    # day string is derived after the filter, only for grouping
+    cutoff = F.lit("2024-01-08").cast("timestamp")
+    ev = _events(spark, sf_dir)
 
     def agg(df: DataFrame) -> DataFrame:
-        return df.groupBy("event_type", "day").agg(
-            F.count("*").alias("cnt"),
-            F.sum("v_micro").alias("sum_value_micro"),
+        return (
+            df.select(
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                F.expr(
+                    "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+                ).alias("v_micro"),
+            )
+            .groupBy("event_type", "day")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("v_micro").alias("sum_value_micro"),
+            )
         )
 
-    base = agg(ev.filter(F.col("day") < cutoff))
-    delta = agg(ev.filter(F.col("day") >= cutoff))
+    base = agg(ev.filter(F.col("ts") < cutoff))
+    delta = agg(ev.filter(F.col("ts") >= cutoff))
     return (
         base.unionByName(delta)
         .groupBy("event_type", "day")

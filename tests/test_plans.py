@@ -220,3 +220,73 @@ def test_knn_pq_joins_not_literal_trees(spark):
     plan = formatted_plan(spark, "knn_pq")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_knn_ivf_pq_broadcasts_query_tables_no_cartesian(spark):
+    """IVF-PQ: the per-query ADC tables + cell ids must broadcast into the
+    code-list scan (the corpus side never shuffles for the join), the
+    codebook join must broadcast, and nothing may fall back to a cartesian
+    product."""
+    plan = formatted_plan(spark, "knn_ivf_pq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_url_dedup_single_scan_single_group_shuffle(spark):
+    """Canonicalize-then-group: the regex normalization fuses into the scan
+    projection; besides _docs_wide's scan-parallelism repartition the only
+    exchange is the canonical-URL groupBy."""
+    plan = formatted_plan(spark, "doc_url_dedup")
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    ]
+    assert len(exchanges) <= 2, plan
+    assert len([l for l in plan.splitlines() if "ReadSchema" in l]) == 1
+
+
+def test_weighted_sample_is_scan_plus_rank(spark):
+    """A-ES sampling: key projection fuses into the scan; besides the
+    scan-parallelism repartition the only exchange partitions by the
+    stratum for the top-k rank — with the rank limit pushed to both sides
+    (WindowGroupLimit pre- and post-shuffle)."""
+    plan = formatted_plan(spark, "doc_weighted_sample")
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    ]
+    assert len(exchanges) <= 2, plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_bucket_broadcasts_vocab_scalar(spark):
+    """The vocab size is a 1-row broadcast; the LM-count joins key on the
+    bigram (shuffle or broadcast by size) — never cartesian. Bucketing
+    must NOT introduce a single-partition global sort/ntile exchange."""
+    plan = formatted_plan(spark, "doc_perplexity_bucket")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ntile" not in plan.lower()
+
+
+def test_rollup_incremental_pushes_ts_split_to_both_scans(spark):
+    """Both branches must push their timestamp split into the parquet
+    scan: the base/delta split is only a maintenance win if the delta
+    branch reads delta-sized data."""
+    plan = formatted_plan(spark, "events_rollup_incremental")
+    assert "CartesianProduct" not in plan
+    reads = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert len(reads) == 2, plan
+    assert any("LessThan(ts" in l for l in reads), reads
+    assert any("GreaterThanOrEqual(ts" in l for l in reads), reads
+
+
+def test_exact_substring_dedup_linear_shape(spark):
+    """Overlapping-window scan: explode fuses into the scan; the joins key
+    on the window string / doc_id — no cartesian, no more than the three
+    required exchanges (window count, join back, per-doc agg)."""
+    plan = formatted_plan(spark, "doc_exact_substring_dedup")
+    assert "CartesianProduct" not in plan
