@@ -446,3 +446,60 @@ def test_tier_point_in_time_at_5m_events(spark, big_events):
     assert tiers <= {"gold", "silver", "bronze", "unknown"}
     assert len(tiers) >= 2
     print(f"tier point-in-time over {n} facts in {elapsed:.1f}s")
+
+
+def test_exact_substring_dedup_at_1m_docs(spark, big_docs):
+    """Overlapping 16-token windows at 1M docs (~25M window occurrences):
+    the explode is scan-fused, the recurrence count and join-back key on
+    the window string. Invariant: every doc comes back exactly once and
+    dup fractions stay in [0, 1e6]."""
+    import time
+
+    import data_warehouse_flink_spark.plans.llm_ops as L
+
+    orig = L._docs_wide
+    L._docs_wide = lambda s, d: big_docs
+    try:
+        t0 = time.perf_counter()
+        agg = (
+            L.doc_exact_substring_dedup(spark, "ignored")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("dup_ppm").alias("hi"),
+                F.min("dup_ppm").alias("lo"),
+            )
+            .collect()[0]
+        )
+        elapsed = time.perf_counter() - t0
+    finally:
+        L._docs_wide = orig
+    assert agg["n"] == big_docs.count()
+    assert 0 <= agg["lo"] <= agg["hi"] <= 1_000_000
+    print(f"substring dedup over {agg['n']} docs in {elapsed:.1f}s")
+
+
+def test_perplexity_bucket_at_1m_docs(spark, big_docs):
+    """Bigram-LM scoring at 1M docs (~39M bigram occurrences): two
+    count aggregates + the scoring join + per-doc sum. Invariant: every
+    >=2-token doc is scored into a bucket."""
+    import time
+
+    import data_warehouse_flink_spark.plans.llm_ops as L
+
+    orig = L._docs_wide
+    L._docs_wide = lambda s, d: big_docs
+    try:
+        t0 = time.perf_counter()
+        rows = (
+            L.doc_perplexity_bucket(spark, "ignored")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        elapsed = time.perf_counter() - t0
+    finally:
+        L._docs_wide = orig
+    got = {r["bucket"]: r["n"] for r in rows}
+    assert set(got) <= {"head", "middle", "tail"}
+    assert sum(got.values()) == big_docs.count()
+    print(f"perplexity buckets over {sum(got.values())} docs in {elapsed:.1f}s")
