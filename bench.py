@@ -136,6 +136,8 @@ HEADLINE = [
     "events_dq_anomaly",
     "doc_minhash_lsh_fast",
     "doc_tokenizer_fertility",
+    "corpus_token_budget_plan",
+    "doc_lsh_recall_report",
 ]
 
 

@@ -3230,3 +3230,170 @@ def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(n_subwords) * 1000000 DIV sum(n_words) AS BIGINT)"
         ).alias("fertility_ppm"),
     )
+
+
+# -------------------- token-budget allocation (largest-remainder method) ----
+_BUDGET_TOKENS = 1_000_000
+
+
+@register(
+    "corpus_token_budget_plan",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, lang,
+             SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      FROM documents GROUP BY 1, 2
+    ), tot AS (SELECT SUM(n_tokens)::BIGINT AS total FROM per),
+    q AS (
+      SELECT source, lang, n_tokens,
+             (n_tokens * {_BUDGET_TOKENS} // total)::BIGINT AS base_alloc,
+             (n_tokens * {_BUDGET_TOKENS} % total)::BIGINT AS remainder
+      FROM per, tot
+    ), leftover AS (
+      SELECT ({_BUDGET_TOKENS} - SUM(base_alloc))::BIGINT AS extra FROM q
+    ), ranked AS (
+      SELECT q.*, leftover.extra,
+             row_number() OVER (ORDER BY remainder DESC, source, lang)
+               AS rr
+      FROM q, leftover
+    )
+    SELECT source, lang, n_tokens, base_alloc,
+           (CASE WHEN rr <= extra THEN 1 ELSE 0 END)::BIGINT AS bonus,
+           (base_alloc + CASE WHEN rr <= extra THEN 1 ELSE 0 END)::BIGINT
+             AS alloc_tokens
+    FROM ranked
+    """,
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across (source, lang) strata by the
+    largest-remainder method: each stratum gets floor(budget·share), and
+    the unallocated residue goes, one token each, to the strata with the
+    largest remainders — so Σ alloc == budget EXACTLY, with no float
+    quota ever computed (the apportionment problem every mixture sampler
+    solves before drawing; integer-exact in both engines by
+    construction).
+
+    Scale: the stratum table is metadata-sized (|sources|×|langs|), so the
+    global remainder rank is free; the only corpus-sized work is the token
+    rollup.
+    """
+    from data_warehouse_flink_spark.functions.text import token_count
+
+    b = _BUDGET_TOKENS
+    per = (
+        _docs(spark, sf_dir)
+        .select("source", "lang", token_count("text").alias("tc"))
+        .groupBy("source", "lang")
+        .agg(F.sum("tc").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total"))
+    q = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_tokens",
+        F.expr(f"CAST(n_tokens * {b} DIV total AS BIGINT)").alias(
+            "base_alloc"
+        ),
+        F.expr(f"CAST(n_tokens * {b} % total AS BIGINT)").alias("remainder"),
+    )
+    leftover = q.agg(
+        (F.lit(b) - F.sum("base_alloc")).cast("long").alias("extra")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("remainder"), "source", "lang")
+    ranked = q.crossJoin(F.broadcast(leftover)).withColumn(
+        "rr", F.row_number().over(w)
+    )
+    bonus = F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "lang",
+        "n_tokens",
+        "base_alloc",
+        bonus.cast("long").alias("bonus"),
+        (F.col("base_alloc") + bonus).cast("long").alias("alloc_tokens"),
+    )
+
+
+# ------------------------ LSH recall evaluation (banded vs brute force) ----
+def _lsh_recall_oracle(num_hashes: int = 64, bands: int = 16) -> str:
+    """Generated oracle: exact trigram-Jaccard pairs (brute force) banded
+    by similarity, flagged with LSH-candidate membership from the SAME
+    md5/affine signature CTEs the `doc_minhash_lsh` gate verifies — i.e.
+    the evaluation both stages already proved correct, joined."""
+    return f"""
+    WITH {_minhash_bands_sql(num_hashes, bands)}, cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+    ), flagged AS (
+      SELECT e.jaccard,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS found
+      FROM exact e LEFT JOIN cand c
+        ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    )
+    SELECT CASE WHEN jaccard < 0.5 THEN '0.3-0.5'
+                WHEN jaccard < 0.7 THEN '0.5-0.7'
+                WHEN jaccard < 0.9 THEN '0.7-0.9'
+                ELSE '0.9+' END AS jaccard_band,
+           count(*)::BIGINT AS n_exact_pairs,
+           sum(found)::BIGINT AS n_lsh_found,
+           (sum(found) * 1000000 // count(*))::BIGINT AS recall_ppm
+    FROM flagged GROUP BY 1
+    """
+
+
+@register("doc_lsh_recall_report", oracle=_lsh_recall_oracle())
+def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall audit: of the TRUE near-dup pairs (brute-force trigram
+    Jaccard ≥ 0.3), what fraction does the 16-band/4-row MinHash LSH
+    surface as candidates, per similarity band — the S-curve evaluation a
+    dedup team runs before trusting banded dedup at scale (recall should
+    climb steeply with similarity; the 0.3–0.5 band is EXPECTED lossy).
+
+    Composes the two already-verified stages: the shared brute-force
+    candidate table and the gate's md5 signature/banding pipeline. Cost is
+    candidate-proportional (both inputs are pair tables, never n²
+    recompute).
+    """
+    from data_warehouse_flink_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_ngrams,
+    )
+
+    exact = _candidate_pairs(spark, sf_dir)
+    sigs = minhash_signatures(
+        word_ngrams(_docs(spark, sf_dir), n=3), 64, gram_hash="md5"
+    )
+    cand = lsh_candidate_pairs(sigs, 16, 4).withColumn("found", F.lit(1))
+    flagged = exact.join(cand, ["doc_a", "doc_b"], "left").select(
+        "jaccard", F.coalesce("found", F.lit(0)).alias("found")
+    )
+    band = (
+        F.when(F.col("jaccard") < 0.5, "0.3-0.5")
+        .when(F.col("jaccard") < 0.7, "0.5-0.7")
+        .when(F.col("jaccard") < 0.9, "0.7-0.9")
+        .otherwise("0.9+")
+    )
+    return flagged.groupBy(band.alias("jaccard_band")).agg(
+        F.count("*").alias("n_exact_pairs"),
+        F.sum("found").alias("n_lsh_found"),
+        F.expr(
+            "CAST(sum(found) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

@@ -122,11 +122,13 @@ _GRADING_PRIORITY = (
     "corpus_curation_v2",
     "events_backfill_plan",
     "events_tier_point_in_time",
-    # -- round-5 additions / re-confirmation slots. These start as TPC-H
-    #    regrades (r1/r2 driver-green) and yield, one by one, to round-5-new
-    #    operators once those are sf0.01 parity-verified locally — keeping
-    #    driver evidence at most one round behind the code. --
-    "doc_importance_weights_fast",
+    # -- round-5 additions: every slot below carries a round-5-new operator,
+    #    each sf0.01 parity-verified locally before entering. The rows-only
+    #    production-hash variants (doc_importance_weights_fast,
+    #    doc_minhash_lsh_fast) yielded their slots to hash-checkable ops —
+    #    a rows-only driver grade proves less than their local invariant
+    #    pins (tests/test_round5_ops.py) already do. --
+    "corpus_token_budget_plan",
     "doc_dedup_sweep",
     "events_sessionize_gap_stats",
     "doc_url_dedup",
@@ -137,7 +139,7 @@ _GRADING_PRIORITY = (
     "events_rollup_incremental",
     "streaming_sessionize_gap_stats",
     "events_dq_anomaly",
-    "doc_minhash_lsh_fast",
+    "doc_lsh_recall_report",
     "doc_tokenizer_fertility",
     "streaming_dq_anomaly",
 )
