@@ -1020,3 +1020,42 @@ def uv_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("uv_estimate"),
     )
     return per_day.unionByName(total).orderBy("day")
+
+
+@register(
+    "login_fail_triple_cep",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts)::BIGINT AS us,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2,
+             lag(epoch_us(ts)::BIGINT, 1) OVER w AS us1,
+             lag(epoch_us(ts)::BIGINT, 2) OVER w AS us2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           us2 AS first_us, us1 AS second_us, us AS third_us
+    FROM seq
+    WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error'
+      AND us - us2 <= 86400000000
+    """,
+)
+def login_fail_triple_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three consecutive errors per user within 24 h, expressed through the
+    CEP pattern builder — the reference's `begin.next.within` surface
+    (LoginFailWithCEP.scala:38-43) extended one step, proving the builder
+    compiles n-step STRICT patterns to the lag-chain plan (one shuffle,
+    one per-key sort, no state). The 2-step gates (`login_fail_consecutive`)
+    pin the kernel; this pins the API.
+    """
+    from data_warehouse_flink_spark.operators.patterns import Pattern
+
+    ev = _events(spark, sf_dir)
+    pat = (
+        Pattern.begin("first", F.col("event_type") == "error")
+        .next("second", F.col("event_type") == "error")
+        .next("third", F.col("event_type") == "error")
+        .within(86_400)
+    )
+    return pat.detect(ev, "user_id", "ts", order_cols=["ts", "event_id"])

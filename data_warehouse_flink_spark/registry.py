@@ -146,9 +146,13 @@ _GRADING_PRIORITY = (
 # Deferred past the graded-50 horizon this round: the remaining TPC-H and
 # the r1–r4 driver-green llm_ops/analytics families, plus the
 # genuinely-approximate rows-only sketches (uv_sketch_mergeable,
-# event_value_percentiles_approx). Every deferred oracle-bearing query has
-# driver hash-green evidence from some prior round (r1–r4); the local
-# oracle-parity suite re-verifies all of them each session.
+# event_value_percentiles_approx). Deferred WITHOUT driver evidence (local
+# verification only — queue for round 6's prefix): login_fail_triple_cep
+# (r5-new, sf0.01 parity-green) and the two rows-only production-hash
+# variants (doc_importance_weights_fast, doc_minhash_lsh_fast —
+# invariant-pinned in tests/test_round5_ops.py). Everything else
+# oracle-bearing has driver hash-green evidence from r1–r4; the local
+# parity suite re-verifies all of it each session.
 
 
 def all_queries() -> dict[str, Query]:
