@@ -1946,3 +1946,56 @@ def streaming_dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("status"),
     )
+
+
+@register(
+    "streaming_rollup_incremental",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS cnt,
+           sum((value::DECIMAL(18,6) * 1000000)::BIGINT)::BIGINT
+             AS sum_value_micro
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance loop end-to-end: an update-mode streaming rollup
+    whose per-micro-batch emissions land in a parquet mart through
+    `merge_upsert_foreachbatch` (touched-bucket read → replaced-key
+    anti-join → dynamic overwrite), then the mart is read back as the
+    result. Streaming twin of `events_rollup_incremental` — same merge
+    law, but exercised through the actual upsert sink instead of a
+    batch union, against the same full-recompute oracle.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_flink_spark.streaming.mart import (
+        merge_upsert_foreachbatch,
+    )
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    stream = stream_events(spark, sf_dir)
+    agg = stream.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+        ).alias("sum_value_micro"),
+    )
+    work = tempfile.mkdtemp(prefix="rollup_mart_")
+    table = os.path.join(work, "mart")
+    q = merge_upsert_foreachbatch(
+        agg, table, ["event_type", "day"], n_buckets=16
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(table)
+        .select("event_type", "day", "cnt", "sum_value_micro")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

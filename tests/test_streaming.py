@@ -847,3 +847,49 @@ def test_streaming_knn_equals_batch(spark):
     batch = sorted(map(tuple, qs["knn_bruteforce"].spark_fn(spark, SF_SMOKE).collect()))
     stream = sorted(map(tuple, qs["streaming_knn"].spark_fn(spark, SF_SMOKE).collect()))
     assert batch == stream
+
+
+def test_stream_resumes_from_checkpoint_with_state(spark, tmp_path):
+    """Durability contract: restarting a stateful streaming aggregate from
+    its checkpoint must (a) NOT reprocess already-committed input and
+    (b) restore the aggregation state. Run 1 processes keys 1-5 once; a
+    new file with key 3 arrives; run 2 from the SAME checkpoint must emit
+    ONLY key 3 (nothing reprocessed) with count 2 (state restored) — the
+    exactly-once story a 100 TB ingest restarts on every deploy."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list[list] = []
+
+    def run_once():
+        stream = spark.readStream.schema("k long").parquet(src)
+        agg = stream.groupBy("k").agg(F.count("*").alias("cnt"))
+        rows_this_run = []
+
+        def per_batch(batch_df, epoch_id):
+            rows_this_run.extend(
+                (r["k"], r["cnt"]) for r in batch_df.collect()
+            )
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(per_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted.append(rows_this_run)
+
+    spark.createDataFrame(
+        [(k,) for k in range(1, 6)], "k long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame([(3,)], "k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    assert sorted(emitted[0]) == [(k, 1) for k in range(1, 6)]
+    assert emitted[1] == [(3, 2)]  # only the new key, cumulative count
