@@ -138,6 +138,10 @@ HEADLINE = [
     "doc_tokenizer_fertility",
     "corpus_token_budget_plan",
     "doc_lsh_recall_report",
+    "login_fail_triple_cep",
+    "streaming_sessionize_gap_stats",
+    "streaming_dq_anomaly",
+    "streaming_rollup_incremental",
 ]
 
 

@@ -56,3 +56,17 @@ def test_grading_priority_prefix_invariants():
         "streaming_hot_items_topn", "streaming_update_emissions",
     }
     assert gates <= set(qs[:50])
+
+
+def test_bench_headline_names_exist():
+    """Every bench HEADLINE entry must be a registered query — a typo
+    would surface only as an errors-dict entry in the driver's bench run,
+    silently shrinking the perf record."""
+    import bench
+
+    from data_warehouse_flink_spark.registry import all_queries
+
+    qs = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
