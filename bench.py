@@ -142,6 +142,8 @@ HEADLINE = [
     "streaming_sessionize_gap_stats",
     "streaming_dq_anomaly",
     "streaming_rollup_incremental",
+    "corpus_mixture_resample",
+    "events_late_arrival_profile",
 ]
 
 

@@ -1999,3 +1999,67 @@ def streaming_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "events_late_arrival_profile",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts)::BIGINT AS ts_us,
+             max(epoch_us(ts)::BIGINT) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS hwm_us
+      FROM events
+    ), late AS (
+      SELECT CASE WHEN hwm_us - ts_us <= 0 THEN 'on-time'
+                  WHEN hwm_us - ts_us < 60000000 THEN '<1m'
+                  WHEN hwm_us - ts_us < 3600000000 THEN '<1h'
+                  ELSE '>=1h' END AS lateness_band,
+             hwm_us - ts_us AS late_us
+      FROM seq
+    )
+    SELECT lateness_band,
+           count(*)::BIGINT AS n_events,
+           max(late_us)::BIGINT AS max_late_us
+    FROM late GROUP BY 1
+    """,
+)
+def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark design aid: how late do events actually arrive? Arrival
+    order is the event_id sequence (the ingest's append order); an event
+    is late by (per-user high-water-mark of event time at its arrival −
+    its own event time). The banded distribution is exactly what picks
+    `withWatermark`'s delay — set it at the band that keeps the loss you
+    can tolerate, instead of guessing.
+
+    One user-keyed shuffle for the running max (arrival order within
+    user), then a 4-group rollup; exact integer micros throughout. A
+    global (un-keyed) arrival order would serialize at 100 TB — per-key
+    order is both the scalable and the semantically right choice, since
+    watermarks gate per-key windows.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = _events(spark, sf_dir).select(
+        F.unix_micros("ts").alias("ts_us"),
+        F.max(F.unix_micros("ts")).over(w).alias("hwm_us"),
+    )
+    late = seq.select(
+        (F.col("hwm_us") - F.col("ts_us")).alias("late_us")
+    ).select(
+        "late_us",
+        F.when(F.col("late_us") <= 0, "on-time")
+        .when(F.col("late_us") < 60_000_000, "<1m")
+        .when(F.col("late_us") < 3_600_000_000, "<1h")
+        .otherwise(">=1h")
+        .alias("lateness_band"),
+    )
+    return late.groupBy("lateness_band").agg(
+        F.count("*").alias("n_events"),
+        F.max("late_us").alias("max_late_us"),
+    )

@@ -3397,3 +3397,103 @@ def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(found) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# ------------------- mixture resample execution (budget + A-ES combined) ----
+@register(
+    "corpus_mixture_resample",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, lang,
+             SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      FROM documents GROUP BY 1, 2
+    ), tot AS (SELECT SUM(n_tokens)::BIGINT AS total FROM per),
+    alloc AS (
+      SELECT source, lang,
+             (n_tokens * {_BUDGET_TOKENS} // total)::BIGINT AS alloc_tokens
+      FROM per, tot
+    ), keyed AS (
+      SELECT source, lang, doc_id,
+             len(string_split(text, ' '))::BIGINT AS doc_tokens,
+             CAST(round(-ln(
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                 + 1) / 268435457.0)
+             ) / CAST(n_chars AS DOUBLE) * 1000000000.0, 0) AS BIGINT)
+               AS key_nano
+      FROM documents
+    ), ranked AS (
+      SELECT source, lang, doc_id, doc_tokens, key_nano,
+             sum(doc_tokens) OVER (
+               PARTITION BY source, lang
+               ORDER BY key_nano, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM keyed
+    ), sel AS (
+      SELECT r.*, a.alloc_tokens
+      FROM ranked r JOIN alloc a USING (source, lang)
+      WHERE r.cum_tokens <= a.alloc_tokens
+    )
+    SELECT source, lang,
+           count(*)::BIGINT AS n_docs_selected,
+           sum(doc_tokens)::BIGINT AS n_tokens_selected,
+           max(cum_tokens)::BIGINT AS budget_used
+    FROM sel GROUP BY 1, 2
+    """,
+)
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture sampler EXECUTED: each (source, lang) stratum draws its
+    A-ES-ordered documents (same -ln(u)/w keys as `doc_weighted_sample`)
+    until the stratum's proportional token budget (same floor-quota as
+    `corpus_token_budget_plan`) is exhausted — greedy prefix by cumulative
+    token count. This is the step that actually materializes a training
+    mixture from the plan; reported per stratum.
+
+    Plan: one corpus scan for the stratum totals (tiny, broadcast), one
+    for the keyed docs; the cumulative sum partitions by stratum — the
+    same key the rank already shuffled on, so sizing runs partition-local.
+    All selection arithmetic is exact integers.
+    """
+    from pyspark.sql import Window
+
+    from data_warehouse_flink_spark.functions.text import token_count
+
+    b = _BUDGET_TOKENS
+    docs = _docs_wide(spark, sf_dir)
+    per = (
+        docs.select("source", "lang", token_count("text").alias("tc"))
+        .groupBy("source", "lang")
+        .agg(F.sum("tc").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total"))
+    alloc = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        F.expr(f"CAST(n_tokens * {b} DIV total AS BIGINT)").alias(
+            "alloc_tokens"
+        ),
+    )
+    h = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT)"
+    keyed = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        token_count("text").alias("doc_tokens"),
+        F.expr(
+            f"CAST(round(-ln(({h} + 1) / 268435457.0) "
+            f"/ CAST(n_chars AS DOUBLE) * 1000000000.0, 0) AS BIGINT)"
+        ).alias("key_nano"),
+    )
+    w = (
+        Window.partitionBy("source", "lang")
+        .orderBy("key_nano", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = keyed.withColumn("cum_tokens", F.sum("doc_tokens").over(w))
+    sel = ranked.join(F.broadcast(alloc), ["source", "lang"]).filter(
+        F.col("cum_tokens") <= F.col("alloc_tokens")
+    )
+    return sel.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs_selected"),
+        F.sum("doc_tokens").alias("n_tokens_selected"),
+        F.max("cum_tokens").alias("budget_used"),
+    )

@@ -147,8 +147,9 @@ _GRADING_PRIORITY = (
 # the r1–r4 driver-green llm_ops/analytics families, plus the
 # genuinely-approximate rows-only sketches (uv_sketch_mergeable,
 # event_value_percentiles_approx). Deferred WITHOUT driver evidence (local
-# verification only — queue for round 6's prefix): login_fail_triple_cep and
-# streaming_rollup_incremental (r5-new, sf0.01 parity-green) and the two rows-only production-hash
+# verification only — queue for round 6's prefix): login_fail_triple_cep,
+# streaming_rollup_incremental, corpus_mixture_resample, and
+# events_late_arrival_profile (r5-new, sf0.01 parity-green) and the two rows-only production-hash
 # variants (doc_importance_weights_fast, doc_minhash_lsh_fast —
 # invariant-pinned in tests/test_round5_ops.py). Everything else
 # oracle-bearing has driver hash-green evidence from r1–r4; the local
