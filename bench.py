@@ -144,6 +144,7 @@ HEADLINE = [
     "streaming_rollup_incremental",
     "corpus_mixture_resample",
     "events_late_arrival_profile",
+    "streaming_user_tier_scd2",
 ]
 
 

@@ -2063,3 +2063,103 @@ def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.max("late_us").alias("max_late_us"),
     )
+
+
+def _register_streaming_scd2() -> None:
+    """Register the streaming SCD2 twin with the batch oracle VERBATIM —
+    fetched from the registry so the two can never drift apart."""
+    from data_warehouse_flink_spark.registry import _REGISTRY
+
+    @register(
+        "streaming_user_tier_scd2",
+        oracle=_REGISTRY["user_tier_scd2"].oracle,
+    )
+    def streaming_user_tier_scd2(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming twin of `user_tier_scd2`: the nightly dimension merge
+        as a continuous job — events replayed one day per micro-batch
+        (maxFilesPerTrigger=1 over day-ordered files, the engine's tested
+        replay harness), each batch building its day snapshot and applying
+        it to the running history with `scd2_apply` inside foreachBatch.
+        The history chain localCheckpoints between batches exactly like
+        the batch form, so state never re-plans the whole lineage.
+
+        SCD2 apply is ORDER-DEPENDENT (unlike the mergeable counts/maxes
+        behind the other streaming twins), so the twin's correctness
+        hinges on in-order day delivery — which is precisely how a real
+        CDC-dimension pipeline consumes its upstream (per-partition order
+        from the log). The batch oracle applies verbatim because the
+        per-batch applies replay the identical day sequence.
+        """
+        import os
+        import shutil
+        import tempfile
+
+        from data_warehouse_flink_spark.operators.scd2 import (
+            scd2_apply,
+            scd2_init,
+        )
+
+        ev = _events(spark, sf_dir).filter(
+            F.to_date("ts").isin(list(_SCD2_DAYS))
+        )
+        work = tempfile.mkdtemp(prefix="scd2_stream_")
+        replay = os.path.join(work, "replay")
+        for day in _SCD2_DAYS:
+            (
+                ev.filter(F.to_date("ts") == day)
+                .select("user_id", "ts", "value")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(replay)
+            )
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay)
+        )
+        state: dict = {"hist": None}
+
+        def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            # the batch IS one day; its effective-from is that day's floor
+            day_us = batch_df.agg(
+                F.min(F.unix_micros(F.date_trunc("DAY", "ts"))).alias("d")
+            ).collect()[0]["d"]
+            s = F.sum(F.col("value").cast("decimal(18,6)"))
+            snap = batch_df.groupBy("user_id").agg(
+                F.when(s >= 100, "gold")
+                .when(s >= 10, "silver")
+                .otherwise("bronze")
+                .alias("tier")
+            )
+            if state["hist"] is None:
+                state["hist"] = scd2_init(snap, "user_id", ["tier"], day_us)
+            else:
+                state["hist"] = scd2_apply(
+                    state["hist"], snap, "user_id", ["tier"], day_us
+                )
+            state["hist"] = state["hist"].localCheckpoint(eager=True)
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(work, ignore_errors=True)
+        return state["hist"].select(
+            "user_id",
+            "tier",
+            "valid_from_us",
+            "valid_to_us",
+            F.col("is_current").cast("long").alias("is_current"),
+        )
+
+
+_register_streaming_scd2()

@@ -148,8 +148,9 @@ _GRADING_PRIORITY = (
 # genuinely-approximate rows-only sketches (uv_sketch_mergeable,
 # event_value_percentiles_approx). Deferred WITHOUT driver evidence (local
 # verification only — queue for round 6's prefix): login_fail_triple_cep,
-# streaming_rollup_incremental, corpus_mixture_resample, and
-# events_late_arrival_profile (r5-new, sf0.01 parity-green) and the two rows-only production-hash
+# streaming_rollup_incremental, corpus_mixture_resample,
+# events_late_arrival_profile, and streaming_user_tier_scd2
+# (r5-new, sf0.01 parity-green) and the two rows-only production-hash
 # variants (doc_importance_weights_fast, doc_minhash_lsh_fast —
 # invariant-pinned in tests/test_round5_ops.py). Everything else
 # oracle-bearing has driver hash-green evidence from r1–r4; the local
