@@ -103,3 +103,30 @@ def parse_csv_user_behavior(values: DataFrame, value_col: str = "value") -> Data
         parts.getItem(3).alias("behavior"),
         parts.getItem(4).cast("long").alias("ts_sec"),
     ).withColumn("ts", F.timestamp_seconds("ts_sec"))
+
+
+def documents_jsonl(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    """JSONL document corpus reader — the interchange format every
+    training-data toolchain emits. Explicit schema (never inferSchema: a
+    schema-inference pass over 100 TB is a full extra scan, and drifting
+    inferred types break downstream plans); works batch or as a file
+    stream for continuous ingest."""
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    reader = (
+        spark.readStream if streaming else spark.read
+    )
+    return reader.schema(schema).json(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, format: str = "parquet"
+) -> DataFrame:
+    """Generic columnar-table reader (parquet / orc / json), time columns
+    normalized through the same ingestion discipline as `io.table`."""
+    from data_warehouse_flink_spark.io import normalize_time_columns
+
+    return normalize_time_columns(spark.read.format(format).load(path))

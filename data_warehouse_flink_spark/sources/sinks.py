@@ -23,8 +23,15 @@ def write_partitioned(
     partition_cols: list[str] | None = None,
     files_per_partition: int = 1,
     mode: str = "overwrite",
+    format: str = "parquet",
 ) -> None:
-    """Land a result as day/key-partitioned parquet.
+    """Land a result as day/key-partitioned columnar files.
+
+    `format` ∈ {parquet, orc, json}: parquet is the default interchange
+    format; ORC ships in Spark core (the Hive-ecosystem peer, same
+    pruning/pushdown story); json = JSONL for downstream tools that
+    stream text (every training-data toolchain reads JSONL). Layout
+    semantics are format-independent.
 
     `files_per_partition` really is per partition VALUE: the pre-write
     repartition keys on (partition_cols..., salt) where salt has
@@ -55,9 +62,13 @@ def write_partitioned(
             )
         else:
             out = df.repartition(*[F.col(c) for c in partition_cols])
-        out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+        out.write.mode(mode).partitionBy(*partition_cols).format(
+            format
+        ).save(path)
     else:
-        df.coalesce(files_per_partition).write.mode(mode).parquet(path)
+        df.coalesce(files_per_partition).write.mode(mode).format(
+            format
+        ).save(path)
 
 
 def write_stream_parquet(

@@ -225,3 +225,51 @@ def test_merge_upsert_preserves_untouched_keys_in_touched_buckets(
         r["k"]: r["v"] for r in spark.read.parquet(table).collect()
     }
     assert got == {k: (7 if k == 3 else 1) for k in range(10)}
+
+
+def test_orc_and_jsonl_round_trip(spark, tmp_path):
+    """Format breadth: the partitioned writer and generic reader must
+    round-trip ORC (Spark-core columnar peer) and JSONL (training-data
+    interchange) with values identical to the parquet path."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_flink_spark.io import table
+    from data_warehouse_flink_spark.sources.readers import (
+        documents_jsonl,
+        read_table,
+    )
+    from data_warehouse_flink_spark.sources.sinks import write_partitioned
+
+    docs = table(spark, SF, "documents")
+    want = sorted(map(tuple, docs.collect()))
+
+    orc_path = str(tmp_path / "docs_orc")
+    write_partitioned(docs, orc_path, ["lang"], format="orc")
+    got_orc = sorted(
+        map(tuple, read_table(spark, orc_path, "orc")
+            .select(*docs.columns).collect())
+    )
+    assert got_orc == want
+
+    jl_path = str(tmp_path / "docs_jsonl")
+    write_partitioned(docs, jl_path, format="json")
+    got_jl = sorted(
+        map(tuple, documents_jsonl(spark, jl_path)
+            .select(*docs.columns).collect())
+    )
+    assert got_jl == want
+
+    # streaming JSONL ingest: same rows through the file stream
+    stream = documents_jsonl(spark, jl_path, streaming=True)
+    assert stream.isStreaming
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+
+    got_stream = sorted(
+        map(
+            tuple,
+            run_stream_to_table(stream, spark, output_mode="append")
+            .select(*docs.columns)
+            .collect(),
+        )
+    )
+    assert got_stream == want
