@@ -145,6 +145,7 @@ HEADLINE = [
     "corpus_mixture_resample",
     "events_late_arrival_profile",
     "streaming_user_tier_scd2",
+    "events_quarantine",
 ]
 
 

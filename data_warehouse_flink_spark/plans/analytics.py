@@ -2163,3 +2163,80 @@ def _register_streaming_scd2() -> None:
 
 
 _register_streaming_scd2()
+
+
+def classify_event_records(df: DataFrame) -> DataFrame:
+    """Row-level ingest dispositions, first matching rule wins:
+    bad_ts (null or outside the corpus calendar), bad_type (outside the
+    event-type domain), bad_value (null/negative/absurd), bad_props (not
+    a JSON object) — else ok. Pure scan-local CASE; the quarantine router
+    every permissive ingest runs before landing rows."""
+    return df.withColumn(
+        "disposition",
+        F.when(
+            F.col("ts").isNull()
+            | (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
+            "bad_ts",
+        )
+        .when(
+            ~F.col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"
+            ),
+            "bad_type",
+        )
+        .when(
+            F.col("value").isNull()
+            | (F.col("value") < 0)
+            | (F.col("value") > 1e9),
+            "bad_value",
+        )
+        .when(
+            F.col("props").isNull() | ~F.col("props").startswith("{"),
+            "bad_props",
+        )
+        .otherwise("ok"),
+    )
+
+
+@register(
+    "events_quarantine",
+    oracle="""
+    WITH d AS (
+      SELECT CASE
+        WHEN ts IS NULL OR ts < TIMESTAMP '2024-01-01'
+             OR ts >= TIMESTAMP '2025-01-01' THEN 'bad_ts'
+        WHEN event_type NOT IN
+             ('view', 'click', 'purchase', 'signup', 'error')
+          THEN 'bad_type'
+        WHEN value IS NULL OR value < 0 OR value > 1e9 THEN 'bad_value'
+        WHEN props IS NULL OR NOT starts_with(props, '{') THEN 'bad_props'
+        ELSE 'ok' END AS disposition,
+        event_id
+      FROM events
+    )
+    SELECT disposition,
+           count(*)::BIGINT AS n_rows,
+           min(event_id)::BIGINT AS first_event_id,
+           max(event_id)::BIGINT AS last_event_id
+    FROM d GROUP BY 1
+    """,
+)
+def events_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine report for the event ingest: every row classified by
+    `classify_event_records` (first matching rule wins), rolled up per
+    disposition with the event-id range for triage. The clean corpus
+    reports a single 'ok' row — the RULES are exercised by the
+    violation-injection test (tests/test_round5_ops.py), the same
+    discipline as `orders_integrity_checks`. Routing is a scan-local
+    CASE: at 100 TB the quarantine split costs one scan, no shuffle
+    beyond the 5-group rollup."""
+    return (
+        classify_event_records(_events(spark, sf_dir))
+        .groupBy("disposition")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+    )

@@ -273,3 +273,36 @@ def test_orc_and_jsonl_round_trip(spark, tmp_path):
         )
     )
     assert got_stream == want
+
+
+def test_quarantine_rules_catch_injected_violations(spark):
+    """Each quarantine rule must fire on a synthetic violation and
+    first-match precedence must hold (a row violating ts AND type routes
+    to bad_ts)."""
+    from data_warehouse_flink_spark.plans.analytics import (
+        classify_event_records,
+    )
+
+    rows = [
+        # event_id, ts, event_type, value, props, expected
+        (1, "2024-02-01 00:00:00", "view", 1.0, '{"k":1}', "ok"),
+        (2, None, "view", 1.0, "{}", "bad_ts"),
+        (3, "2023-12-31 23:59:59", "nosuch", 1.0, "{}", "bad_ts"),
+        (4, "2024-02-01 00:00:00", "nosuch", 1.0, "{}", "bad_type"),
+        (5, "2024-02-01 00:00:00", "click", -0.5, "{}", "bad_value"),
+        (6, "2024-02-01 00:00:00", "click", None, "{}", "bad_value"),
+        (7, "2024-02-01 00:00:00", "click", 1.0, "oops", "bad_props"),
+        (8, "2024-02-01 00:00:00", "click", 1.0, None, "bad_props"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, ts, et, v, p) for i, ts, et, v, p, _ in rows],
+        "event_id long, ts_s string, event_type string, value double, "
+        "props string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    got = {
+        r["event_id"]: r["disposition"]
+        for r in classify_event_records(df).collect()
+    }
+    assert got == {i: exp for i, _, _, _, _, exp in rows}
