@@ -146,6 +146,7 @@ HEADLINE = [
     "events_late_arrival_profile",
     "streaming_user_tier_scd2",
     "events_quarantine",
+    "multimodal_shard_plan",
 ]
 
 

@@ -3497,3 +3497,85 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_tokens").alias("n_tokens_selected"),
         F.max("cum_tokens").alias("budget_used"),
     )
+
+
+# ---------------- multimodal shard packing (binary storage layout plan) ----
+@register(
+    "multimodal_shard_plan",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'text/plain'
+                             WHEN 1 THEN 'image/png'
+                             ELSE 'audio/wav' END AS media_type,
+             doc_id // 1000 AS pack_group,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), cum AS (
+      SELECT media_type, pack_group, doc_id, n_bytes,
+             coalesce(sum(n_bytes) OVER (
+               PARTITION BY media_type, pack_group ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior_bytes
+      FROM media
+    ), sharded AS (
+      SELECT media_type, pack_group, doc_id, n_bytes,
+             (prior_bytes // 4096)::BIGINT AS shard_id
+      FROM cum
+    )
+    SELECT media_type, pack_group, shard_id,
+           count(*)::BIGINT AS n_items,
+           sum(n_bytes)::BIGINT AS shard_bytes,
+           min(doc_id)::BIGINT AS first_doc_id,
+           max(doc_id)::BIGINT AS last_doc_id
+    FROM sharded GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload shard packing: assign each media item to a
+    size-bounded (4 KiB here; GBs in production) shard within its
+    (media_type, ingest segment) — the storage-layout plan that keeps
+    blob files uniformly sized for training-loader throughput. Media type
+    is derived (frozen synthesis — the corpus ships text only) so the
+    plan exercises multi-type partitioning; sibling of
+    `events_compaction_plan` with the same floor-of-prior-sum boundary
+    rule.
+
+    Scale note: packing runs WITHIN bounded ingest segments (pack_group =
+    doc_id DIV 1000) — a single global cumulative sum per media type
+    would serialize one partition per type at 100 TB, and cross-segment
+    packing buys nothing (shards never span an ingest boundary in
+    practice). The window's partition key is (type, segment): thousands
+    of bounded partitions, fully parallel.
+    """
+    from pyspark.sql import Window
+
+    media = _docs_wide(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'text/plain' "
+            "WHEN 1 THEN 'image/png' ELSE 'audio/wav' END"
+        ).alias("media_type"),
+        F.expr("doc_id DIV 1000").alias("pack_group"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("media_type", "pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        media.withColumn(
+            "prior_bytes", F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+        )
+        .withColumn(
+            "shard_id", F.expr("CAST(prior_bytes DIV 4096 AS BIGINT)")
+        )
+        .groupBy("media_type", "pack_group", "shard_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
