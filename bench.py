@@ -147,6 +147,7 @@ HEADLINE = [
     "streaming_user_tier_scd2",
     "events_quarantine",
     "multimodal_shard_plan",
+    "corpus_ccnet_funnel",
 ]
 
 

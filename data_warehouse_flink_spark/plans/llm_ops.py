@@ -3579,3 +3579,103 @@ def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc_id"),
         )
     )
+
+
+# ----------------- CCNet-ordered curation funnel (4-stage composition) ----
+def _register_ccnet_funnel() -> None:
+    """Register the CCNet-ordered funnel with every stage oracle fetched
+    from the registry VERBATIM (same no-drift discipline as the streaming
+    SCD2 twin): URL dedup → quality filter → language ID → perplexity
+    partition, reported per (predicted lang, perplexity bucket)."""
+    from data_warehouse_flink_spark.registry import _REGISTRY
+
+    url_o = _REGISTRY["doc_url_dedup"].oracle
+    qual_o = _REGISTRY["doc_quality_classifier"].oracle
+    lang_o = _REGISTRY["doc_language_id"].oracle
+    ppl_o = _REGISTRY["doc_perplexity_bucket"].oracle
+
+    oracle = f"""
+    WITH u AS (
+      SELECT canonical_doc_id FROM ({url_o}) _u
+    ), q AS (
+      SELECT doc_id, keep FROM ({qual_o}) _q
+    ), l AS (
+      SELECT doc_id, pred_lang FROM ({lang_o}) _l
+    ), p AS (
+      SELECT doc_id, bucket FROM ({ppl_o}) _p
+    )
+    SELECT l.pred_lang, coalesce(p.bucket, 'na') AS ppl_bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN d.doc_id IN (SELECT canonical_doc_id FROM u)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_url_canonical,
+           sum(CASE WHEN d.doc_id IN (SELECT canonical_doc_id FROM u)
+                     AND q.keep THEN 1 ELSE 0 END)::BIGINT AS n_final
+    FROM documents d
+    JOIN l ON d.doc_id = l.doc_id
+    JOIN q ON d.doc_id = q.doc_id
+    LEFT JOIN p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """
+
+    @register("corpus_ccnet_funnel", oracle=oracle)
+    def corpus_ccnet_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The CCNet curation order as ONE composed report: URL-canonical
+        selection → frozen-weight quality filter, sliced by predicted
+        language and perplexity bucket — the per-slice retention funnel
+        that decides which (lang, head/middle/tail) shards train. Every
+        stage is an already-verified registered operator; the composed
+        oracle embeds their oracles verbatim (fetched from the registry
+        at registration, so they cannot drift).
+
+        Plan: four doc-keyed joins of scan-linear stage outputs — the
+        join key is doc_id throughout, so one shuffle partitioning
+        serves all stages; the final rollup is a dozen groups.
+        """
+        from data_warehouse_flink_spark.functions.text import (
+            canonicalize_url,
+            language_id,
+            linear_quality_score,
+        )
+
+        docs = _docs_wide(spark, sf_dir)
+        urls = docs.select(
+            "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
+        ).select("doc_id", canonicalize_url(F.col("url")).alias("cu"))
+        canonical = urls.groupBy("cu").agg(
+            F.min("doc_id").alias("canonical_doc_id")
+        )
+        url_keep = urls.join(
+            canonical,
+            urls["doc_id"] == canonical["canonical_doc_id"],
+            "left_semi",
+        ).select("doc_id", F.lit(True).alias("url_keep"))
+        q = linear_quality_score(docs).select(
+            "doc_id", F.col("keep").alias("q_keep")
+        )
+        lang = language_id(docs).select("doc_id", "pred_lang")
+        ppl = doc_perplexity_bucket(spark, sf_dir).select(
+            "doc_id", F.col("bucket").alias("ppl_bucket")
+        )
+        base = (
+            docs.select("doc_id")
+            .join(lang, "doc_id")
+            .join(q, "doc_id")
+            .join(url_keep, "doc_id", "left")
+            .join(ppl, "doc_id", "left")
+            .select(
+                "pred_lang",
+                F.coalesce("ppl_bucket", F.lit("na")).alias("ppl_bucket"),
+                F.coalesce("url_keep", F.lit(False)).alias("u"),
+                "q_keep",
+            )
+        )
+        return base.groupBy("pred_lang", "ppl_bucket").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("u").cast("long")).alias("n_url_canonical"),
+            F.sum((F.col("u") & F.col("q_keep")).cast("long")).alias(
+                "n_final"
+            ),
+        )
+
+
+_register_ccnet_funnel()
