@@ -148,6 +148,7 @@ HEADLINE = [
     "events_quarantine",
     "multimodal_shard_plan",
     "corpus_ccnet_funnel",
+    "user_churn_training_set",
 ]
 
 

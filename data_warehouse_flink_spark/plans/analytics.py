@@ -2240,3 +2240,82 @@ def events_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("last_event_id"),
         )
     )
+
+
+@register(
+    "user_churn_training_set",
+    oracle="""
+    WITH feat AS (
+      SELECT user_id,
+             count(*)::BIGINT AS n_events,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT AS n_purchases,
+             count(DISTINCT CAST(ts AS DATE))::BIGINT AS days_active,
+             sum((value::DECIMAL(18,6) * 1000000)::BIGINT)::BIGINT
+               AS value_sum_micro,
+             (epoch_us(TIMESTAMP '2024-01-22') - max(epoch_us(ts)))::BIGINT
+               AS us_since_last
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-22'
+      GROUP BY 1
+    ), lab AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-22'
+        AND ts < TIMESTAMP '2024-01-29'
+    )
+    SELECT f.user_id, n_events, n_purchases, days_active,
+           value_sum_micro, us_since_last,
+           (lab.user_id IS NULL) AS churned
+    FROM feat f LEFT JOIN lab ON f.user_id = lab.user_id
+    """,
+)
+def user_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free supervised training set: per-user behavioral features
+    computed ONLY from events before the cutoff (2024-01-22), label =
+    churned iff the user has no activity in the following 7-day window —
+    the point-in-time discipline that makes a label usable (features that
+    peek past the cutoff leak the answer). The feature/label temporal
+    split is enforced by pushed scan filters, not convention.
+
+    Plan: one keyed aggregate over the feature window (ts filter reaches
+    the parquet scan), one distinct over the label window, one left join
+    on the same key. Every feature is an exact integer (decimal-scaled
+    micro-units for value); at 100 TB both windows partition-prune.
+    """
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+    label_end = F.lit("2024-01-29").cast("timestamp")
+    ev = _events(spark, sf_dir)
+    feat = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+            F.countDistinct(F.to_date("ts")).alias("days_active"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+                )
+            ).alias("value_sum_micro"),
+            (
+                F.unix_micros(cutoff) - F.max(F.unix_micros("ts"))
+            ).alias("us_since_last"),
+        )
+    )
+    lab = (
+        ev.filter((F.col("ts") >= cutoff) & (F.col("ts") < label_end))
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(True))
+    )
+    return feat.join(lab, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "days_active",
+        "value_sum_micro",
+        "us_since_last",
+        F.col("active").isNull().alias("churned"),
+    )
