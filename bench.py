@@ -149,6 +149,8 @@ HEADLINE = [
     "multimodal_shard_plan",
     "corpus_ccnet_funnel",
     "user_churn_training_set",
+    "embedding_standardize",
+    "events_weekday_hour_heatmap",
 ]
 
 

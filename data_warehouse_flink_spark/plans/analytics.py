@@ -2319,3 +2319,28 @@ def user_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "us_since_last",
         F.col("active").isNull().alias("churned"),
     )
+
+
+@register(
+    "events_weekday_hour_heatmap",
+    oracle="""
+    SELECT dayofweek(ts)::BIGINT AS weekday,
+           hour(ts)::BIGINT AS hour,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap (the load-shaping view capacity
+    planning reads): 7×24 exact counts from one rollup. DuckDB
+    `dayofweek` is 0=Sunday; Spark's `dayofweek` is 1=Sunday — aligned
+    via `dayofweek - 1`."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("weekday"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -3679,3 +3679,110 @@ def _register_ccnet_funnel() -> None:
 
 
 _register_ccnet_funnel()
+
+
+# --------------------- per-dimension embedding standardization (z-score) ----
+@register(
+    "embedding_standardize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+               AS xm
+      FROM embeddings
+    ), dims AS (
+      SELECT d, sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+             count(*)::BIGINT AS n
+      FROM (SELECT unnest(xm) AS x,
+                   unnest(range(1, len(xm) + 1)) AS d FROM v)
+      GROUP BY 1
+    ), stats AS (
+      SELECT d,
+             CAST(sx AS DOUBLE) / n AS mean_m,
+             sqrt(CAST(sxx AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+               AS std_m
+      FROM dims
+    ), z AS (
+      SELECT v.vec_id,
+             CAST(round((xm[s.d] - s.mean_m) / s.std_m * 1000.0, 0)
+                  AS BIGINT) AS z_milli,
+             s.d
+      FROM v JOIN stats s ON TRUE
+    )
+    SELECT vec_id,
+           sum(z_milli * z_milli)::BIGINT AS z_sq_sum_milli2,
+           max(abs(z_milli))::BIGINT AS z_max_abs_milli
+    FROM z GROUP BY 1
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization (whitening-lite) — the
+    normalization pass before KMeans/quantizer training, where raw
+    feature scales would otherwise dominate the geometry. Per-vector
+    report: squared z-norm and max |z| (the outlier screen), both in
+    exact integers.
+
+    Exactness path: floats quantize to integer micro-units FIRST (scan
+    projection), so the per-dim sums Σx, Σx² are exact BIGINTs; mean/std
+    become doubles derived from the same exact integers in the same
+    operation order in both engines, and z rounds to milli-units before
+    the reductions. Plan: one stats aggregate (64 groups, broadcast
+    back) + one scan-linear encode — the sq8 two-pass shape.
+    """
+    dims = (
+        _embs_wide(spark, sf_dir)
+        .select(
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, x -> "
+                    "CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0)"
+                    " AS BIGINT))"
+                )
+            ).alias("d0", "x")
+        )
+        .groupBy((F.col("d0") + 1).alias("d"))
+        .agg(
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.count("*").alias("n"),
+        )
+    )
+    stats = dims.select(
+        "d",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_m"),
+        F.sqrt(
+            F.col("sxx").cast("double") / F.col("n")
+            - (F.col("sx").cast("double") / F.col("n"))
+            * (F.col("sx").cast("double") / F.col("n"))
+        ).alias("std_m"),
+    )
+    st = stats.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(d, mean_m, std_m)))").alias(
+            "st"
+        )
+    )
+    return (
+        _embs_wide(spark, sf_dir)
+        .crossJoin(F.broadcast(st))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(sequence(1, size(embedding)), i -> "
+                "CAST(round((CAST(round(CAST(element_at(embedding, i)"
+                " AS DOUBLE) * 1000000.0, 0) AS BIGINT) - st[i-1].mean_m)"
+                " / st[i-1].std_m * 1000.0, 0) AS BIGINT))"
+            ).alias("zs"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zs, CAST(0 AS BIGINT), "
+                "(acc, z) -> acc + z * z)"
+            ).alias("z_sq_sum_milli2"),
+            F.expr(
+                "array_max(transform(zs, z -> abs(z)))"
+            ).alias("z_max_abs_milli"),
+        )
+    )
