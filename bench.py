@@ -151,6 +151,8 @@ HEADLINE = [
     "user_churn_training_set",
     "embedding_standardize",
     "events_weekday_hour_heatmap",
+    "doc_ngram_novelty",
+    "orders_customer_mart",
 ]
 
 

@@ -2344,3 +2344,52 @@ def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "orders_customer_mart",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           year(o.o_orderdate)::BIGINT AS order_year,
+           count(*)::BIGINT AS n_orders,
+           count(DISTINCT c.c_custkey)::BIGINT AS n_customers,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def orders_customer_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema mart build: the orders fact denormalized through the
+    customer → nation → region dimension chain and rolled to the
+    (region, nation, year) grain — the nightly summary table a BI layer
+    reads instead of re-joining raw facts. Every dimension broadcasts
+    (region 5 rows, nation 25, customer is the one borderline dim — at
+    TPC-H scale it shuffles, and that is the correct plan: AQE picks per
+    size, nothing is forced).
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -3786,3 +3786,81 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_max_abs_milli"),
         )
     )
+
+
+# -------------------------- n-gram novelty (data-selection diversity) ----
+@register(
+    "doc_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+    ), df AS (
+      SELECT gram, count(*) AS df FROM grams GROUP BY 1
+    ), per AS (
+      SELECT grams.doc_id,
+             count(*)::BIGINT AS n_distinct_grams,
+             sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_unique_grams
+      FROM grams JOIN df USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_distinct_grams, 0)::BIGINT AS n_distinct_grams,
+           coalesce(per.n_unique_grams, 0)::BIGINT AS n_unique_grams,
+           CASE WHEN coalesce(per.n_distinct_grams, 0) = 0 THEN 0
+                ELSE (per.n_unique_grams * 1000000 // per.n_distinct_grams)
+           END::BIGINT AS novelty_ppm
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct trigrams
+    that appear NOWHERE else in the corpus (df = 1) — the diversity
+    signal data-selection mixes against quality (high-novelty docs add
+    information; zero-novelty docs are recombinations). Inverse cousin of
+    `doc_exact_substring_dedup` (which scores REPEATED content).
+
+    Same linear shape as every gram pipeline: one distinct-gram explode,
+    one df count, one join back, one per-doc rollup — shuffle keys on
+    the gram only.
+    """
+    docs = _docs_wide(spark, sf_dir).withColumn("toks", F.split("text", " "))
+    grams = docs.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(toks) - 2), "
+                "i -> concat_ws(' ', element_at(toks, i), "
+                "element_at(toks, i + 1), element_at(toks, i + 2))))"
+            )
+        ).alias("gram"),
+    )
+    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    per = (
+        grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_unique_grams"
+            ),
+        )
+    )
+    ppm = F.when(
+        F.coalesce("n_distinct_grams", F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.expr("n_unique_grams * 1000000 DIV n_distinct_grams"))
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct_grams", F.lit(0)).alias(
+                "n_distinct_grams"
+            ),
+            F.coalesce("n_unique_grams", F.lit(0)).alias("n_unique_grams"),
+            ppm.cast("long").alias("novelty_ppm"),
+        )
+    )

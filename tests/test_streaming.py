@@ -893,3 +893,70 @@ def test_stream_resumes_from_checkpoint_with_state(spark, tmp_path):
 
     assert sorted(emitted[0]) == [(k, 1) for k in range(1, 6)]
     assert emitted[1] == [(3, 2)]  # only the new key, cumulative count
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    """Late-data contract: once a window has been FINALIZED and evicted
+    (append mode emitted it because the watermark passed its end), a
+    late event for that window must be dropped — it can neither mutate
+    the emitted row nor append a duplicate window. Note the contract's
+    exact shape: late data arriving in the SAME batch that finalizes the
+    window may still be merged (the watermark is a lower bound, not an
+    exact cutoff); the guaranteed drop starts after eviction, which is
+    what batch 3 exercises."""
+    from pyspark.sql import functions as F
+
+    import glob
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "ts_s string, k long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write_batch([("2024-01-01 10:01:00", 1), ("2024-01-01 12:00:00", 2)])
+    f1 = set(glob.glob(os.path.join(src, "*.parquet")))
+    # batch 2: watermark is now 11:59:50 → finalizes + evicts [10:00,10:05)
+    write_batch([("2024-01-01 12:30:00", 9)])
+    f2 = set(glob.glob(os.path.join(src, "*.parquet"))) - f1
+    # batch 3: a late event for the already-evicted window
+    write_batch([("2024-01-01 10:01:30", 3)])
+    # the file source orders batches by modification time; writes can land
+    # in the same clock tick, so pin the order explicitly
+    now = time.time()
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        off = 0 if f in f1 else (60 if f in f2 else 120)
+        os.utime(f, (now + off, now + off))
+
+    stream = (
+        spark.readStream.schema("ts_s string, k long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .withWatermark("ts", "10 seconds")
+    )
+    agg = stream.groupBy(F.window("ts", "5 minutes")).agg(
+        F.count("*").alias("cnt")
+    )
+    import uuid
+
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (r["window"].start.isoformat(), r["cnt"])
+        for r in spark.table(name).collect()
+    ]
+    ten = [c for s, c in rows if s == "2024-01-01T10:00:00"]
+    # finalized once with ONE event; the post-eviction late replay must
+    # neither mutate it nor append a duplicate window row
+    assert ten == [1], rows
