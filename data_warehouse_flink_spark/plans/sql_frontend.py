@@ -70,3 +70,25 @@ _register_verbatim(
     GROUP BY 1, 2
     """,
 )
+
+_register_verbatim(
+    "sql_top_customer_per_nation",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey, c.c_custkey, c.c_name,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS total_spend
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT n.n_name, spend.c_name, spend.total_spend,
+             ROW_NUMBER() OVER (
+               PARTITION BY spend.c_nationkey
+               ORDER BY spend.total_spend DESC, spend.c_custkey) AS rn
+      FROM spend JOIN nation n ON spend.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, c_name, total_spend, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
