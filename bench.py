@@ -153,6 +153,7 @@ HEADLINE = [
     "events_weekday_hour_heatmap",
     "doc_ngram_novelty",
     "orders_customer_mart",
+    "doc_length_histogram",
 ]
 
 

