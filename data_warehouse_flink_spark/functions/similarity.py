@@ -543,9 +543,15 @@ def knn_ivf_pq(
     ).select("neighbor_id", "cell", "c.m", "c.code")
 
     qd = _pq_subspace_dists(queries, "query_id", id_col, vec_col)
-    qcell = assigned.join(
-        queries.select(F.col(id_col).alias("query_id")), 
-        assigned[id_col] == F.col("query_id"),
+    # Query cells come from the query VECTORS (frozen_ivf_assign on the
+    # queries frame), not from a join against the corpus assignment table —
+    # identical for in-corpus queries (same frozen centroids, same rounded
+    # argmin) but correct for arbitrary query DataFrames too, instead of
+    # silently dropping any query id absent from the corpus.
+    qcell = frozen_ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        id_col="query_id",
+        vec_col=vec_col,
     ).select("query_id", "cell")
     qtab = qd.withColumnRenamed("cidx", "code").join(qcell, "query_id")
 

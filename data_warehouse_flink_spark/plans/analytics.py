@@ -1779,10 +1779,16 @@ def streaming_sessionize_gap_stats(
     )
     from data_warehouse_flink_spark.streaming.sources import stream_events
 
-    gap_us = 1_800_000_000  # 30 min, matching the batch gate
+    # The batch rule (and oracle) starts a new session only when the gap is
+    # STRICTLY > 30 min, but session_window's end bound is exclusive: with a
+    # gap of exactly '30 minutes' an event arriving precisely 1800.000000 s
+    # after its predecessor would split. One extra microsecond makes the
+    # merge condition `diff <= 1800000000 us`, matching the oracle's
+    # strict-> split exactly.
+    gap_us = 1_800_000_001
     stream = with_watermark(stream_events(spark, sf_dir), "ts", "0 seconds")
     agg = stream.groupBy(
-        F.session_window("ts", "30 minutes"), F.col("user_id")
+        F.session_window("ts", "30 minutes 1 microsecond"), F.col("user_id")
     ).agg(F.count("*").alias("n_events"))
     sessions = agg.select(
         "user_id",
@@ -2106,7 +2112,14 @@ def _register_streaming_scd2() -> None:
         )
         work = tempfile.mkdtemp(prefix="scd2_stream_")
         replay = os.path.join(work, "replay")
-        for day in _SCD2_DAYS:
+        # SCD2 apply is order-dependent, and the file source orders
+        # same-mtime files by (random) part-file name — days written in
+        # quick succession can share an mtime tick and replay out of day
+        # order. Pin strictly increasing mtimes per day (the same
+        # discipline as the watermark replay test) so maxFilesPerTrigger=1
+        # delivers days in sequence deterministically.
+        seen: set[str] = set()
+        for i, day in enumerate(_SCD2_DAYS):
             (
                 ev.filter(F.to_date("ts") == day)
                 .select("user_id", "ts", "value")
@@ -2114,6 +2127,11 @@ def _register_streaming_scd2() -> None:
                 .write.mode("append")
                 .parquet(replay)
             )
+            for fname in os.listdir(replay):
+                if fname.endswith(".parquet") and fname not in seen:
+                    seen.add(fname)
+                    fp = os.path.join(replay, fname)
+                    os.utime(fp, (1_000_000_000 + i, 1_000_000_000 + i))
         stream = (
             spark.readStream.schema(
                 "user_id long, ts timestamp, value double"

@@ -104,7 +104,16 @@ def merge_upsert_foreachbatch(
         touched = [
             r["bucket"] for r in new.select("bucket").distinct().collect()
         ]
-        try:
+        # Existence is checked EXPLICITLY (Hadoop FS, works for any scheme):
+        # a broad try/except around the read would misclassify transient FS
+        # errors / corrupt footers as "first batch" and silently rewrite the
+        # touched buckets with only the new rows, dropping merged history.
+        # Any read failure on an existing table must propagate so the
+        # micro-batch fails and retries.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
             existing = (
                 spark.read.parquet(path)
                 .filter(F.col("bucket").isin(touched))
@@ -116,7 +125,7 @@ def merge_upsert_foreachbatch(
                 )
             )
             merged = existing.unionByName(new)
-        except Exception:
+        else:
             merged = new  # first micro-batch: table does not exist yet
         merged.write.mode("overwrite").parquet(staging)
         staged = spark.read.parquet(staging)
