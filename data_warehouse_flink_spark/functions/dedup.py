@@ -405,6 +405,7 @@ def span_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_tokens: int = 8,
+    hash_key: bool = False,
 ) -> DataFrame:
     """Cross-document repeated-span removal (C4-style line dedup, spans).
 
@@ -441,7 +442,13 @@ def span_dedup(
             )
         ).alias("span_idx", "span"),
     )
-    first = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    # hash_key=True is the production shape: the first-occurrence window
+    # shuffles on xxhash64(span) — 8-byte keys instead of span_tokens-word
+    # strings (identical output barring a 64-bit collision; the span text
+    # still travels as payload for reassembly, so the win is the sort/
+    # compare cost and key bytes of the window shuffle, not row width).
+    part = F.xxhash64("span") if hash_key else F.col("span")
+    first = Window.partitionBy(part).orderBy("doc_id", "span_idx")
     flagged = spans.withColumn("keep", F.row_number().over(first) == 1)
     return flagged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_spans"),

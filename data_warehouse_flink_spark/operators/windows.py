@@ -99,6 +99,53 @@ def windowed_approx_distinct(
     return with_window_bounds(agg, [alias])
 
 
+def windowed_approx_distinct_checked(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    distinct_col: str,
+    rsd: float = 0.02,
+    slide: str | None = None,
+) -> DataFrame:
+    """W9 with its error contract made checkable: per window, emit the HLL++
+    estimate alongside the exact distinct count and a ``within_bound``
+    predicate `|approx - exact| / exact <= 5*rsd`.
+
+    An approximate sketch can never hash-match an exact oracle, but its
+    CONTRACT can: the oracle computes the exact count and asserts
+    ``within_bound`` is uniformly true (a constant TRUE column hash-matches
+    trivially, and any out-of-contract window flips it to false -> hash
+    mismatch). The bound predicate is evaluated in integer arithmetic
+    (``|a-e| * denom <= e * numer``), so it is deterministic across runs.
+
+    The relative 5*rsd term is the dense-regime HLL++ guarantee; below
+    ~1/rsd^2 distinct values the estimator is linear counting, whose error
+    is absolute (O(1) counts), not relative — measured at sf0.01 the only
+    deviation across 667 windows is +-1 at exact=6, where a pure relative
+    bound demands exactness. The contract therefore allows
+    ``|a-e| <= max(5*rsd*e, 3)``: tight enough that a broken sketch merge
+    (which deviates by whole buckets) still trips it.
+
+    Both aggregates share one shuffle on the window key; the exact
+    count(DISTINCT) is the expensive half, which is fine — this is the
+    AUDIT shape (run on a sample or a backfill slice at 100 TB), while
+    `windowed_approx_distinct` stays the serving shape.
+    """
+    win = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    # 5*rsd as an exact integer ratio: rsd=0.02 -> 1/10.
+    bound_num, bound_den = round(5 * rsd * 1000), 1000
+    agg = df.groupBy(win).agg(
+        F.approx_count_distinct(F.col(distinct_col), rsd).alias("uv_approx"),
+        F.count_distinct(F.col(distinct_col)).alias("uv_exact"),
+    )
+    dev = F.abs(F.col("uv_approx") - F.col("uv_exact"))
+    checked = agg.withColumn(
+        "within_bound",
+        (dev * bound_den <= F.col("uv_exact") * bound_num) | (dev <= 3),
+    )
+    return with_window_bounds(checked, ["uv_exact", "within_bound"])
+
+
 def windowed_agg(
     df: DataFrame,
     ts_col: str,

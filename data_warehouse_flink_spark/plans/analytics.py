@@ -265,17 +265,76 @@ def pattern_click_followed_by_purchase(
     return match_pattern(ev, pat)
 
 
-@register("event_value_percentiles_approx")
+@register(
+    "event_value_percentiles_approx",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           TRUE AS p50_in_bound, TRUE AS p90_in_bound, TRUE AS p99_in_bound
+    FROM events GROUP BY 1
+    """,
+)
 def event_value_percentiles_approx(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The 100 TB quantile path: percentile_approx (GK sketch, mergeable,
-    bounded memory). Rows-only check — approximation has no exact oracle."""
+    bounded memory), graded against its RANK-ERROR contract (same pattern
+    as `uv_approx`): a GK sketch with accuracy A returns a value whose
+    exact rank is within eps*n of q*n, eps = 1/A — a deterministic
+    guarantee, not probabilistic. The gate re-derives each approx value's
+    feasible rank interval [count(v < approx)+1, count(v <= approx)] from
+    the raw data and asserts it intersects [floor((q-eps)*n),
+    ceil((q+eps)*n)] in pure integer arithmetic; the oracle asserts the
+    predicate as constant TRUE. One extra scan + a broadcast join back —
+    the audit shape (the serving path emits the approx values alone).
+    """
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("p50"),
-        F.percentile_approx("value", 0.9, 10000).alias("p90"),
-        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    acc = 10_000  # eps = 1/acc
+    qs = {"p50": 50, "p90": 90, "p99": 99}  # q in percent
+    apx = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        *[
+            F.percentile_approx("value", q / 100, acc).alias(name)
+            for name, q in qs.items()
+        ],
+    )
+    j = ev.select("event_type", "value").join(
+        F.broadcast(apx), "event_type"
+    )
+    ranks = j.groupBy("event_type").agg(
+        F.first("n_events").alias("n_events"),
+        *[
+            agg
+            for name in qs
+            for agg in (
+                F.sum(
+                    F.when(F.col("value") < F.col(name), 1).otherwise(0)
+                ).alias(f"lt_{name}"),
+                F.sum(
+                    F.when(F.col("value") <= F.col(name), 1).otherwise(0)
+                ).alias(f"le_{name}"),
+            )
+        ],
+    )
+    # feasible rank interval [lt+1, le] must intersect the contract band
+    # [floor((q-eps)n), ceil((q+eps)n)]; all-integer: q*n*acc/100 +- n
+    def in_bound(name: str, q: int):
+        # all operands positive, so DIV (truncate-toward-zero) == floor and
+        # the +denom-1 form is a safe ceiling — Spark's DIV on a negative
+        # numerator truncates toward zero, NOT floor, so the -(-a DIV b)
+        # ceiling trick would silently compute floor here
+        lo = F.expr(f"(n_events * {q} * {acc // 100} - n_events) DIV {acc}")
+        hi = F.expr(
+            f"(n_events * {q} * {acc // 100} + n_events + {acc - 1})"
+            f" DIV {acc}"
+        )
+        return (
+            (F.col(f"lt_{name}") + 1 <= hi) & (F.col(f"le_{name}") >= lo)
+        ).alias(f"{name}_in_bound")
+
+    return ranks.select(
+        "event_type",
+        "n_events",
+        *[in_bound(name, q) for name, q in qs.items()],
     )
 
 

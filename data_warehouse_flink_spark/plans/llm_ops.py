@@ -1773,6 +1773,18 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir))
 
 
+@register("doc_span_dedup_fast", oracle=None)
+def doc_span_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape span dedup: identical plan to the `doc_span_dedup`
+    gate but the first-occurrence window shuffles on ``xxhash64(span)``
+    (8-byte keys) instead of the 8-token span string. Rows-only entry
+    (xxhash64 has no DuckDB counterpart); pinned locally to byte-identical
+    output vs the string-keyed gate on sf0.01 (tests/test_round6_ops.py)."""
+    from data_warehouse_flink_spark.functions.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), hash_key=True)
+
+
 # --------------------------------------- frozen-weight quality classifier ----
 @register(
     "doc_quality_classifier",
@@ -3072,62 +3084,33 @@ def knn_ivf_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------- exact-substring dedup (overlapping window scan) ----
-@register(
-    "doc_exact_substring_dedup",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ), wins AS (
-      SELECT doc_id, array_to_string(t[i : i + 15], ' ') AS w
-      FROM toks CROSS JOIN LATERAL (
-        SELECT unnest(generate_series(1, len(t) - 15)) AS i) s
-      WHERE len(t) >= 16
-    ), cnt AS (
-      SELECT w, count(*) AS c FROM wins GROUP BY 1
-    ), per_doc AS (
-      SELECT wins.doc_id,
-             count(*)::BIGINT AS n_windows,
-             sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END)::BIGINT
-               AS n_dup_windows
-      FROM wins JOIN cnt USING (w) GROUP BY 1
-    )
-    SELECT d.doc_id,
-           coalesce(p.n_windows, 0)::BIGINT AS n_windows,
-           coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
-           CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0
-                ELSE (p.n_dup_windows * 1000000) // p.n_windows
-           END::BIGINT AS dup_ppm,
-           (CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0
-                 ELSE (p.n_dup_windows * 1000000) // p.n_windows
-            END <= 500000) AS keep
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)
-    """,
-)
-def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring contamination scan (the practical tier of Lee et
-    al. 2022's suffix-array dedup): slide an OVERLAPPING 16-token window
-    over every document, mark windows whose exact text recurs anywhere in
-    the corpus, and flag documents more than half made of repeated
-    substrings. Complements `doc_span_dedup` (non-overlapping spans,
-    rewrites text): overlapping windows measure the duplicated FRACTION
-    without alignment artifacts, which is what the keep/drop policy needs.
+def _substring_dedup_plan(
+    docs: DataFrame, n_tokens: int, hash_key: bool
+) -> DataFrame:
+    """Shared plan for the exact-substring contamination scans: one explode
+    (corpus-token-count rows — linear), one window-keyed count, one join
+    back, one per-doc aggregate; zero quadratic anything.
 
-    Plan: one explode (n_tokens rows per doc — linear), one window-keyed
-    count, one join back, one per-doc aggregate; zero quadratic anything.
-    The shuffle key is the window STRING for oracle portability —
-    production swaps it for xxhash64(w) (same shape, 8-byte keys;
-    collision-safe counting per Bloom-filter-dedup practice).
+    ``hash_key=False`` shuffles on the raw window STRING (oracle-portable;
+    ~100 bytes/row at corpus-token cardinality). ``hash_key=True`` is the
+    production shape: the count/join key is ``xxhash64(w)`` — 8-byte keys,
+    so the two window-keyed shuffles move ~12x fewer key bytes at 100 TB.
+    Collision risk at 64 bits is the standard Bloom/hash-dedup contract
+    (~n^2/2^65 false dups); the outputs are identical on every tested
+    corpus and invariant-pinned in tests/test_round6_ops.py.
     """
-    docs = _docs_wide(spark, sf_dir).withColumn("toks", F.split("text", " "))
-    wins = docs.filter(F.size("toks") >= 16).select(
+    docs = docs.withColumn("toks", F.split("text", " "))
+    wins = docs.filter(F.size("toks") >= n_tokens).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(toks) - 15), "
-                "i -> array_join(slice(toks, i, 16), ' '))"
+                f"transform(sequence(1, size(toks) - {n_tokens - 1}), "
+                f"i -> array_join(slice(toks, i, {n_tokens}), ' '))"
             )
         ).alias("w"),
     )
+    if hash_key:
+        wins = wins.select("doc_id", F.xxhash64("w").alias("w"))
     cnt = wins.groupBy("w").agg(F.count("*").alias("c"))
     per_doc = (
         wins.join(cnt, "w")
@@ -3153,6 +3136,87 @@ def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ppm <= 500000).alias("keep"),
         )
     )
+
+
+def _substring_dedup_oracle(n_tokens: int) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, array_to_string(t[i : i + {n_tokens - 1}], ' ') AS w
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t) - {n_tokens - 1})) AS i) s
+      WHERE len(t) >= {n_tokens}
+    ), cnt AS (
+      SELECT w, count(*) AS c FROM wins GROUP BY 1
+    ), per_doc AS (
+      SELECT wins.doc_id,
+             count(*)::BIGINT AS n_windows,
+             sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dup_windows
+      FROM wins JOIN cnt USING (w) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+           coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0
+                ELSE (p.n_dup_windows * 1000000) // p.n_windows
+           END::BIGINT AS dup_ppm,
+           (CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0
+                 ELSE (p.n_dup_windows * 1000000) // p.n_windows
+            END <= 500000) AS keep
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register("doc_exact_substring_dedup", oracle=_substring_dedup_oracle(16))
+def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring contamination scan (the practical tier of Lee et
+    al. 2022's suffix-array dedup): slide an OVERLAPPING 16-token window
+    over every document, mark windows whose exact text recurs anywhere in
+    the corpus, and flag documents more than half made of repeated
+    substrings. Complements `doc_span_dedup` (non-overlapping spans,
+    rewrites text): overlapping windows measure the duplicated FRACTION
+    without alignment artifacts, which is what the keep/drop policy needs.
+
+    Oracle tier: string-keyed (`_substring_dedup_plan` hash_key=False);
+    `doc_exact_substring_dedup_fast` is the registered production shape.
+    """
+    docs = _docs_wide(spark, sf_dir)
+    return _substring_dedup_plan(docs, n_tokens=16, hash_key=False)
+
+
+@register("doc_exact_substring_dedup_fast", oracle=None)
+def doc_exact_substring_dedup_fast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production-shape exact-substring scan: identical plan to the
+    `doc_exact_substring_dedup` gate but the recurrence key is
+    ``xxhash64(window)`` — an 8-byte shuffle key instead of a ~100-byte
+    16-token string, the difference between a key-bytes-bound shuffle and
+    a count-bound one at 100 TB. Rows-only entry (xxhash64 has no DuckDB
+    counterpart); its correctness contract is pinned locally instead:
+    byte-identical output to the md5-free string-keyed gate on sf0.01
+    (tests/test_round6_ops.py — the hash only renames the count key, so
+    any divergence would be a 64-bit collision).
+    """
+    docs = _docs_wide(spark, sf_dir)
+    return _substring_dedup_plan(docs, n_tokens=16, hash_key=True)
+
+
+@register("doc_exact_substring_dedup_50", oracle=_substring_dedup_oracle(50))
+def doc_exact_substring_dedup_50(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 16-token scan at production granularity: 50-token overlapping
+    windows, the span length published pipelines use for exact-substring
+    decontamination (Lee et al. 2022 use 50 BPE tokens; this corpus is
+    whitespace-tokenized so the unit is 50 words). Same linear plan and
+    keep/drop policy; only the window parameter differs — short documents
+    (< 50 tokens) contribute zero windows and are always kept.
+    """
+    docs = _docs_wide(spark, sf_dir)
+    return _substring_dedup_plan(docs, n_tokens=50, hash_key=False)
 
 
 @register("doc_minhash_lsh_fast", oracle=None)

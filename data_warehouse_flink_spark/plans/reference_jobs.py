@@ -30,7 +30,7 @@ from data_warehouse_flink_spark.operators.detection import (
 from data_warehouse_flink_spark.operators.joins import interval_join
 from data_warehouse_flink_spark.operators.topn import top_n_per_group
 from data_warehouse_flink_spark.operators.windows import (
-    windowed_approx_distinct,
+    windowed_approx_distinct_checked,
     windowed_count,
     windowed_distinct_count,
 )
@@ -180,14 +180,32 @@ def unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # UvWithBloom — DW-Flink NetworkFlowAnalysis app/UvWithBloom.scala:27-113
-# (Redis-backed Bloom bitmap UV). W9/W10 → HyperLogLog++; approximate, so no
-# value oracle (driver does the rows-only check).
+# (Redis-backed Bloom bitmap UV). W9/W10 → HyperLogLog++. The sketch value
+# itself can't hash-match an exact oracle, but its ERROR CONTRACT can: the
+# gate emits the exact count plus a within-bound predicate
+# (|approx-exact|/exact <= 5*rsd, integer arithmetic) that the oracle
+# asserts as constant TRUE — any out-of-contract window flips it to false
+# and the hash compare catches it (VERDICT r5 item 3).
 # --------------------------------------------------------------------------
-@register("uv_approx")
+@register(
+    "uv_approx",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_sec,
+           (epoch_us(ts) // 3600000000) * 3600 + 3600 AS window_end_sec,
+           count(DISTINCT user_id) AS uv_exact,
+           TRUE AS within_bound
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
 def uv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly approximate UV via HLL++ (replaces the Bloom+Redis bitmap)."""
+    """Hourly approximate UV via HLL++ (replaces the Bloom+Redis bitmap),
+    graded against its 5*rsd error contract per window."""
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
-    return windowed_approx_distinct(ev, "ts", "1 hour", "user_id", rsd=0.02)
+    return windowed_approx_distinct_checked(
+        ev, "ts", "1 hour", "user_id", rsd=0.02
+    )
 
 
 # --------------------------------------------------------------------------
@@ -999,27 +1017,63 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-day sketches are the stored increment, and any rollup (month, total)
 # is a lossless sketch union — no raw-id reprocessing. W9 family depth.
 # --------------------------------------------------------------------------
-@register("uv_sketch_mergeable")
+@register(
+    "uv_sketch_mergeable",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS uv_exact,
+           TRUE AS within_bound
+    FROM v GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS day, count(DISTINCT user_id) AS uv_exact,
+           TRUE AS within_bound
+    FROM v
+    """,
+)
 def uv_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day UV estimates from stored HLL sketches + an ALL row from their
     union. Union-of-daily-sketches ≡ sketch-of-all (register-wise max), so
     the ALL estimate is exactly what a full recompute would give — tested in
-    tests/test_operators.py. Estimates are approximate → rows-only gate."""
+    tests/test_operators.py.
+
+    Graded against the error contract rather than rows-only (same pattern
+    as `uv_approx`): each row carries the exact distinct count and a
+    ``within_bound`` predicate `|est - exact| <= max(5*rsd*exact, 3)` that
+    the oracle asserts as constant TRUE. rsd for the default lgConfigK=12
+    sketch is 1.04/sqrt(2^12) ~= 1.625% -> 5*rsd as the integer ratio
+    8125/100000; the +-3 absolute floor covers the tiny-cardinality regime
+    (see `windowed_approx_distinct_checked`). The ALL row makes the union
+    path itself part of the graded contract — a broken register merge
+    deviates by whole buckets and flips the predicate.
+    """
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
-    daily = ev.groupBy(
-        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    daily = ev.groupBy(day).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("uv_exact"),
+    )
     per_day = daily.select(
         "day",
         F.hll_sketch_estimate("sketch").cast("long").alias("uv_estimate"),
+        "uv_exact",
     )
+    total_exact = ev.agg(F.count_distinct("user_id").alias("uv_exact"))
     total = daily.agg(
         F.lit("ALL").alias("day"),
         F.hll_sketch_estimate(F.hll_union_agg("sketch"))
         .cast("long")
         .alias("uv_estimate"),
+    ).crossJoin(F.broadcast(total_exact))
+    dev = F.abs(F.col("uv_estimate") - F.col("uv_exact"))
+    return (
+        per_day.unionByName(total)
+        .withColumn(
+            "within_bound",
+            (dev * 100000 <= F.col("uv_exact") * 8125) | (dev <= 3),
+        )
+        .select("day", "uv_exact", "within_bound")
     )
-    return per_day.unionByName(total).orderBy("day")
 
 
 @register(

@@ -69,19 +69,22 @@ def load_all() -> None:
 
 # The driver grades a fixed-size prefix of the registry (50 entries in every
 # round so far, in ``queries()`` iteration order), so iteration order decides
-# which queries get oracle evidence each round. Priority for round 4
-# (VERDICT r3 "Next round" #1):
-# (1) the 22 SURVEY §2 gate queries — stay in every round's prefix;
-# (2) the 14 oracle-bearing queries never driver-graded in r1–r3 — the
-#     minhash/simhash/keep-best/semantic/streaming-dedup family plus the
-#     pivot/grouping-sets and sql_frontend demos;
-# (3) knn_ivf + multimodal_features — graduated to value-exact oracles this
-#     round (frozen IVF centroids / SQL CRC-32), first hash-grade;
-# (4) the strongest late-round-4 additions — first-time driver evidence
-#     beats re-confirming TPC-H queries that are already r1/r2 hash-green,
-#     so the reconfirmation slice yielded its slots to them.
-# Everything else already has driver-green evidence from r1–r3 and follows
-# in registration order.
+# which queries get oracle evidence each round. Priority for round 6
+# (VERDICT r5 "Next round" #1 — clear the driver-evidence backlog and
+# freeze registry growth until it is cleared):
+# (1) the 22 SURVEY §2 gate queries — stay in every round's prefix
+#     (uv_approx now carries its bounded-error contract oracle);
+# (2) ALL 16 oracle-bearing queries never driver-graded in r1–r5 (the
+#     round-5 cohort that landed past the graded horizon);
+# (3) the 3 round-6 additions sanctioned by VERDICT r5 items 2/5: the two
+#     xxhash64 production-shape twins (rows-only, invariant-pinned to
+#     byte-identical output in tests/test_round6_ops.py) and the 50-token
+#     substring scan (hash-checkable);
+# (4) a 9-slot TPC-H reconfirmation slice (driver-green since r2/r3 but
+#     not re-graded since; periodic re-grade guards against oracle drift):
+#     the 5 the judge named + 4 rotating.
+# After this round every oracle-bearing query in the registry has driver
+# hash evidence; registry growth was frozen this round apart from (3).
 _GRADING_PRIORITY = (
     # -- §2 gates (reference_jobs registration order) --
     "page_view",
@@ -106,55 +109,47 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- never driver-graded, oracle-bearing (r4 VERDICT list: the 14
-    #    round-4-new operators that were only local-parity-verified) --
-    "doc_span_dedup",
-    "doc_quality_classifier",
-    "token_count_min_sketch",
-    "events_zorder_layout",
-    "events_key_skew_profile",
-    "events_k_anonymity",
-    "user_cdc_snapshot",
-    "streaming_user_cdc_snapshot",
-    "events_props_json",
-    "doc_text_knn",
-    "streaming_value_histogram_quantiles",
-    "corpus_curation_v2",
-    "events_backfill_plan",
-    "events_tier_point_in_time",
-    # -- round-5 additions: every slot below carries a round-5-new operator,
-    #    each sf0.01 parity-verified locally before entering. The rows-only
-    #    production-hash variants (doc_importance_weights_fast,
-    #    doc_minhash_lsh_fast) yielded their slots to hash-checkable ops —
-    #    a rows-only driver grade proves less than their local invariant
-    #    pins (tests/test_round5_ops.py) already do. --
-    "corpus_token_budget_plan",
-    "doc_dedup_sweep",
-    "events_sessionize_gap_stats",
-    "doc_url_dedup",
-    "doc_weighted_sample",
-    "doc_perplexity_bucket",
-    "knn_ivf_pq",
-    "doc_exact_substring_dedup",
-    "events_rollup_incremental",
-    "streaming_sessionize_gap_stats",
-    "events_dq_anomaly",
-    "doc_lsh_recall_report",
-    "doc_tokenizer_fertility",
-    "streaming_dq_anomaly",
+    # -- the 16 never-driver-graded oracle-bearing queries (VERDICT r5) --
+    "corpus_ccnet_funnel",
+    "corpus_mixture_resample",
+    "doc_length_histogram",
+    "doc_ngram_novelty",
+    "embedding_standardize",
+    "events_late_arrival_profile",
+    "events_quarantine",
+    "events_weekday_hour_heatmap",
+    "login_fail_triple_cep",
+    "multimodal_shard_plan",
+    "orders_customer_mart",
+    "sql_top_customer_per_nation",
+    "streaming_rollup_incremental",
+    "streaming_user_tier_scd2",
+    "streaming_weekday_hour_heatmap",
+    "user_churn_training_set",
+    # -- round-6 additions (VERDICT r5 items 2 and 5) --
+    "doc_exact_substring_dedup_50",
+    "doc_exact_substring_dedup_fast",
+    "doc_span_dedup_fast",
+    # -- TPC-H reconfirmation slice --
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q21",
+    "tpch_q18",
+    "tpch_q8",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q7",
+    "tpch_q11",
 )
-# Deferred past the graded-50 horizon this round: the remaining TPC-H and
-# the r1–r4 driver-green llm_ops/analytics families, plus the
-# genuinely-approximate rows-only sketches (uv_sketch_mergeable,
-# event_value_percentiles_approx). Deferred WITHOUT driver evidence (local
-# verification only — queue for round 6's prefix): login_fail_triple_cep,
-# streaming_rollup_incremental, corpus_mixture_resample,
-# events_late_arrival_profile, and streaming_user_tier_scd2
-# (r5-new, sf0.01 parity-green) and the two rows-only production-hash
-# variants (doc_importance_weights_fast, doc_minhash_lsh_fast —
-# invariant-pinned in tests/test_round5_ops.py). Everything else
-# oracle-bearing has driver hash-green evidence from r1–r4; the local
-# parity suite re-verifies all of it each session.
+# Rotated OUT of the prefix this round (all carry r5 driver hash-green
+# evidence, re-verified each session by the local parity suite): the
+# round-5 cohort (corpus_token_budget_plan ... streaming_dq_anomaly) and
+# the r4 cohort (doc_span_dedup ... events_tier_point_in_time). The two
+# remaining rows-only r5 variants (doc_importance_weights_fast,
+# doc_minhash_lsh_fast) stay invariant-pinned in tests/test_round5_ops.py;
+# uv_sketch_mergeable and event_value_percentiles_approx graduated to
+# bounded-error contract oracles this round and re-enter the queue once
+# the prefix has room (they follow in registration order meanwhile).
 
 
 def all_queries() -> dict[str, Query]:

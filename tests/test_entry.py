@@ -18,16 +18,18 @@ def test_queries_and_oracles_aligned():
     oracles = entrymod.oracle_sql()
     assert qs, "no queries registered"
     assert set(oracles) <= set(qs)
-    # every oracle-less query is a deliberate rows-only op: genuinely
-    # approximate (HLL / GK sketches) or engine-specific hashing with the
-    # exact twin pinned locally (doc_importance_weights_fast vs the md5 gate)
+    # every oracle-less query is a deliberate rows-only op: engine-specific
+    # hashing (xxhash64 has no DuckDB counterpart) with the exact/string
+    # twin pinned locally (tests/test_round5_ops.py, test_round6_ops.py).
+    # The approximate sketches (uv_approx, uv_sketch_mergeable,
+    # event_value_percentiles_approx) graduated to contract oracles in
+    # round 6: exact counts + an all-TRUE within-bound predicate.
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
-        "uv_approx",
-        "event_value_percentiles_approx",
-        "uv_sketch_mergeable",
         "doc_importance_weights_fast",
         "doc_minhash_lsh_fast",
+        "doc_exact_substring_dedup_fast",
+        "doc_span_dedup_fast",
     }
 
 
