@@ -154,7 +154,18 @@ HEADLINE = [
     "doc_ngram_novelty",
     "orders_customer_mart",
     "doc_length_histogram",
+    "doc_exact_substring_dedup_fast",
+    "doc_exact_substring_dedup_50",
+    "doc_span_dedup_fast",
 ]
+
+# Bench time is round time: the headline set is EXPLICITLY capped at 130
+# (tests/test_entry.py enforces it). The registry is larger (159); entries
+# the cap excludes are the near-duplicate oracle/production twins and
+# demos whose cost profile is already covered by a listed sibling. To add
+# a query once the cap is hit, swap out the least-informative sibling
+# rather than growing the list.
+HEADLINE_CAP = 130
 
 
 def main() -> None:

@@ -72,3 +72,6 @@ def test_bench_headline_names_exist():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, missing
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    # bench time is round time: grow by swapping, not appending (VERDICT r5
+    # item 7 — the cap is the explicit choice, not an accident)
+    assert len(bench.HEADLINE) <= bench.HEADLINE_CAP
