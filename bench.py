@@ -170,6 +170,29 @@ HEADLINE_CAP = 130
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # A concurrent Spark JVM on the same box corrupts timings wholesale
+    # (measured: 36 s readings for 2.4 s queries). Warn loudly on stderr —
+    # the JSON record on stdout still gets produced, but flag it.
+    try:
+        import subprocess
+
+        others = subprocess.run(
+            ["pgrep", "-f", "org.apache.spark"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.split()
+        others = [p for p in others if int(p) != os.getpid()]
+        if others:
+            print(
+                f"WARNING: {len(others)} other Spark JVM(s) alive "
+                f"(pids {others}) — timings below are unreliable",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass
+
     from data_warehouse_flink_spark.registry import all_queries
     from data_warehouse_flink_spark.session import get_spark
 

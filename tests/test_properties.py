@@ -279,3 +279,88 @@ def test_pii_redact_matches_python_re(spark, texts):
             red = re.sub(pat, token, red)
             assert got[i][f"n_{kind}"] == n, (i, kind, t)
         assert got[i]["redacted"] == red
+
+
+# ---- round-6: exact-substring window scan vs a pure-Python reference ----
+SUBSTR_DOCS = st.lists(
+    st.lists(
+        # tiny alphabet so repeated windows actually occur
+        st.sampled_from(["a", "b", "c"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=SUBSTR_DOCS)
+def test_substring_dedup_plan_matches_python(spark, docs):
+    """Both key tiers (string and xxhash64) of `_substring_dedup_plan`
+    must match an independent Python reference for window counts, dup
+    counts, ppm (floor division) and keep, at a small window size where
+    randomized docs collide."""
+    from collections import Counter
+
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _substring_dedup_plan,
+    )
+
+    n_tok = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # python reference (note: split(" ") on "" yields [""], matching Spark)
+    win_count: Counter = Counter()
+    per_doc_wins: dict[int, list[str]] = {}
+    for i, _ in rows:
+        toks = rows[i][1].split(" ")
+        wins = [
+            " ".join(toks[j : j + n_tok])
+            for j in range(len(toks) - n_tok + 1)
+        ] if len(toks) >= n_tok else []
+        per_doc_wins[i] = wins
+        win_count.update(wins)
+
+    for hash_key in (False, True):
+        got = {
+            r["doc_id"]: r
+            for r in _substring_dedup_plan(
+                df, n_tokens=n_tok, hash_key=hash_key
+            ).collect()
+        }
+        assert set(got) == set(per_doc_wins)
+        for i, wins in per_doc_wins.items():
+            n_dup = sum(1 for w in wins if win_count[w] > 1)
+            assert got[i]["n_windows"] == len(wins), (hash_key, i)
+            assert got[i]["n_dup_windows"] == n_dup, (hash_key, i)
+            ppm = (n_dup * 1_000_000) // len(wins) if wins else 0
+            assert got[i]["dup_ppm"] == ppm, (hash_key, i)
+            assert bool(got[i]["keep"]) == (ppm <= 500_000), (hash_key, i)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=SUBSTR_DOCS)
+def test_span_dedup_hash_key_invariant(spark, docs):
+    """span_dedup(hash_key=True) must be row-identical to the string-keyed
+    form on randomized inputs (the hash only renames the window shuffle
+    key; first-occurrence order is (doc_id, span_idx) in both)."""
+    from data_warehouse_flink_spark.functions.dedup import span_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(tuple(r) for r in span_dedup(df, span_tokens=2).collect())
+    b = sorted(
+        tuple(r)
+        for r in span_dedup(df, span_tokens=2, hash_key=True).collect()
+    )
+    assert a == b
