@@ -107,9 +107,13 @@ def windowed_approx_distinct_checked(
     rsd: float = 0.02,
     slide: str | None = None,
 ) -> DataFrame:
-    """W9 with its error contract made checkable: per window, emit the HLL++
-    estimate alongside the exact distinct count and a ``within_bound``
-    predicate `|approx - exact| / exact <= 5*rsd`.
+    """W9 with its error contract made checkable: per window, compute the
+    HLL++ estimate alongside the exact distinct count and emit the exact
+    count plus a ``within_bound`` predicate `|approx - exact| / exact <=
+    5*rsd`. The estimate itself is deliberately NOT in the output — it has
+    no oracle counterpart, so the driver's column-aligned hash compare
+    would always fail on it; `windowed_approx_distinct` is the serving
+    shape that returns the estimate.
 
     An approximate sketch can never hash-match an exact oracle, but its
     CONTRACT can: the oracle computes the exact count and asserts

@@ -83,8 +83,11 @@ def load_all() -> None:
 # (4) a 9-slot TPC-H reconfirmation slice (driver-green since r2/r3 but
 #     not re-graded since; periodic re-grade guards against oracle drift):
 #     the 5 the judge named + 4 rotating.
-# After this round every oracle-bearing query in the registry has driver
-# hash evidence; registry growth was frozen this round apart from (3).
+# After this round every oracle-bearing query has driver hash evidence
+# EXCEPT uv_sketch_mergeable and event_value_percentiles_approx, which
+# graduated from rows-only to contract oracles this same round and sit
+# just past the prefix — queue those two first in round 7. Registry
+# growth was frozen this round apart from (3).
 _GRADING_PRIORITY = (
     # -- §2 gates (reference_jobs registration order) --
     "page_view",

@@ -109,11 +109,20 @@ def merge_upsert_foreachbatch(
         # errors / corrupt footers as "first batch" and silently rewrite the
         # touched buckets with only the new rows, dropping merged history.
         # Any read failure on an existing table must propagate so the
-        # micro-batch fails and retries.
+        # micro-batch fails and retries. "Exists" means COMMITTED data, not
+        # a bare directory: a write killed between directory creation and
+        # the first committed part file leaves an empty/_temporary-only dir,
+        # and a directory-existence test would then make every replay of
+        # the batch fail on schema inference forever — that state is a
+        # first batch.
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(hpath):
+        has_data = fs.exists(hpath) and any(
+            not st.getPath().getName().startswith(("_", "."))
+            for st in fs.listStatus(hpath)
+        )
+        if has_data:
             existing = (
                 spark.read.parquet(path)
                 .filter(F.col("bucket").isin(touched))

@@ -121,3 +121,38 @@ def test_ivf_pq_handles_out_of_corpus_queries(spark):
     assert foreign_n[0] == 0  # exact clone is the nearest neighbor
     # the clone's remaining neighbors follow vec 0's own ranking
     assert foreign_n[1:] == native_n[:2]
+
+
+def test_merge_upsert_recovers_from_uncommitted_table_dir(spark, tmp_path):
+    """Round-6 fix pin: a target directory left behind by a write that died
+    before committing any part file (only _temporary/.hidden entries) must
+    be treated as FIRST BATCH, not as an existing table — a bare
+    directory-existence check would make every replay fail on schema
+    inference forever."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_flink_spark.streaming.mart import (
+        merge_upsert_foreachbatch,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    # simulate the torn first write: directory exists, zero committed data
+    os.makedirs(os.path.join(table, "_temporary", "0"))
+    spark.createDataFrame(
+        [(k, 1) for k in range(5)], "k long, v long"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    latest = stream.groupBy("k").agg(F.max("v").alias("v"))
+    q = merge_upsert_foreachbatch(latest, table, ["k"], n_buckets=1)
+    q.awaitTermination()
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert got == {k: 1 for k in range(5)}
