@@ -290,3 +290,39 @@ def test_exact_substring_dedup_linear_shape(spark):
     required exchanges (window count, join back, per-doc agg)."""
     plan = formatted_plan(spark, "doc_exact_substring_dedup")
     assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_fast_hashes_before_both_shuffles(spark):
+    """The production tier must shuffle on xxhash64, never the raw window
+    string: the hash projection has to sit below the count exchange AND
+    the join-back exchange (8-byte keys are the whole point), and the
+    plan stays cartesian-free with the same exchange budget as the string
+    tier."""
+    plan = formatted_plan(spark, "doc_exact_substring_dedup_fast")
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan, plan
+
+
+def test_uv_approx_contract_single_scan_two_phase(spark):
+    """The contract gate computes HLL and exact distinct off ONE events
+    scan with the view filter pushed down; the distinct expansion is the
+    standard two-exchange shape, nothing more."""
+    plan = formatted_plan(spark, "uv_approx")
+    assert _parquet_scan_count(plan) == 1, plan
+    assert "EqualTo(event_type,view)" in plan
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    ]
+    assert len(exchanges) <= 2, plan
+
+
+def test_percentiles_contract_broadcasts_sketch_row(spark):
+    """The rank-audit join sends the per-type sketch row (5 rows) to the
+    raw scan side via broadcast — the events table must never shuffle for
+    the join."""
+    plan = formatted_plan(spark, "event_value_percentiles_approx")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
