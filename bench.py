@@ -209,6 +209,21 @@ def main() -> None:
     for warm in ("page_view", "tpch_q6", "doc_token_stats", "knn_bruteforce"):
         queries[warm].spark_fn(spark, sf_dir).count()
 
+    # Canary trio: three stable, rounds-old queries measured FIRST, right
+    # after warmup, and reported separately. Cross-round per-query
+    # comparisons divide by the canary to factor out box-level contention
+    # (round 6 saw two same-day runs differ 90.9 vs 112.7 s UNIFORMLY,
+    # including plans untouched for rounds — the canary makes that visible
+    # inside the record instead of requiring a forensic re-measure).
+    canary: dict[str, float] = {}
+    for name in ("page_view", "tpch_q6", "hot_items_topn"):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            queries[name].spark_fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        canary[name] = round(best, 3)
+
     # min of 3 runs per query: the steady-state number (first run pays
     # one-time codegen/janino compilation and page-cache misses, which a
     # long-running cluster job would amortize away; the extra rep guards
@@ -234,6 +249,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_dir,
         "n_queries": len(timings),
+        "canary": canary,
     }
     if errors:
         payload["errors"] = errors

@@ -538,3 +538,38 @@ def test_perplexity_bucket_at_1m_docs(spark, big_docs):
     assert set(got) <= {"head", "middle", "tail"}
     assert sum(got.values()) == big_docs.count()
     print(f"perplexity buckets over {sum(got.values())} docs in {elapsed:.1f}s")
+
+
+def test_span_dedup_key_tiers_at_1m_docs(spark, big_docs):
+    """span_dedup string- vs xxhash64-keyed first-occurrence window at 1M
+    docs, INTERLEAVED in one session (fresh-session pairs drift; see
+    NOTES perf cliffs). Invariants: identical kept-span totals across
+    tiers; every doc present."""
+    import time
+
+    from data_warehouse_flink_spark.functions.dedup import span_dedup
+
+    def profile(hash_key: bool):
+        out = span_dedup(big_docs, hash_key=hash_key).agg(
+            F.count("*").alias("n"),
+            F.sum("n_spans").alias("spans"),
+            F.sum("n_spans_kept").alias("kept"),
+        )
+        t0 = time.perf_counter()
+        row = out.collect()[0]
+        return time.perf_counter() - t0, row
+
+    best = {False: float("inf"), True: float("inf")}
+    rows = {}
+    for _ in range(2):
+        for hk in (False, True):
+            t, row = profile(hk)
+            best[hk] = min(best[hk], t)
+            rows[hk] = row
+    assert rows[False] == rows[True]
+    assert rows[False]["n"] == big_docs.count()
+    assert 0 < rows[False]["kept"] <= rows[False]["spans"]
+    print(
+        f"span dedup 1M docs: string {best[False]:.1f}s "
+        f"vs xxhash64 {best[True]:.1f}s"
+    )
