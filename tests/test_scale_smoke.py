@@ -573,3 +573,108 @@ def test_span_dedup_key_tiers_at_1m_docs(spark, big_docs):
         f"span dedup 1M docs: string {best[False]:.1f}s "
         f"vs xxhash64 {best[True]:.1f}s"
     )
+
+
+def test_ngram_novelty_at_1m_docs(spark, big_docs):
+    """Per-doc novelty (df=1 trigram fraction) at 1M docs: one distinct-
+    gram explode + df count + join back, shuffle keys on the gram only.
+    Invariant: every doc returns once, novelty in [0, 1e6]."""
+    import time
+
+    import data_warehouse_flink_spark.plans.llm_ops as L
+
+    orig = L._docs_wide
+    L._docs_wide = lambda s, d: big_docs
+    try:
+        t0 = time.perf_counter()
+        agg = (
+            L.doc_ngram_novelty(spark, "ignored")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("novelty_ppm").alias("lo"),
+                F.max("novelty_ppm").alias("hi"),
+            )
+            .collect()[0]
+        )
+        elapsed = time.perf_counter() - t0
+    finally:
+        L._docs_wide = orig
+    assert agg["n"] == big_docs.count()
+    assert 0 <= agg["lo"] <= agg["hi"] <= 1_000_000
+    print(f"ngram novelty over {agg['n']} docs in {elapsed:.1f}s")
+
+
+def test_churn_training_set_at_5m_events(spark, big_events):
+    """Leakage-free churn set at 5M events / 100k users: both temporal
+    windows must prune at the scan; every featured user labeled exactly
+    once; the label join must not fan out."""
+    import time
+
+    import data_warehouse_flink_spark.plans.analytics as A
+
+    ev = big_events.withColumn(
+        "value",
+        (F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(10_000)) / 100.0),
+    )
+    orig = A._events
+    A._events = lambda s, d: ev
+    try:
+        t0 = time.perf_counter()
+        out = A.user_churn_training_set(spark, "ignored")
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("nu"),
+            F.sum(F.col("churned").cast("long")).alias("n_churned"),
+        ).collect()[0]
+        elapsed = time.perf_counter() - t0
+    finally:
+        A._events = orig
+    featured = (
+        big_events.filter(F.col("ts") < F.lit("2024-01-22").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert agg["n"] == agg["nu"] == featured  # one row per featured user
+    assert 0 <= agg["n_churned"] <= agg["n"]
+    print(
+        f"churn set: {agg['n']} users ({agg['n_churned']} churned) "
+        f"in {elapsed:.1f}s"
+    )
+
+
+def test_triple_cep_lag_chain_at_5m_events(spark, big_events):
+    """The n-step CEP lag-chain (3 consecutive errors within 24 h) at 5M
+    events / 100k keys: one shuffle + one per-key sort, no state store.
+    Cross-check the match count against an independent SQL formulation."""
+    import time
+
+    import data_warehouse_flink_spark.plans.reference_jobs as R
+
+    orig = R._events
+    R._events = lambda s, d: big_events
+    try:
+        t0 = time.perf_counter()
+        n = R.login_fail_triple_cep(spark, "ignored").count()
+        elapsed = time.perf_counter() - t0
+    finally:
+        R._events = orig
+    big_events.createOrReplaceTempView("smoke_ev")
+    want = spark.sql(
+        """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type, 1) OVER w AS p1,
+                 lag(event_type, 2) OVER w AS p2,
+                 unix_micros(ts) AS us,
+                 lag(unix_micros(ts), 2) OVER w AS us2
+          FROM smoke_ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT count(*) FROM seq
+        WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error'
+          AND us - us2 <= 86400000000
+        """
+    ).collect()[0][0]
+    assert n == want and n > 0
+    print(f"triple CEP: {n} matches over 5M events in {elapsed:.1f}s")
