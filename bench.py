@@ -217,12 +217,17 @@ def main() -> None:
     # inside the record instead of requiring a forensic re-measure).
     canary: dict[str, float] = {}
     for name in ("page_view", "tpch_q6", "hot_items_topn"):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            queries[name].spark_fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        canary[name] = round(best, 3)
+        try:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                queries[name].spark_fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            canary[name] = round(best, 3)
+        except Exception:
+            # a broken canary query must not kill the whole record — the
+            # main loop below will surface it in the errors dict
+            pass
 
     # min of 3 runs per query: the steady-state number (first run pays
     # one-time codegen/janino compilation and page-cache misses, which a
