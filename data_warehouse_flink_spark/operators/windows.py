@@ -136,8 +136,13 @@ def windowed_approx_distinct_checked(
     `windowed_approx_distinct` stays the serving shape.
     """
     win = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
-    # 5*rsd as an exact integer ratio: rsd=0.02 -> 1/10.
-    bound_num, bound_den = round(5 * rsd * 1000), 1000
+    # 5*rsd as an exact integer ratio: rsd=0.02 -> 100000/1000000. The
+    # 10^6 denominator keeps the ratio non-degenerate down to rsd=2e-7;
+    # the assert catches anything smaller (a zero numerator would silently
+    # collapse the relative arm to the |dev| <= 3 absolute floor).
+    bound_num, bound_den = round(5 * rsd * 1_000_000), 1_000_000
+    if bound_num <= 0:
+        raise ValueError(f"rsd={rsd} too small for the integer bound ratio")
     agg = df.groupBy(win).agg(
         F.approx_count_distinct(F.col(distinct_col), rsd).alias("uv_approx"),
         F.count_distinct(F.col(distinct_col)).alias("uv_exact"),

@@ -290,8 +290,15 @@ def event_value_percentiles_approx(
     ev = _events(spark, sf_dir)
     acc = 10_000  # eps = 1/acc
     qs = {"p50": 50, "p90": 90, "p99": 99}  # q in percent
+    # n_events (count(*), the reported volume) vs n_vals (non-null values,
+    # the rank-band n): percentile_approx and the lt/le rank counts ignore
+    # NULLs, so the contract band must be sized by the non-null count or a
+    # nullable `value` column would inflate n and falsely fail the bound
+    # (schemas.py pins events.value non-nullable today, so the two agree
+    # on driver data — the split is for the generic case).
     apx = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
+        F.count("value").alias("n_vals"),
         *[
             F.percentile_approx("value", q / 100, acc).alias(name)
             for name, q in qs.items()
@@ -302,6 +309,7 @@ def event_value_percentiles_approx(
     )
     ranks = j.groupBy("event_type").agg(
         F.first("n_events").alias("n_events"),
+        F.first("n_vals").alias("n_vals"),
         *[
             agg
             for name in qs
@@ -322,9 +330,9 @@ def event_value_percentiles_approx(
         # the +denom-1 form is a safe ceiling — Spark's DIV on a negative
         # numerator truncates toward zero, NOT floor, so the -(-a DIV b)
         # ceiling trick would silently compute floor here
-        lo = F.expr(f"(n_events * {q} * {acc // 100} - n_events) DIV {acc}")
+        lo = F.expr(f"(n_vals * {q} * {acc // 100} - n_vals) DIV {acc}")
         hi = F.expr(
-            f"(n_events * {q} * {acc // 100} + n_events + {acc - 1})"
+            f"(n_vals * {q} * {acc // 100} + n_vals + {acc - 1})"
             f" DIV {acc}"
         )
         return (

@@ -112,47 +112,49 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- the 16 never-driver-graded oracle-bearing queries (VERDICT r5) --
-    "corpus_ccnet_funnel",
-    "corpus_mixture_resample",
-    "doc_length_histogram",
-    "doc_ngram_novelty",
-    "embedding_standardize",
-    "events_late_arrival_profile",
-    "events_quarantine",
-    "events_weekday_hour_heatmap",
-    "login_fail_triple_cep",
-    "multimodal_shard_plan",
-    "orders_customer_mart",
-    "sql_top_customer_per_nation",
-    "streaming_rollup_incremental",
-    "streaming_user_tier_scd2",
-    "streaming_weekday_hour_heatmap",
-    "user_churn_training_set",
-    # -- round-6 additions (VERDICT r5 items 2 and 5) --
-    "doc_exact_substring_dedup_50",
-    "doc_exact_substring_dedup_fast",
-    "doc_span_dedup_fast",
-    # -- TPC-H reconfirmation slice --
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q21",
-    "tpch_q18",
-    "tpch_q8",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q7",
-    "tpch_q11",
+    # -- the last two oracle-bearing queries without driver hash evidence
+    # (graduated to bounded-error contract oracles in r6; VERDICT r6 #1) --
+    "uv_sketch_mergeable",
+    "event_value_percentiles_approx",
+    # -- periodic-reconfirmation cadence (VERDICT r6 #2): the 26 remaining
+    # slots go to the queries with the OLDEST driver hash evidence, ties
+    # broken by registration order. Rule: each round, after first-evidence
+    # entries, fill the prefix oldest-first so no query's evidence age is
+    # unbounded. This round covers the full r1 and r2 cohorts + the first
+    # four of the r3 cohort (evidence rounds annotated). --
+    "doc_token_stats",  # r1
+    "doc_fingerprint",  # r1
+    "doc_language_id",  # r1
+    "corpus_curation",  # r1
+    "doc_bpe_tokens",  # r1
+    "doc_chunks",  # r1
+    "tpch_q5",  # r2
+    "tpch_q6",  # r2
+    "order_priority_count",  # r2
+    "tpch_q10",  # r2
+    "tpch_q14",  # r2
+    "tpch_q19",  # r2
+    "tpch_q17",  # r2
+    "tpch_q13",  # r2
+    "tpch_q22",  # r2
+    "tpch_q15",  # r2
+    "tpch_q16",  # r2
+    "tpch_q20",  # r2
+    "doc_dedup_exact",  # r2
+    "doc_ngram_jaccard",  # r2
+    "embedding_dedup_cosine",  # r2
+    "knn_bruteforce",  # r2
+    "tpch_q12",  # r3
+    "doc_unigram_logprob",  # r3
+    "doc_prefix_edit_distance",  # r3
+    "doc_dup_clusters",  # r3
 )
-# Rotated OUT of the prefix this round (all carry r5 driver hash-green
-# evidence, re-verified each session by the local parity suite): the
-# round-5 cohort (corpus_token_budget_plan ... streaming_dq_anomaly) and
-# the r4 cohort (doc_span_dedup ... events_tier_point_in_time). The two
-# remaining rows-only r5 variants (doc_importance_weights_fast,
-# doc_minhash_lsh_fast) stay invariant-pinned in tests/test_round5_ops.py;
-# uv_sketch_mergeable and event_value_percentiles_approx graduated to
-# bounded-error contract oracles this round and re-enter the queue once
-# the prefix has room (they follow in registration order meanwhile).
+# Rotated OUT of the prefix this round: the r5/r6 first-evidence cohorts
+# (all hash-green in CORRECTNESS_r06) and the TPC-H reconfirmation slice
+# (green r6). Evidence ages after this round's grading: r3 cohort tail
+# (23 queries, next up), then the r4 cohort (28), then r5/r6. The local
+# parity suite still re-verifies every registered oracle each session;
+# the driver prefix is the independent re-proof channel.
 
 
 def all_queries() -> dict[str, Query]:
