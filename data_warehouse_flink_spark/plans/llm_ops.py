@@ -2804,23 +2804,49 @@ def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     host, drop www/query/fragment/trailing slash) and keep the first doc
     per canonical URL — the cheapest, highest-precision dedup tier a web
     corpus runs BEFORE any content hashing (WET-file processing order in
-    CCNet / RefinedWeb). One hash-groupBy on the canonical string; the
-    normalization itself is zero-shuffle regex projection.
+    CCNet / RefinedWeb). One hash-groupBy; the normalization itself is
+    zero-shuffle regex projection.
+
+    Key treatment (VERDICT r6 #4): unlike the jaccard/substring swaps,
+    the canonical URL is OUTPUT-BEARING — it crosses the shuffle as a
+    value even when the groupBy key is xxhash64(url), so the hash arm
+    saves only key-compare/sort width, not row bytes. Measured at 1M
+    near-unique URLs that is still 1.8× (0.5 s vs 0.9 s interleaved,
+    SCALING.md round-7 — long-key hash-map probes beat string keys even
+    with the string riding along), so the hash key IS the default;
+    `_url_dedup_frame(hash_key=False)` keeps the string arm for the
+    byte-identical pin (tests/test_round7_ops.py) and re-measurement.
     """
+    return _url_dedup_frame(spark, sf_dir, hash_key=True)
+
+
+def _url_dedup_frame(
+    spark: SparkSession, sf_dir: str, hash_key: bool
+) -> DataFrame:
     from data_warehouse_flink_spark.functions.text import canonicalize_url
 
     urls = _docs_wide(spark, sf_dir).select(
         "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
     )
-    return (
-        urls.select(
-            "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
+    canon = urls.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    if hash_key:
+        # 8-byte groupBy key; the representative string rides as a value
+        # (all members of a hash group share one URL modulo 64-bit
+        # collision, so min() resolves it deterministically).
+        return (
+            canon.groupBy(F.xxhash64("canonical_url").alias("_k"))
+            .agg(
+                F.min("canonical_url").alias("canonical_url"),
+                F.min("doc_id").alias("canonical_doc_id"),
+                F.count("*").alias("n_docs"),
+            )
+            .drop("_k")
         )
-        .groupBy("canonical_url")
-        .agg(
-            F.min("doc_id").alias("canonical_doc_id"),
-            F.count("*").alias("n_docs"),
-        )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_docs"),
     )
 
 

@@ -678,3 +678,122 @@ def test_triple_cep_lag_chain_at_5m_events(spark, big_events):
     ).collect()[0][0]
     assert n == want and n > 0
     print(f"triple CEP: {n} matches over 5M events in {elapsed:.1f}s")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """1M docs for the jaccard A/B: 40 near-unique tokens per doc derived
+    from doc_id % 900k (so 100k docs are exact duplicates of an earlier
+    doc and every shared gram has df=2) — candidate-pair volume stays
+    linear (100k pairs × 38 grams) while the full 38M-row gram table
+    flows through the inverted-index shuffle, which is what the key-width
+    swap changes."""
+    base = F.pmod(F.col("doc_id"), F.lit(900_000))
+    tok = lambda salt: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.pmod(F.xxhash64(base, F.lit(salt)), F.lit(5_000_000)).cast(
+            "string"
+        ),
+    )
+    return (
+        spark.range(1_000_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("text", F.concat_ws(" ", *[tok(s) for s in range(40)]))
+    )
+
+
+def test_jaccard_key_tiers_at_1m_docs(spark, dup_docs):
+    """jaccard_pairs string- vs xxhash64-keyed inverted index at 1M docs
+    / 38M gram rows, INTERLEAVED in one session (VERDICT r6 #3).
+    Invariants: identical pair tables (the 100k constructed exact-dup
+    pairs, all at jaccard 1.0) across both key tiers."""
+    import time
+
+    from data_warehouse_flink_spark.functions.dedup import (
+        jaccard_pairs,
+        word_ngrams,
+    )
+
+    grams = word_ngrams(dup_docs, n=3)
+
+    def profile(hash_grams: bool):
+        out = jaccard_pairs(
+            grams, threshold=0.3, df_cap=10_000, hash_grams=hash_grams
+        ).agg(
+            F.count("*").alias("pairs"),
+            F.sum((F.col("jaccard") == 1.0).cast("long")).alias("exact"),
+            F.sum(F.col("doc_a") + F.col("doc_b")).alias("idsum"),
+        )
+        t0 = time.perf_counter()
+        row = out.collect()[0]
+        return time.perf_counter() - t0, row
+
+    best = {False: float("inf"), True: float("inf")}
+    rows = {}
+    for _ in range(2):
+        for hg in (False, True):
+            t, row = profile(hg)
+            best[hg] = min(best[hg], t)
+            rows[hg] = row
+    assert rows[False] == rows[True]
+    assert rows[False]["pairs"] == 100_000
+    assert rows[False]["exact"] == 100_000
+    print(
+        f"jaccard 1M docs: string {best[False]:.1f}s "
+        f"vs xxhash64 {best[True]:.1f}s"
+    )
+
+
+def test_url_dedup_key_tiers_at_1m_docs(spark):
+    """doc_url_dedup string- vs xxhash64-keyed groupBy at 1M near-unique
+    URLs (VERDICT r6 #4), interleaved. Per-doc `source` values make the
+    synthesized URLs crawl-realistic (~900k distinct canonical URLs), so
+    the groupBy reduction factor is honest. The canonical string is
+    OUTPUT-BEARING — it crosses the shuffle as a value in the hash arm —
+    so this measures key-compare width only."""
+    import time
+
+    import data_warehouse_flink_spark.plans.llm_ops as L
+
+    docs = (
+        spark.range(1_000_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source",
+            F.concat(
+                F.lit("s"),
+                F.pmod(F.col("doc_id"), F.lit(450_000)).cast("string"),
+            ),
+        )
+        .withColumn("lang", F.lit("en"))
+    )
+    orig = L._docs_wide
+    L._docs_wide = lambda s, d: docs
+    try:
+
+        def profile(hash_key: bool):
+            out = L._url_dedup_frame(spark, "ignored", hash_key).agg(
+                F.count("*").alias("n_urls"),
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("canonical_doc_id").alias("idsum"),
+                F.sum(F.length("canonical_url")).alias("bytes"),
+            )
+            t0 = time.perf_counter()
+            row = out.collect()[0]
+            return time.perf_counter() - t0, row
+
+        best = {False: float("inf"), True: float("inf")}
+        rows = {}
+        for _ in range(2):
+            for hk in (False, True):
+                t, row = profile(hk)
+                best[hk] = min(best[hk], t)
+                rows[hk] = row
+    finally:
+        L._docs_wide = orig
+    assert rows[False] == rows[True]
+    assert rows[False]["n_docs"] == 1_000_000
+    print(
+        f"url dedup 1M urls ({rows[False]['n_urls']} distinct): "
+        f"string {best[False]:.1f}s vs xxhash64 {best[True]:.1f}s"
+    )
