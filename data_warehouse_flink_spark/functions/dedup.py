@@ -371,14 +371,25 @@ def simhash_signatures(
 
 
 def simhash_pairs(
-    signatures: DataFrame, max_hamming: int = 3, bits: int = 32
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k.
 
-    Block on 4 signature quarters (pigeonhole: distance ≤ 3 ⇒ at least one
-    identical quarter), then verify exact Hamming via bit_count(xor).
+    Block on `n_blocks` equal signature slices (pigeonhole: distance ≤
+    n_blocks - 1 ⇒ at least one identical slice), then verify exact
+    Hamming via bit_count(xor). The default 4 quarters is LOSSLESS for
+    the production max_hamming=3 contract; a higher block count widens
+    the lossless radius (8 blocks ⇒ ≤ 7) at the cost of shorter, less
+    selective block keys — the recall-audit gate uses that to build an
+    exact wider-radius baseline that stays candidate-proportional
+    (Σ per-bucket df², never n²).
     """
-    quarter = bits // 4
+    if bits % n_blocks != 0:
+        raise ValueError(f"bits={bits} not divisible by n_blocks={n_blocks}")
+    quarter = bits // n_blocks
     mask = (1 << quarter) - 1
     blocks = signatures.select(
         "doc_id",
@@ -388,7 +399,7 @@ def simhash_pairs(
                 *[
                     F.shiftright(F.col("simhash"), i * quarter)
                     .bitwiseAND(F.lit(mask))
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("block", "key"),

@@ -116,6 +116,8 @@ _GRADING_PRIORITY = (
     # (graduated to bounded-error contract oracles in r6; VERDICT r6 #1) --
     "uv_sketch_mergeable",
     "event_value_percentiles_approx",
+    # -- round-7 addition (VERDICT r6 #6): first-evidence slot --
+    "doc_simhash_recall_report",
     # -- periodic-reconfirmation cadence (VERDICT r6 #2): the 26 remaining
     # slots go to the queries with the OLDEST driver hash evidence, ties
     # broken by registration order. Rule: each round, after first-evidence
@@ -147,7 +149,6 @@ _GRADING_PRIORITY = (
     "tpch_q12",  # r3
     "doc_unigram_logprob",  # r3
     "doc_prefix_edit_distance",  # r3
-    "doc_dup_clusters",  # r3
 )
 # Rotated OUT of the prefix this round: the r5/r6 first-evidence cohorts
 # (all hash-green in CORRECTNESS_r06) and the TPC-H reconfirmation slice
