@@ -797,3 +797,68 @@ def test_url_dedup_key_tiers_at_1m_docs(spark):
         f"url dedup 1M urls ({rows[False]['n_urls']} distinct): "
         f"string {best[False]:.1f}s vs xxhash64 {best[True]:.1f}s"
     )
+
+
+def test_uv_sketch_mergeable_contract_at_5m_events(spark, big_events):
+    """The r7 first-grade cohort receipt: per-day HLL sketches + union-ALL
+    row over 5M events / 100k users. The within_bound contract must hold
+    on every row, and the exact counts must match an independent
+    count_distinct (the query's own exact arm is part of the output)."""
+    import time
+
+    import data_warehouse_flink_spark.plans.reference_jobs as R
+
+    orig = R._events
+    R._events = lambda s, d: big_events
+    try:
+        t0 = time.perf_counter()
+        rows = R.uv_sketch_mergeable(spark, "ignored").collect()
+        elapsed = time.perf_counter() - t0
+    finally:
+        R._events = orig
+    assert all(r["within_bound"] for r in rows)
+    by_day = {r["day"]: r["uv_exact"] for r in rows}
+    want_all = (
+        big_events.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert by_day["ALL"] == want_all
+    assert len(by_day) == 31  # 30 synthetic days + the union row
+    print(
+        f"uv sketch: {len(by_day)} rows, ALL={want_all}, all in bound, "
+        f"{elapsed:.1f}s over 5M events"
+    )
+
+
+def test_percentiles_approx_contract_at_5m_events(spark, big_events):
+    """The r7 first-grade cohort receipt: GK rank-interval contract at
+    5M events — every (event_type, quantile) bound must hold, and the
+    reported volumes must add back to the corpus."""
+    import time
+
+    import data_warehouse_flink_spark.plans.analytics as A
+
+    ev = big_events.withColumn(
+        "value",
+        (F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(1_000_000)) / 100.0),
+    )
+    orig = A._events
+    A._events = lambda s, d: ev
+    try:
+        t0 = time.perf_counter()
+        rows = A.event_value_percentiles_approx(spark, "ignored").collect()
+        elapsed = time.perf_counter() - t0
+    finally:
+        A._events = orig
+    assert len(rows) == 5
+    assert all(
+        r["p50_in_bound"] and r["p90_in_bound"] and r["p99_in_bound"]
+        for r in rows
+    )
+    assert sum(r["n_events"] for r in rows) == big_events.count()
+    print(
+        f"percentile contract: 5 types x 3 quantiles all in bound, "
+        f"{elapsed:.1f}s over 5M events"
+    )
