@@ -274,6 +274,7 @@ def verify_jaccard_on_candidates(
     grams: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set only.
 
@@ -281,7 +282,17 @@ def verify_jaccard_on_candidates(
     |A∩B| via array_intersect — cost is O(|candidates| · set size), never the
     corpus-quadratic inverted-index join. This is what makes LSH the scale
     path: verification is proportional to candidates, not to n².
+
+    `hash_grams` (default on) collects `xxhash64(gram)` sets instead of the
+    shingle strings: the grams ride the doc_id-keyed shuffles as VALUES
+    here (the array payload), so the swap shrinks every collected set
+    ~3× while |A|, |B|, and |A∩B| — hence the jaccard value — are
+    unchanged modulo 64-bit collisions (pinned byte-identical in
+    tests/test_round7_ops.py). Same family as the round-7 jaccard /
+    url-dedup key swaps, applied to payload bytes instead of key bytes.
     """
+    if hash_grams:
+        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
     sets = grams.groupBy(id_col).agg(F.collect_set("gram").alias("gs"))
     a = sets.select(
         F.col(id_col).alias("doc_a"), F.col("gs").alias("ga")

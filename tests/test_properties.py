@@ -364,3 +364,47 @@ def test_span_dedup_hash_key_invariant(spark, docs):
         for r in span_dedup(df, span_tokens=2, hash_key=True).collect()
     )
     assert a == b
+
+
+SIGS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=999),            # doc_id
+        st.integers(min_value=0, max_value=(1 << 48) - 1),  # 48-bit sig
+    ),
+    min_size=2,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sigs=SIGS, n_blocks=st.sampled_from([4, 6]))
+def test_simhash_pigeonhole_lossless_matches_python(spark, sigs, n_blocks):
+    """The claim both the doc_simhash gate and the recall report's exact
+    baseline rest on: k-block pigeonhole blocking + Hamming verify finds
+    EXACTLY the pairs at distance <= k-1 (no false negatives from
+    blocking, no false positives past the verify) — checked against a
+    pure-Python popcount over arbitrary 48-bit signatures, including
+    clustered and duplicate values hypothesis likes to generate."""
+    from data_warehouse_flink_spark.functions.dedup import simhash_pairs
+
+    radius = n_blocks - 1
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(
+            df, max_hamming=radius, bits=48, n_blocks=n_blocks
+        ).collect()
+    }
+    want = set()
+    for i, (ida, sa) in enumerate(sigs):
+        for idb, sb in sigs[i + 1:]:
+            h = bin(sa ^ sb).count("1")
+            if h <= radius:
+                a, b = min(ida, idb), max(ida, idb)
+                want.add((a, b, h))
+    assert got == want

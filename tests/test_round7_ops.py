@@ -76,3 +76,26 @@ def test_url_dedup_hash_arm_identical_to_string_arm(spark):
     assert _rows(_url_dedup_frame(spark, SF, hash_key=True)) == _rows(
         _url_dedup_frame(spark, SF, hash_key=False)
     )
+
+
+def test_minhash_verify_hashed_sets_identical(spark):
+    """verify_jaccard_on_candidates with hashed gram sets (default) must
+    reproduce the string-set jaccard byte-for-byte: set sizes and
+    intersections are invariant under an injective-w.h.p. hash."""
+    from data_warehouse_flink_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard_on_candidates,
+        word_ngrams,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import _docs
+
+    grams = word_ngrams(_docs(spark, SF), n=3)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(grams, 64, gram_hash="md5"), 16, 4
+    )
+    hashed = verify_jaccard_on_candidates(cands, grams, 0.3, hash_grams=True)
+    strung = verify_jaccard_on_candidates(cands, grams, 0.3, hash_grams=False)
+    rows = _rows(hashed)
+    assert rows == _rows(strung)
+    assert len(rows) > 0
