@@ -83,6 +83,21 @@ def _cached(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     return df
 
 
+def _trigram_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, trigram) shingle table, materialized ONCE per
+    (session, sf_dir) and shared by every trigram consumer — the two
+    MinHash gates, the LSH recall audit, and the jaccard candidate
+    builder. Per-invocation gram checkpoints were the dominant cost of
+    repeated `doc_minhash_lsh` calls (3.12 → 1.96 s/call at sf0.1,
+    SCALING.md round-7)."""
+    return _cached(
+        spark,
+        sf_dir,
+        "grams_trigram",
+        lambda: word_ngrams(_docs(spark, sf_dir), n=3),
+    )
+
+
 def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram-Jaccard candidate pairs at the family's loosest threshold
     (0.3) — higher-threshold consumers filter it. df_cap: hot-shingle guard
@@ -93,7 +108,7 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "jaccard_pairs_0.3",
         lambda: jaccard_pairs(
-            word_ngrams(_docs(spark, sf_dir), n=3),
+            _trigram_grams(spark, sf_dir),
             threshold=0.3,
             df_cap=10_000,
         ),
@@ -256,10 +271,17 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked end-to-end (signatures, banding, candidates, verify):
     the gate uses the md5 gram hash so the DuckDB oracle reproduces the
     exact signature values (see `_minhash_lsh_oracle`); production ingest
-    keeps the cheaper xxhash64 path (`gram_hash` default).
+    keeps the cheaper xxhash64 path (`gram_hash` default). The shingle
+    table comes from the shared `_trigram_grams` cache (one
+    materialization serves this gate, the `_fast` twin, the recall audit,
+    and the jaccard candidate builder).
     """
     return minhash_lsh_dedup(
-        _docs(spark, sf_dir), ngram=3, threshold=0.3, gram_hash="md5"
+        _docs(spark, sf_dir),
+        ngram=3,
+        threshold=0.3,
+        gram_hash="md5",
+        grams=_trigram_grams(spark, sf_dir),
     )
 
 
@@ -3305,7 +3327,11 @@ def doc_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_flink_spark.functions.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(
-        _docs(spark, sf_dir), ngram=3, threshold=0.3, gram_hash="xxhash64"
+        _docs(spark, sf_dir),
+        ngram=3,
+        threshold=0.3,
+        gram_hash="xxhash64",
+        grams=_trigram_grams(spark, sf_dir),
     )
 
 
@@ -3508,12 +3534,11 @@ def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_flink_spark.functions.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
-        word_ngrams,
     )
 
     exact = _candidate_pairs(spark, sf_dir)
     sigs = minhash_signatures(
-        word_ngrams(_docs(spark, sf_dir), n=3), 64, gram_hash="md5"
+        _trigram_grams(spark, sf_dir), 64, gram_hash="md5"
     )
     cand = lsh_candidate_pairs(sigs, 16, 4).withColumn("found", F.lit(1))
     flagged = exact.join(cand, ["doc_a", "doc_b"], "left").select(
