@@ -259,17 +259,24 @@ def knn_ivf(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine rerank within the query's IVF cell
     (nprobe=1), cells from the frozen coarse quantizer. The candidate join
     keys on the cell id, so pairing cost is Σ_cell |cell|·|queries in cell|
-    instead of n·q."""
+    instead of n·q.
+
+    `assigned`: optionally pass the materialized (id, vecd, norm, cell)
+    index table (e.g. a session cache shared with knn_rrf) — skips the
+    per-invocation checkpoint AND Catalyst re-planning of the 16×64
+    centroid literal tree, the knn_pq lesson (round 4)."""
     # materialize the assignment once — this IS the inverted-file index;
     # without it both the corpus side and the query side re-run the
     # 16-centroid argmin over a fresh scan of the embeddings
-    assigned = frozen_ivf_assign(
-        embeddings, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=True)
+    if assigned is None:
+        assigned = frozen_ivf_assign(
+            embeddings, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
     corpus = assigned.select(
         F.col(id_col).alias("neighbor_id"), "cell",
         F.col("vecd").alias("cvec"), F.col("norm").alias("cnorm"),

@@ -959,7 +959,25 @@ def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _embs_wide(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
-    return knn_ivf(embs, queries, k=5)
+    return knn_ivf(
+        embs, queries, k=5, assigned=_ivf_assigned(spark, sf_dir)
+    )
+
+
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized IVF index (id, vecd, norm, cell), once per
+    (session, sf_dir): shared by knn_ivf and knn_rrf so repeated calls
+    neither re-checkpoint nor re-plan the centroid literal tree."""
+    from data_warehouse_flink_spark.functions.similarity import (
+        frozen_ivf_assign,
+    )
+
+    return _cached(
+        spark,
+        sf_dir,
+        "ivf_assigned",
+        lambda: frozen_ivf_assign(_embs_wide(spark, sf_dir)),
+    )
 
 
 @register(
@@ -2391,9 +2409,9 @@ def knn_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_lsh(embs, queries, k=5)
         .select("query_id", "neighbor_id", "rn")
         .unionAll(
-            knn_ivf(embs, queries, k=5).select(
-                "query_id", "neighbor_id", "rn"
-            )
+            knn_ivf(
+                embs, queries, k=5, assigned=_ivf_assigned(spark, sf_dir)
+            ).select("query_id", "neighbor_id", "rn")
         )
     )
     fused = pooled.groupBy("query_id", "neighbor_id").agg(
