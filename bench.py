@@ -178,6 +178,7 @@ HEADLINE_CAP = 130
 # forensic recomputation. Update the reference only when the canary trio's
 # own plans change (they are rounds-old and frozen precisely so they don't).
 CANARY_REF = {"page_view": 0.323, "tpch_q6": 0.271, "hot_items_topn": 0.555}
+CANARY_TRIO = tuple(CANARY_REF)  # measured first, in this order
 
 
 def main() -> None:
@@ -231,7 +232,7 @@ def main() -> None:
     # including plans untouched for rounds — the canary makes that visible
     # inside the record instead of requiring a forensic re-measure).
     canary: dict[str, float] = {}
-    for name in ("page_view", "tpch_q6", "hot_items_topn"):
+    for name in CANARY_TRIO:
         try:
             best = float("inf")
             for _ in range(3):

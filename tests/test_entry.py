@@ -75,3 +75,15 @@ def test_bench_headline_names_exist():
     # bench time is round time: grow by swapping, not appending (VERDICT r5
     # item 7 — the cap is the explicit choice, not an accident)
     assert len(bench.HEADLINE) <= bench.HEADLINE_CAP
+
+
+def test_bench_canary_reference_aligned():
+    """value_adjusted only emits when the measured canary set equals
+    CANARY_REF — a drifted trio would silently drop the normalized
+    headline from the round record. Pin trio == reference keys, all
+    inside the HEADLINE set, with plausible frozen timings."""
+    import bench
+
+    assert set(bench.CANARY_TRIO) == set(bench.CANARY_REF)
+    assert set(bench.CANARY_TRIO) <= set(bench.HEADLINE)
+    assert all(0 < v < 5 for v in bench.CANARY_REF.values())
