@@ -4092,8 +4092,16 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same linear shape as every gram pipeline: one distinct-gram explode,
     one df count, one join back, one per-doc rollup — shuffle keys on
-    the gram only.
+    the gram only. The gram never reaches the output, so both shuffles
+    key on xxhash64(gram) (the round-7 key-width swap; string arm kept
+    for the byte-identical pin, measured in the 1M-doc smoke).
     """
+    return _ngram_novelty_frame(spark, sf_dir, hash_grams=True)
+
+
+def _ngram_novelty_frame(
+    spark: SparkSession, sf_dir: str, hash_grams: bool
+) -> DataFrame:
     docs = _docs_wide(spark, sf_dir).withColumn("toks", F.split("text", " "))
     grams = docs.filter(F.size("toks") >= 3).select(
         "doc_id",
@@ -4105,6 +4113,8 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    if hash_grams:
+        grams = grams.select("doc_id", F.xxhash64("gram").alias("gram"))
     df = grams.groupBy("gram").agg(F.count("*").alias("df"))
     per = (
         grams.join(df, "gram")

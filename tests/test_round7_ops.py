@@ -99,3 +99,14 @@ def test_minhash_verify_hashed_sets_identical(spark):
     rows = _rows(hashed)
     assert rows == _rows(strung)
     assert len(rows) > 0
+
+
+def test_ngram_novelty_hash_arm_identical_to_string_arm(spark):
+    """doc_ngram_novelty's xxhash64-keyed default (1.78× at 1M
+    near-unique-gram docs) must match the string-keyed arm
+    byte-for-byte — the gram is a pure shuffle key here."""
+    from data_warehouse_flink_spark.plans.llm_ops import _ngram_novelty_frame
+
+    assert _rows(_ngram_novelty_frame(spark, SF, hash_grams=True)) == _rows(
+        _ngram_novelty_frame(spark, SF, hash_grams=False)
+    )

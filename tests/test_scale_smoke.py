@@ -862,3 +862,48 @@ def test_percentiles_approx_contract_at_5m_events(spark, big_events):
         f"percentile contract: 5 types x 3 quantiles all in bound, "
         f"{elapsed:.1f}s over 5M events"
     )
+
+
+def test_ngram_novelty_key_tiers_at_1m_docs(spark, dup_docs):
+    """novelty string- vs xxhash64-keyed gram shuffles at 1M docs with
+    NEAR-UNIQUE grams (the dup_docs fixture — crawl-realistic; the
+    30-word-vocab big_docs corpus map-side-collapses its df groupBy to
+    27k rows, hiding the key width entirely). Interleaved; identical
+    per-doc aggregates across tiers."""
+    import time
+
+    import data_warehouse_flink_spark.plans.llm_ops as L
+
+    orig = L._docs_wide
+    L._docs_wide = lambda s, d: dup_docs
+    try:
+
+        def profile(hg):
+            out = L._ngram_novelty_frame(spark, "ignored", hg).agg(
+                F.count("*").alias("n"),
+                F.sum("n_distinct_grams").alias("grams"),
+                F.sum("n_unique_grams").alias("uniq"),
+                F.sum("novelty_ppm").alias("ppm_sum"),
+            )
+            t0 = time.perf_counter()
+            row = out.collect()[0]
+            return time.perf_counter() - t0, row
+
+        best = {False: float("inf"), True: float("inf")}
+        rows = {}
+        for _ in range(2):
+            for hg in (False, True):
+                t, row = profile(hg)
+                best[hg] = min(best[hg], t)
+                rows[hg] = row
+    finally:
+        L._docs_wide = orig
+    assert rows[False] == rows[True]
+    assert rows[False]["n"] == dup_docs.count()
+    # 100k docs are exact dups -> their grams have df=2, so corpus-wide
+    # unique grams must be strictly fewer than distinct grams
+    assert 0 < rows[False]["uniq"] < rows[False]["grams"]
+    print(
+        f"ngram novelty 1M docs: string {best[False]:.1f}s "
+        f"vs xxhash64 {best[True]:.1f}s"
+    )
