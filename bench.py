@@ -274,12 +274,18 @@ def main() -> None:
     }
     # Canary-normalized total (VERDICT r6 item 5): scale by how much slower
     # or faster the frozen trio ran vs the stored r6 reference. Only
-    # meaningful when all three canaries produced a timing this run.
-    if set(canary) == set(CANARY_REF):
-        ratio = sum(CANARY_REF.values()) / sum(canary.values())
+    # meaningful when all three canaries produced a NONZERO timing this run
+    # (a zero-sum canary would divide by zero) AND every headline query
+    # produced a timing — with errors the normalized `total` covers a
+    # shrunken query set and cross-round ratios would silently compare
+    # different sets, so the adjusted figure is withheld and the raw record
+    # carries the errors dict instead (ADVICE r7 #4).
+    if set(canary) == set(CANARY_REF) and sum(canary.values()) > 0:
         payload["canary_ratio_vs_r06"] = round(sum(canary.values())
                                                / sum(CANARY_REF.values()), 4)
-        payload["value_adjusted"] = round(total * ratio, 3)
+        if not errors:
+            ratio = sum(CANARY_REF.values()) / sum(canary.values())
+            payload["value_adjusted"] = round(total * ratio, 3)
     if errors:
         payload["errors"] = errors
 

@@ -342,6 +342,10 @@ def minhash_lsh_dedup(
     3.12 s → 1.96 s per call at sf0.1 when three invocations share one
     table (SCALING.md round-7). The caller owns materialization then; an
     unmaterialized frame would silently reintroduce the 6-scan lineage.
+    When `grams` is provided, `ngram`/`text_col`/`df` are IGNORED — the
+    shingle config is whatever the caller baked into the table, so a
+    grams/ngram mismatch at a call site is silent by design; call sites
+    should not pass ngram alongside grams (ADVICE r7 #3).
     """
     if grams is None:
         grams = word_ngrams(df, ngram, text_col).localCheckpoint(eager=True)

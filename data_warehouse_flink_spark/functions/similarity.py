@@ -269,7 +269,19 @@ def knn_ivf(
     `assigned`: optionally pass the materialized (id, vecd, norm, cell)
     index table (e.g. a session cache shared with knn_rrf) — skips the
     per-invocation checkpoint AND Catalyst re-planning of the 16×64
-    centroid literal tree, the knn_pq lesson (round 4)."""
+    centroid literal tree, the knn_pq lesson (round 4). When `assigned`
+    is given it REPLACES `embeddings` entirely (both the corpus side and
+    the query-vector lookup read from it) — pass the index built over the
+    corpus you mean to search, and note its columns are fixed to
+    (`id_col`, vecd, norm, cell) by `frozen_ivf_assign`, which itself
+    defaults id_col/vec_col (ADVICE r7 #2)."""
+    if assigned is not None and embeddings is not None:
+        # a filtered/different corpus alongside a full-corpus index would
+        # silently return wrong neighbors — force the caller to be explicit
+        assert id_col in assigned.columns, (
+            f"assigned index lacks id column {id_col!r}; it replaces "
+            "`embeddings`, so it must cover the corpus being searched"
+        )
     # materialize the assignment once — this IS the inverted-file index;
     # without it both the corpus side and the query side re-run the
     # 16-centroid argmin over a fresh scan of the embeddings

@@ -98,6 +98,21 @@ def _trigram_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 48-bit md5-path SimHash signature table, materialized ONCE per
+    (session, sf_dir) and shared by `doc_simhash` and
+    `doc_simhash_recall_report`. The bits/tok_hash config lives HERE so the
+    two consumers cannot drift apart — a mismatched builder under the same
+    cache key would silently serve the first caller's table to both
+    (ADVICE r7 #1)."""
+    return _cached(
+        spark,
+        sf_dir,
+        "simhash_sigs_md5_48",
+        lambda: simhash_signatures(_docs(spark, sf_dir), bits=48, tok_hash="md5"),
+    )
+
+
 def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram-Jaccard candidate pairs at the family's loosest threshold
     (0.3) — higher-threshold consumers filter it. df_cap: hot-shingle guard
@@ -278,10 +293,9 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return minhash_lsh_dedup(
         _docs(spark, sf_dir),
-        ngram=3,
         threshold=0.3,
         gram_hash="md5",
-        grams=_trigram_grams(spark, sf_dir),
+        grams=_trigram_grams(spark, sf_dir),  # trigram table; ngram lives there
     )
 
 
@@ -351,15 +365,10 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate uses the md5 token hash (`_simhash_oracle` reproduces signatures,
     quarter blocking, and the Hamming verify); production ingest keeps the
     cheaper xxhash64 path. The signature table is shared with
-    `doc_simhash_recall_report` through `_cached` — one 48-bit-sum
+    `doc_simhash_recall_report` through `_simhash_sigs` — one 48-bit-sum
     aggregation serves both (2.3 s → 1.1 s steady-state at sf0.1).
     """
-    sigs = _cached(
-        spark,
-        sf_dir,
-        "simhash_sigs_md5_48",
-        lambda: simhash_signatures(_docs(spark, sf_dir), bits=48, tok_hash="md5"),
-    )
+    sigs = _simhash_sigs(spark, sf_dir)
     return simhash_pairs(sigs, max_hamming=3, bits=48).withColumn(
         "hamming", F.col("hamming").cast("long")
     )
@@ -967,7 +976,12 @@ def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized IVF index (id, vecd, norm, cell), once per
     (session, sf_dir): shared by knn_ivf and knn_rrf so repeated calls
-    neither re-checkpoint nor re-plan the centroid literal tree."""
+    neither re-checkpoint nor re-plan the centroid literal tree.
+
+    Built with `frozen_ivf_assign`'s DEFAULT id_col/vec_col
+    ("vec_id"/"embedding") — consumers passing this as `assigned` must use
+    the same id_col, since the index replaces their `embeddings` argument
+    outright (ADVICE r7 #2)."""
     from data_warehouse_flink_spark.functions.similarity import (
         frozen_ivf_assign,
     )
@@ -3346,10 +3360,9 @@ def doc_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return minhash_lsh_dedup(
         _docs(spark, sf_dir),
-        ngram=3,
         threshold=0.3,
         gram_hash="xxhash64",
-        grams=_trigram_grams(spark, sf_dir),
+        grams=_trigram_grams(spark, sf_dir),  # trigram table; ngram lives there
     )
 
 
@@ -3633,20 +3646,11 @@ def doc_simhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit wider than the production radius, at 100 TB this runs on a
     corpus sample.
     """
-    from data_warehouse_flink_spark.functions.dedup import (
-        simhash_pairs,
-        simhash_signatures,
-    )
-
-    # sigs via _cached, not a bare per-call localCheckpoint: the bench and
-    # any repeated audit invoke this 3×, and per-invocation checkpoints
-    # leak a cached block each call (the knn_ivf_pq lesson, round 6).
-    sigs = _cached(
-        spark,
-        sf_dir,
-        "simhash_sigs_md5_48",
-        lambda: simhash_signatures(_docs(spark, sf_dir), bits=48, tok_hash="md5"),
-    )
+    # sigs via the shared `_simhash_sigs` cache, not a bare per-call
+    # localCheckpoint: the bench and any repeated audit invoke this 3×, and
+    # per-invocation checkpoints leak a cached block each call (the
+    # knn_ivf_pq lesson, round 6).
+    sigs = _simhash_sigs(spark, sf_dir)
     exact = simhash_pairs(sigs, max_hamming=5, bits=48, n_blocks=6)
     cand = (
         simhash_pairs(sigs, max_hamming=48, bits=48, n_blocks=4)
