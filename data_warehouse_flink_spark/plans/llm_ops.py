@@ -4191,3 +4191,271 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+# ----------------- production-tier contracts (rows-only → hash-gradable) ----
+def _tier_identity_contract(fast: DataFrame, gate: DataFrame) -> DataFrame:
+    """Single-row contract: the production xxhash64 tier's output is
+    byte-identical (as a multiset) to its string/md5-keyed gate.
+
+    Same shape as the round-6 approximation contracts (`uv_approx`,
+    `event_value_percentiles_approx`): the Spark side computes the
+    invariant genuinely (two anti-semi multiset differences — exceptAll
+    both ways — must both be empty); the oracle re-derives the
+    hash-independent column (`n_rows`) from the gate's own SQL and pins
+    the invariant flag to TRUE, so a divergence reds the driver gate
+    instead of hiding in a rows-only check. Cost is one extra run of each
+    tier at the grading SF — the tiers themselves stay registered
+    unchanged as the bench's production-shape entries."""
+    n = gate.agg(F.count("*").alias("n_rows"))
+    mism = (
+        fast.exceptAll(gate)
+        .select(F.lit(1).alias("one"))
+        .unionAll(gate.exceptAll(fast).select(F.lit(1).alias("one")))
+        .agg(F.count("*").alias("n_mismatch"))
+    )
+    return n.crossJoin(mism).select(
+        (F.col("n_mismatch") == 0).alias("identical"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def _register_fast_tier_contracts() -> None:
+    """Register the four `_fast`-twin contracts with oracles composed from
+    the registry (fetched at registration so they cannot drift) — closes
+    the driver's last weaker-check category (NOTES r8 candidate #3): after
+    these, every registered capability is either hash-graded directly or
+    hash-graded through a contract over its output."""
+    from data_warehouse_flink_spark.registry import _REGISTRY
+
+    span_o = _REGISTRY["doc_span_dedup"].oracle
+    sub_o = _REGISTRY["doc_exact_substring_dedup"].oracle
+    jac_o = _REGISTRY["doc_ngram_jaccard"].oracle
+
+    @register(
+        "doc_span_dedup_fast_contract",
+        oracle=f"""
+        SELECT TRUE AS identical, count(*)::BIGINT AS n_rows
+        FROM ({span_o}) _g
+        """,
+    )
+    def doc_span_dedup_fast_contract(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """`doc_span_dedup_fast` (xxhash64 span shuffle key) must be
+        byte-identical to the string-keyed `doc_span_dedup` gate — the
+        local round-6 pin, promoted to a driver-gradable contract."""
+        from data_warehouse_flink_spark.functions.dedup import span_dedup
+
+        docs = _docs(spark, sf_dir)
+        return _tier_identity_contract(
+            span_dedup(docs, hash_key=True), span_dedup(docs, hash_key=False)
+        )
+
+    @register(
+        "doc_exact_substring_dedup_fast_contract",
+        oracle=f"""
+        SELECT TRUE AS identical, count(*)::BIGINT AS n_rows
+        FROM ({sub_o}) _g
+        """,
+    )
+    def doc_exact_substring_dedup_fast_contract(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """`doc_exact_substring_dedup_fast` (xxhash64 window recurrence
+        key) must be byte-identical to the string-keyed 16-token gate."""
+        docs = _docs_wide(spark, sf_dir)
+        return _tier_identity_contract(
+            _substring_dedup_plan(docs, n_tokens=16, hash_key=True),
+            _substring_dedup_plan(docs, n_tokens=16, hash_key=False),
+        )
+
+    @register(
+        "doc_importance_weights_fast_contract",
+        oracle="""
+        SELECT TRUE AS per_doc_grams_match,
+               count(*)::BIGINT AS n_docs,
+               sum(len(t) + CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END
+                   )::BIGINT AS total_grams
+        FROM (SELECT string_split(text, ' ') AS t FROM documents) _t
+        """,
+    )
+    def doc_importance_weights_fast_contract(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """`doc_importance_weights_fast` (xxhash64 DSIR buckets) vs the md5
+        gate on the hash-INDEPENDENT columns: identical doc_id set and
+        per-doc gram totals (weights legitimately differ — the bucket
+        partition differs). The oracle recomputes n_docs and the grand
+        gram total from the corpus directly (unigrams + bigrams per doc),
+        so a drift in either tier's gram stage reds the gate."""
+        gate = _dsir_weights(spark, sf_dir, bucket_hash="md5").select(
+            "doc_id", "n_grams"
+        )
+        fast = _dsir_weights(spark, sf_dir, bucket_hash="xxhash64").select(
+            F.col("doc_id").alias("f_doc"), F.col("n_grams").alias("f_n")
+        )
+        j = gate.join(fast, gate["doc_id"] == fast["f_doc"], "full_outer")
+        agg = j.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("doc_id").isNotNull()
+                    & F.col("f_doc").isNotNull()
+                    & (F.col("n_grams") == F.col("f_n")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_agree"),
+            F.sum(
+                F.when(F.col("doc_id").isNotNull(), F.col("n_grams"))
+                .otherwise(F.lit(0))
+            ).alias("total_grams"),
+        )
+        return agg.select(
+            (F.col("n_rows") == F.col("n_agree")).alias(
+                "per_doc_grams_match"
+            ),
+            F.col("n_rows").cast("long").alias("n_docs"),
+            F.col("total_grams").cast("long").alias("total_grams"),
+        )
+
+    @register(
+        "doc_minhash_lsh_fast_contract",
+        oracle=f"""
+        SELECT TRUE AS subset_with_equal_scores,
+               count(*)::BIGINT AS n_bruteforce_pairs
+        FROM ({jac_o}) _g
+        """,
+    )
+    def doc_minhash_lsh_fast_contract(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """`doc_minhash_lsh_fast` (xxhash64 shingle hash) emits only pairs
+        that appear in the brute-force trigram-Jaccard set with IDENTICAL
+        exact-Jaccard scores (hash choice affects candidate recall only —
+        the verify stage recomputes Jaccard from the raw shingles). The
+        round-5 local pin, promoted to a driver-gradable contract; recall
+        itself stays a measured audit (`doc_lsh_recall_report`), not a
+        contract, because it is legitimately probabilistic."""
+        from data_warehouse_flink_spark.functions.dedup import (
+            minhash_lsh_dedup,
+        )
+
+        fast = minhash_lsh_dedup(
+            _docs(spark, sf_dir),
+            threshold=0.3,
+            gram_hash="xxhash64",
+            grams=_trigram_grams(spark, sf_dir),
+        )
+        brute = _candidate_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("b_a"),
+            F.col("doc_b").alias("b_b"),
+            F.col("jaccard").alias("b_jac"),
+        )
+        j = fast.join(
+            brute,
+            (fast["doc_a"] == brute["b_a"]) & (fast["doc_b"] == brute["b_b"]),
+            "left",
+        )
+        agg = j.agg(
+            F.count("*").alias("n_fast"),
+            F.sum(
+                F.when(
+                    F.col("b_jac").isNotNull()
+                    & (F.col("jaccard") == F.col("b_jac")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_matched"),
+        )
+        n_brute = _candidate_pairs(spark, sf_dir).agg(
+            F.count("*").alias("n_brute")
+        )
+        return agg.crossJoin(n_brute).select(
+            (F.col("n_fast") == F.col("n_matched")).alias(
+                "subset_with_equal_scores"
+            ),
+            F.col("n_brute").cast("long").alias("n_bruteforce_pairs"),
+        )
+
+
+_register_fast_tier_contracts()
+
+
+# ------------------------------ ANN recall audit (all tiers vs brute) ----
+def _register_knn_recall_report() -> None:
+    """Register the ANN recall audit with the tier oracles composed from
+    the registry (fetched at registration so they cannot drift) — the
+    LSH-dedup (`doc_lsh_recall_report`, r5) and SimHash
+    (`doc_simhash_recall_report`, r7) pattern applied to the remaining
+    approximation family: the five ANN tiers now carry MEASURED recall@5
+    against exact brute force, not just construction arguments."""
+    from data_warehouse_flink_spark.registry import _REGISTRY
+
+    tier_oracles = {
+        t: _REGISTRY[f"knn_{t}"].oracle
+        for t in ("lsh", "ivf", "pq", "ivf_pq", "rrf")
+    }
+    brute_o = _REGISTRY["knn_bruteforce"].oracle
+    arms = "\n      UNION ALL\n".join(
+        f"""
+      SELECT '{t}' AS tier,
+             (SELECT count(*) FROM ({o}) _t
+              JOIN brute USING (query_id, neighbor_id))::BIGINT AS n_hits,
+             (SELECT count(*) FROM brute)::BIGINT AS n_possible"""
+        for t, o in tier_oracles.items()
+    )
+    oracle = f"""
+    WITH brute AS (
+      SELECT query_id, neighbor_id FROM ({brute_o}) _b
+    )
+    SELECT tier, n_hits, n_possible,
+           (n_hits * 1000000 // n_possible)::BIGINT AS recall_ppm
+    FROM ({arms}
+    ) _arms
+    """
+
+    @register("knn_recall_report", oracle=oracle)
+    def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall@5 (exact ppm) of every ANN tier against the brute-force
+        cosine top-5 — the acceptance report an embedding-retrieval
+        deployment reads before picking its tier. One row per tier
+        (lsh, ivf, pq, ivf_pq, rrf); n_possible is the brute-force hit
+        count so the ratio is exact integer arithmetic.
+
+        Scale shape: each tier is its own already-bucket/cell-restricted
+        query over the shared cached index tables; the audit adds only
+        query-count-proportional semi-joins (top-5 lists, never corpus
+        pairs). Like every recall audit wider than production needs, at
+        100 TB this runs over a query SAMPLE — the per-tier plans are
+        unchanged."""
+        brute = knn_bruteforce_query(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        tiers = {
+            "lsh": knn_lsh_query,
+            "ivf": knn_ivf_query,
+            "pq": knn_pq_query,
+            "ivf_pq": knn_ivf_pq_query,
+            "rrf": knn_rrf_query,
+        }
+        out = None
+        n_possible = brute.agg(F.count("*").alias("n_possible"))
+        for t, fn in tiers.items():
+            hits = (
+                fn(spark, sf_dir)
+                .select("query_id", "neighbor_id")
+                .join(brute, ["query_id", "neighbor_id"], "left_semi")
+                .agg(F.count("*").alias("n_hits"))
+            )
+            row = hits.crossJoin(n_possible).select(
+                F.lit(t).alias("tier"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.col("n_possible").cast("long").alias("n_possible"),
+                F.expr("CAST(n_hits * 1000000 DIV n_possible AS BIGINT)"
+                       ).alias("recall_ppm"),
+            )
+            out = row if out is None else out.unionAll(row)
+        return out
+
+
+_register_knn_recall_report()

@@ -69,25 +69,24 @@ def load_all() -> None:
 
 # The driver grades a fixed-size prefix of the registry (50 entries in every
 # round so far, in ``queries()`` iteration order), so iteration order decides
-# which queries get oracle evidence each round. Priority for round 6
-# (VERDICT r5 "Next round" #1 — clear the driver-evidence backlog and
-# freeze registry growth until it is cleared):
-# (1) the 22 SURVEY §2 gate queries — stay in every round's prefix
-#     (uv_approx now carries its bounded-error contract oracle);
-# (2) ALL 16 oracle-bearing queries never driver-graded in r1–r5 (the
-#     round-5 cohort that landed past the graded horizon);
-# (3) the 3 round-6 additions sanctioned by VERDICT r5 items 2/5: the two
-#     xxhash64 production-shape twins (rows-only, invariant-pinned to
-#     byte-identical output in tests/test_round6_ops.py) and the 50-token
-#     substring scan (hash-checkable);
-# (4) a 9-slot TPC-H reconfirmation slice (driver-green since r2/r3 but
-#     not re-graded since; periodic re-grade guards against oracle drift):
-#     the 5 the judge named + 4 rotating.
-# After this round every oracle-bearing query has driver hash evidence
-# EXCEPT uv_sketch_mergeable and event_value_percentiles_approx, which
-# graduated from rows-only to contract oracles this same round and sit
-# just past the prefix — queue those two first in round 7. Registry
-# growth was frozen this round apart from (3).
+# which queries get oracle evidence each round. Priority for round 8:
+# (1) the 22 SURVEY §2 gate queries — stay in every round's prefix;
+# (2) first-evidence entries: the four `_fast`-twin contracts (NOTES r8
+#     candidate #3 — the rows-only invariant pins promoted to
+#     driver-gradable single-row contracts, same shape as the r6
+#     approximation contracts; takes the weaker rows-only check category
+#     to zero) and the ANN recall audit (`knn_recall_report` — the
+#     VERDICT r6 #6 recall-gate pattern extended to the last approximation
+#     family without measured recall);
+# (3) periodic-reconfirmation cadence (rule since r7: after first-evidence
+#     entries, fill the prefix with the queries holding the OLDEST driver
+#     hash evidence, ties broken by registration order, so no query's
+#     evidence age is unbounded). This round: the r3-evidence cohort
+#     (first 23 of 24 — last driver-graded in CORRECTNESS_r03;
+#     `purchase_asof_click` yields its slot to the recall audit under the
+#     first-evidence-goes-ahead rule and leads the round-9 queue).
+# 22 + 5 + 23 = 50 exactly. Next up (round 9): purchase_asof_click + the
+# r4 cohort (28).
 _GRADING_PRIORITY = (
     # -- §2 gates (reference_jobs registration order) --
     "page_view",
@@ -112,50 +111,44 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- the last two oracle-bearing queries without driver hash evidence
-    # (graduated to bounded-error contract oracles in r6; VERDICT r6 #1) --
-    "uv_sketch_mergeable",
-    "event_value_percentiles_approx",
-    # -- round-7 addition (VERDICT r6 #6): first-evidence slot --
-    "doc_simhash_recall_report",
-    # -- periodic-reconfirmation cadence (VERDICT r6 #2): the 26 remaining
-    # slots go to the queries with the OLDEST driver hash evidence, ties
-    # broken by registration order. Rule: each round, after first-evidence
-    # entries, fill the prefix oldest-first so no query's evidence age is
-    # unbounded. This round covers the full r1 and r2 cohorts + the first
-    # four of the r3 cohort (evidence rounds annotated). --
-    "doc_token_stats",  # r1
-    "doc_fingerprint",  # r1
-    "doc_language_id",  # r1
-    "corpus_curation",  # r1
-    "doc_bpe_tokens",  # r1
-    "doc_chunks",  # r1
-    "tpch_q5",  # r2
-    "tpch_q6",  # r2
-    "order_priority_count",  # r2
-    "tpch_q10",  # r2
-    "tpch_q14",  # r2
-    "tpch_q19",  # r2
-    "tpch_q17",  # r2
-    "tpch_q13",  # r2
-    "tpch_q22",  # r2
-    "tpch_q15",  # r2
-    "tpch_q16",  # r2
-    "tpch_q20",  # r2
-    "doc_dedup_exact",  # r2
-    "doc_ngram_jaccard",  # r2
-    "embedding_dedup_cosine",  # r2
-    "knn_bruteforce",  # r2
-    "tpch_q12",  # r3
-    "doc_unigram_logprob",  # r3
-    "doc_prefix_edit_distance",  # r3
+    # -- first-evidence: the four production-tier contracts + the ANN
+    # recall audit (r8 new) --
+    "doc_span_dedup_fast_contract",
+    "doc_exact_substring_dedup_fast_contract",
+    "doc_importance_weights_fast_contract",
+    "doc_minhash_lsh_fast_contract",
+    "knn_recall_report",
+    # -- oldest-evidence reconfirmation: the full r3 cohort (evidence
+    # CORRECTNESS_r03; registration order) --
+    "doc_dup_clusters",  # r3
+    "doc_tfidf",  # r3
+    "doc_stratified_sample",  # r3
+    "streaming_distinct_pairs",  # r3
+    "doc_pack_sequences",  # r3
+    "embedding_label_centroids",  # r3
+    "doc_repetition_score",  # r3
+    "doc_pii_redact",  # r3
+    "doc_contamination",  # r3
+    "corpus_mixture_weights",  # r3
+    "events_rollup",  # r3
+    "events_cube",  # r3
+    "event_value_percentiles",  # r3
+    "viewers_never_purchased",  # r3
+    "user_running_value",  # r3
+    "windowed_value_sum",  # r3
+    "pattern_error_next_error",  # r3
+    "pattern_click_followed_by_purchase",  # r3
+    "user_value_outliers",  # r3
+    "conversion_funnel",  # r3
+    "hourly_counts_gapfilled",  # r3
+    "weekly_cohort_retention",  # r3
+    "error_rate_spikes",  # r3
 )
-# Rotated OUT of the prefix this round: the r5/r6 first-evidence cohorts
-# (all hash-green in CORRECTNESS_r06) and the TPC-H reconfirmation slice
-# (green r6). Evidence ages after this round's grading: r3 cohort tail
-# (23 queries, next up), then the r4 cohort (28), then r5/r6. The local
-# parity suite still re-verifies every registered oracle each session;
-# the driver prefix is the independent re-proof channel.
+# Rotated OUT of the prefix this round: the r1/r2 cohorts and the two
+# contract graduates (all hash-green in CORRECTNESS_r07). Evidence ages
+# after this round's grading: r4 cohort (28, next up), then r5/r6/r7.
+# The local parity suite still re-verifies every registered oracle each
+# session; the driver prefix is the independent re-proof channel.
 
 
 def all_queries() -> dict[str, Query]:
