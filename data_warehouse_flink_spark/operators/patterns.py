@@ -285,3 +285,115 @@ def _match_followed_by(df: DataFrame, p: SeqPattern) -> DataFrame:
             F.lit("timeout")
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style sugar over the Pattern builder (round-8 depth item:
+# the SQL:2016 row-pattern surface Flink SQL exposes — reference users who
+# write MATCH_RECOGNIZE instead of the DataStream CEP API get the same
+# spelling here, compiled to the identical lag-chain / join-argmin plans).
+_WITHIN_UNITS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+}
+
+
+def _parse_within(within: str) -> int:
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s+([a-z]+)\s*", within.lower())
+    if not m or m.group(2) not in _WITHIN_UNITS:
+        raise ValueError(
+            f"within must look like '15 minutes' (units: "
+            f"{sorted(set(_WITHIN_UNITS))}); got {within!r}"
+        )
+    return int(m.group(1)) * _WITHIN_UNITS[m.group(2)]
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: str,
+    order_by: str | list[str],
+    pattern: str,
+    define: dict[str, "Column | str"],
+    within: str,
+) -> DataFrame:
+    """SQL:2016 row-pattern sugar, Flink-SQL MATCH_RECOGNIZE flavored::
+
+        match_recognize(
+            events, partition_by="user_id", order_by=["ts", "event_id"],
+            pattern="A A A",                    # strict contiguity
+            define={"A": "event_type = 'error'"},
+            within="24 hours",
+        )
+        match_recognize(
+            orders, partition_by="order_id", order_by="ts",
+            pattern="CREATE -> PAY",            # relaxed (followedBy)
+            define={"CREATE": "event_type = 'create'",
+                    "PAY": "event_type = 'pay'"},
+            within="15 minutes",
+        )
+
+    ``pattern``: space-separated variables = STRICT contiguity (Flink CEP
+    ``next``, any length); a single ``->`` between two variables = RELAXED
+    contiguity (``followedBy`` — first qualifying completion per start).
+    Repeating a variable (``"A A A"``) reuses its DEFINE predicate per
+    step. ``define`` values are SQL boolean strings (``F.expr``-compiled)
+    or Columns. Event time = the first ``order_by`` column (the
+    MATCH_RECOGNIZE ordering column); ``within`` bounds last-step time
+    minus first-step time, closed interval, like the builder.
+
+    Output: one row per completed match — ``partition_by`` plus
+    ``<var>_us`` (epoch micros) per step, numbered ``<var>2_us`` etc. on
+    repeats — exactly the Pattern builder's contract, because this IS the
+    Pattern builder: the sugar only parses, the plan shapes (lag chain /
+    join + min-aggregate) are pinned by the builder's own gates
+    (`login_fail_triple_cep`, `order_timeout`).
+    """
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    if not order_cols:
+        raise ValueError("order_by must name at least one column")
+    relaxed = "->" in pattern
+    tokens = (
+        [t.strip() for t in pattern.split("->")]
+        if relaxed
+        else pattern.split()
+    )
+    if relaxed and (len(tokens) != 2 or any(" " in t for t in tokens)):
+        raise ValueError(
+            "relaxed patterns support exactly 'A -> B'; chain calls for "
+            "longer relaxed sequences"
+        )
+    if len(tokens) < 2:
+        raise ValueError("pattern needs at least two steps")
+    unknown = [t for t in tokens if t not in define]
+    if unknown:
+        raise ValueError(f"pattern variables without DEFINE: {unknown}")
+
+    def _cond(v: str) -> Column:
+        c = define[v]
+        return F.expr(c) if isinstance(c, str) else c
+
+    seen: dict[str, int] = {}
+
+    def _step_name(v: str) -> str:
+        seen[v] = seen.get(v, 0) + 1
+        return v if seen[v] == 1 else f"{v}{seen[v]}"
+
+    pat = Pattern.begin(_step_name(tokens[0]), _cond(tokens[0]))
+    for v in tokens[1:]:
+        pat = (
+            pat.followed_by(_step_name(v), _cond(v))
+            if relaxed
+            else pat.next(_step_name(v), _cond(v))
+        )
+    pat = pat.within(_parse_within(within))
+    return pat.detect(
+        df, partition_by, order_cols[0], order_cols=order_cols
+    )

@@ -4220,6 +4220,38 @@ def _tier_identity_contract(fast: DataFrame, gate: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_subset_contract(fast: DataFrame, brute: DataFrame) -> DataFrame:
+    """Single-row contract: every `fast` pair appears in the brute-force
+    pair set with an IDENTICAL jaccard score. Factored out of the
+    registered gate so the negative arm is testable (a foreign or
+    rescored pair must flip the flag — tests/test_round8_ops.py)."""
+    b = brute.select(
+        F.col("doc_a").alias("b_a"),
+        F.col("doc_b").alias("b_b"),
+        F.col("jaccard").alias("b_jac"),
+    )
+    j = fast.join(
+        b, (fast["doc_a"] == b["b_a"]) & (fast["doc_b"] == b["b_b"]), "left"
+    )
+    agg = j.agg(
+        F.count("*").alias("n_fast"),
+        F.sum(
+            F.when(
+                F.col("b_jac").isNotNull()
+                & (F.col("jaccard") == F.col("b_jac")),
+                1,
+            ).otherwise(0)
+        ).alias("n_matched"),
+    )
+    n_brute = brute.agg(F.count("*").alias("n_brute"))
+    return agg.crossJoin(n_brute).select(
+        (F.col("n_fast") == F.col("n_matched")).alias(
+            "subset_with_equal_scores"
+        ),
+        F.col("n_brute").cast("long").alias("n_bruteforce_pairs"),
+    )
+
+
 def _register_fast_tier_contracts() -> None:
     """Register the four `_fast`-twin contracts with oracles composed from
     the registry (fetched at registration so they cannot drift) — closes
@@ -4347,34 +4379,8 @@ def _register_fast_tier_contracts() -> None:
             gram_hash="xxhash64",
             grams=_trigram_grams(spark, sf_dir),
         )
-        brute = _candidate_pairs(spark, sf_dir).select(
-            F.col("doc_a").alias("b_a"),
-            F.col("doc_b").alias("b_b"),
-            F.col("jaccard").alias("b_jac"),
-        )
-        j = fast.join(
-            brute,
-            (fast["doc_a"] == brute["b_a"]) & (fast["doc_b"] == brute["b_b"]),
-            "left",
-        )
-        agg = j.agg(
-            F.count("*").alias("n_fast"),
-            F.sum(
-                F.when(
-                    F.col("b_jac").isNotNull()
-                    & (F.col("jaccard") == F.col("b_jac")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_matched"),
-        )
-        n_brute = _candidate_pairs(spark, sf_dir).agg(
-            F.count("*").alias("n_brute")
-        )
-        return agg.crossJoin(n_brute).select(
-            (F.col("n_fast") == F.col("n_matched")).alias(
-                "subset_with_equal_scores"
-            ),
-            F.col("n_brute").cast("long").alias("n_bruteforce_pairs"),
+        return _minhash_subset_contract(
+            fast, _candidate_pairs(spark, sf_dir)
         )
 
 

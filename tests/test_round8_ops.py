@@ -1,0 +1,159 @@
+"""Round-8 pins.
+
+1. MATCH_RECOGNIZE sugar (`operators/patterns.py::match_recognize`): the
+   SQL:2016 row-pattern spelling must compile to EXACTLY the Pattern
+   builder's plans — pinned value-identical against the registered
+   `login_fail_triple_cep` gate (strict, repeated variable) and against a
+   directly-built relaxed Pattern (followedBy) on the same inputs.
+2. The fast-tier contract gates must actually FAIL when a tier diverges —
+   a contract that can only say TRUE proves nothing, so the negative arm
+   is pinned here with a deliberately perturbed "fast" frame.
+"""
+
+from __future__ import annotations
+
+import conftest  # noqa: F401  (sys.path setup)
+import pytest
+from pyspark.sql import functions as F
+
+SF = conftest.SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _events(spark):
+    from data_warehouse_flink_spark.plans.reference_jobs import _events
+
+    return _events(spark, SF)
+
+
+def test_match_recognize_strict_equals_cep_gate(spark):
+    """pattern="A A A" over errors == the registered triple-CEP gate
+    (same lag-chain plan, same rows; only the step names differ)."""
+    from data_warehouse_flink_spark.operators.patterns import match_recognize
+    from data_warehouse_flink_spark.plans.reference_jobs import (
+        login_fail_triple_cep,
+    )
+
+    sugar = match_recognize(
+        _events(spark),
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern="A A A",
+        define={"A": "event_type = 'error'"},
+        within="24 hours",
+    )
+    assert list(sugar.columns) == ["user_id", "A_us", "A2_us", "A3_us"]
+    gate = login_fail_triple_cep(spark, SF)
+    assert _rows(sugar) == _rows(gate)
+    assert _rows(sugar), "strict sugar matched nothing at all"
+
+
+def test_match_recognize_relaxed_equals_builder(spark):
+    """pattern="CLICK -> PURCHASE" == Pattern.begin.followed_by.detect
+    with the same predicates and bound."""
+    from data_warehouse_flink_spark.operators.patterns import (
+        Pattern,
+        match_recognize,
+    )
+
+    ev = _events(spark)
+    sugar = match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="CLICK -> PURCHASE",
+        define={
+            "CLICK": "event_type = 'click'",
+            "PURCHASE": F.col("event_type") == "purchase",  # Column form
+        },
+        within="30 minutes",
+    )
+    direct = (
+        Pattern.begin("CLICK", F.col("event_type") == "click")
+        .followed_by("PURCHASE", F.col("event_type") == "purchase")
+        .within(1800)
+        .detect(ev, "user_id", "ts")
+    )
+    assert _rows(sugar) == _rows(direct)
+    assert _rows(sugar), "relaxed sugar matched nothing at all"
+
+
+def test_match_recognize_rejects_bad_specs(spark):
+    from data_warehouse_flink_spark.operators.patterns import match_recognize
+
+    ev = _events(spark)
+    with pytest.raises(ValueError, match="DEFINE"):
+        match_recognize(
+            ev, "user_id", "ts", "A B", {"A": "true"}, "1 hours"
+        )
+    with pytest.raises(ValueError, match="exactly"):
+        match_recognize(
+            ev, "user_id", "ts", "A -> B C",
+            {"A": "true", "B": "true", "C": "true"}, "1 hours",
+        )
+    with pytest.raises(ValueError, match="within"):
+        match_recognize(
+            ev, "user_id", "ts", "A A", {"A": "true"}, "1 fortnight"
+        )
+    with pytest.raises(ValueError, match="at least two"):
+        match_recognize(ev, "user_id", "ts", "A", {"A": "true"}, "1 hours")
+
+
+def test_tier_identity_contract_detects_divergence(spark):
+    """The contract's negative arm: perturb one row of the 'fast' side and
+    `identical` must flip to False (exceptAll is a multiset compare, so a
+    single changed value shows up in both difference directions)."""
+    from data_warehouse_flink_spark.functions.dedup import span_dedup
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _docs,
+        _tier_identity_contract,
+    )
+
+    docs = _docs(spark, SF)
+    gate = span_dedup(docs, hash_key=False)
+    good = _tier_identity_contract(span_dedup(docs, hash_key=True), gate)
+    row = good.collect()[0]
+    assert row["identical"] is True and row["n_rows"] > 0
+
+    perturbed = span_dedup(docs, hash_key=True).withColumn(
+        "n_spans", F.col("n_spans") + 1
+    )
+    bad = _tier_identity_contract(perturbed, gate).collect()[0]
+    assert bad["identical"] is False
+    assert bad["n_rows"] == row["n_rows"]
+
+
+def test_minhash_contract_detects_foreign_pair(spark):
+    """The subset contract must reject a pair that brute force never
+    produced (or produced with a different score)."""
+    from data_warehouse_flink_spark.functions.dedup import minhash_lsh_dedup
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _candidate_pairs,
+        _docs,
+        _minhash_subset_contract,
+        _trigram_grams,
+    )
+
+    fast = minhash_lsh_dedup(
+        _docs(spark, SF),
+        threshold=0.3,
+        gram_hash="xxhash64",
+        grams=_trigram_grams(spark, SF),
+    )
+    brute = _candidate_pairs(spark, SF)
+    good = _minhash_subset_contract(fast, brute).collect()[0]
+    assert good["subset_with_equal_scores"] is True
+    assert good["n_bruteforce_pairs"] > 0
+
+    foreign = spark.createDataFrame(
+        [(999_999_998, 999_999_999, 0.5)],
+        schema=fast.schema,
+    )
+    bad = _minhash_subset_contract(
+        fast.unionByName(foreign), brute
+    ).collect()[0]
+    assert bad["subset_with_equal_scores"] is False
+    assert bad["n_bruteforce_pairs"] == good["n_bruteforce_pairs"]
