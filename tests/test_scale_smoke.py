@@ -907,3 +907,89 @@ def test_ngram_novelty_key_tiers_at_1m_docs(spark, dup_docs):
         f"ngram novelty 1M docs: string {best[False]:.1f}s "
         f"vs xxhash64 {best[True]:.1f}s"
     )
+
+
+@pytest.fixture(scope="module")
+def big_vectors(spark):
+    """500k synthetic 64-dim embeddings, executor-side (hash-derived
+    floats in [-0.5, 0.5); no driver materialization)."""
+    n_vecs = max(N // 10, 500_000)
+    vec = F.expr(
+        "transform(sequence(1, 64), i -> "
+        "CAST(pmod(xxhash64(id * 64 + i), 1000) - 500 AS DOUBLE) / 1000.0)"
+    )
+    return (
+        spark.range(n_vecs)
+        .withColumn("embedding", vec)
+        .withColumnRenamed("id", "vec_id")
+    )
+
+
+def test_span_contract_at_1m_docs(spark, big_docs):
+    """The round-8 tier-identity contract itself at volume: two span-dedup
+    tiers + two exceptAll passes over 1M docs must still produce the
+    single (TRUE, 1M) row — the contract's cost stays linear in the span
+    table, never pairwise."""
+    import time
+
+    from data_warehouse_flink_spark.functions.dedup import span_dedup
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _tier_identity_contract,
+    )
+
+    t0 = time.perf_counter()
+    row = _tier_identity_contract(
+        span_dedup(big_docs, hash_key=True),
+        span_dedup(big_docs, hash_key=False),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    print(f"span tier contract at 1M docs: {dt:.1f}s -> {tuple(row)}")
+    assert row["identical"] is True
+    assert row["n_rows"] == big_docs.count()
+
+
+def test_knn_recall_audit_shape_at_500k_vectors(spark, big_vectors):
+    """The round-8 ANN recall audit's scale shape at 500k vectors: the
+    brute-force baseline is queries × corpus (broadcast probe side, one
+    rank shuffle), the IVF tier cell-restricted, and the audit join
+    top-5-list-proportional. Random vectors give no recall guarantee —
+    the assertions are the audit INVARIANTS (bounds, determinism), not a
+    recall floor."""
+    import time
+
+    from data_warehouse_flink_spark.functions.similarity import (
+        frozen_ivf_assign,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    queries = big_vectors.filter(F.col("vec_id") < 20)
+    t0 = time.perf_counter()
+    brute = knn_bruteforce(big_vectors, queries, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    t_brute = time.perf_counter() - t0
+
+    assigned = frozen_ivf_assign(big_vectors).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    ivf = knn_ivf(big_vectors, queries, k=5, assigned=assigned).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ivf.join(brute, ["query_id", "neighbor_id"], "left_semi").count()
+    n_possible = brute.count()
+    t_ivf = time.perf_counter() - t0
+    recall_ppm = hits * 1_000_000 // n_possible
+    print(
+        f"knn recall audit at 500k: brute {t_brute:.1f}s, ivf+audit "
+        f"{t_ivf:.1f}s, recall {recall_ppm} ppm ({hits}/{n_possible})"
+    )
+    assert n_possible == 20 * 5
+    assert 0 <= recall_ppm <= 1_000_000
+    # determinism: the same audit recomputed must land on the same count
+    hits2 = (
+        knn_ivf(big_vectors, queries, k=5, assigned=assigned)
+        .select("query_id", "neighbor_id")
+        .join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .count()
+    )
+    assert hits2 == hits
