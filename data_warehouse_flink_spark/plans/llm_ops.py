@@ -4252,6 +4252,38 @@ def _minhash_subset_contract(fast: DataFrame, brute: DataFrame) -> DataFrame:
     )
 
 
+def _dsir_invariants_contract(gate: DataFrame, fast: DataFrame) -> DataFrame:
+    """Single-row contract over the hash-INDEPENDENT DSIR columns: both
+    tiers must cover the identical doc_id set with identical per-doc gram
+    totals. Factored out of the registered gate so the negative arm is
+    testable (tests/test_round8_ops.py)."""
+    g = gate.select("doc_id", "n_grams")
+    f = fast.select(
+        F.col("doc_id").alias("f_doc"), F.col("n_grams").alias("f_n")
+    )
+    j = g.join(f, g["doc_id"] == f["f_doc"], "full_outer")
+    agg = j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("doc_id").isNotNull()
+                & F.col("f_doc").isNotNull()
+                & (F.col("n_grams") == F.col("f_n")),
+                1,
+            ).otherwise(0)
+        ).alias("n_agree"),
+        F.sum(
+            F.when(F.col("doc_id").isNotNull(), F.col("n_grams"))
+            .otherwise(F.lit(0))
+        ).alias("total_grams"),
+    )
+    return agg.select(
+        (F.col("n_rows") == F.col("n_agree")).alias("per_doc_grams_match"),
+        F.col("n_rows").cast("long").alias("n_docs"),
+        F.col("total_grams").cast("long").alias("total_grams"),
+    )
+
+
 def _register_fast_tier_contracts() -> None:
     """Register the four `_fast`-twin contracts with oracles composed from
     the registry (fetched at registration so they cannot drift) — closes
@@ -4321,34 +4353,9 @@ def _register_fast_tier_contracts() -> None:
         partition differs). The oracle recomputes n_docs and the grand
         gram total from the corpus directly (unigrams + bigrams per doc),
         so a drift in either tier's gram stage reds the gate."""
-        gate = _dsir_weights(spark, sf_dir, bucket_hash="md5").select(
-            "doc_id", "n_grams"
-        )
-        fast = _dsir_weights(spark, sf_dir, bucket_hash="xxhash64").select(
-            F.col("doc_id").alias("f_doc"), F.col("n_grams").alias("f_n")
-        )
-        j = gate.join(fast, gate["doc_id"] == fast["f_doc"], "full_outer")
-        agg = j.agg(
-            F.count("*").alias("n_rows"),
-            F.sum(
-                F.when(
-                    F.col("doc_id").isNotNull()
-                    & F.col("f_doc").isNotNull()
-                    & (F.col("n_grams") == F.col("f_n")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_agree"),
-            F.sum(
-                F.when(F.col("doc_id").isNotNull(), F.col("n_grams"))
-                .otherwise(F.lit(0))
-            ).alias("total_grams"),
-        )
-        return agg.select(
-            (F.col("n_rows") == F.col("n_agree")).alias(
-                "per_doc_grams_match"
-            ),
-            F.col("n_rows").cast("long").alias("n_docs"),
-            F.col("total_grams").cast("long").alias("total_grams"),
+        return _dsir_invariants_contract(
+            _dsir_weights(spark, sf_dir, bucket_hash="md5"),
+            _dsir_weights(spark, sf_dir, bucket_hash="xxhash64"),
         )
 
     @register(

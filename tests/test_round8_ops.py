@@ -157,3 +157,23 @@ def test_minhash_contract_detects_foreign_pair(spark):
     ).collect()[0]
     assert bad["subset_with_equal_scores"] is False
     assert bad["n_bruteforce_pairs"] == good["n_bruteforce_pairs"]
+
+
+def test_dsir_contract_detects_gram_drift(spark):
+    """The DSIR invariants contract must flip when the fast tier's gram
+    totals drift (extra doc / changed per-doc count both red)."""
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _dsir_invariants_contract,
+        _dsir_weights,
+    )
+
+    gate = _dsir_weights(spark, SF, bucket_hash="md5")
+    fast = _dsir_weights(spark, SF, bucket_hash="xxhash64")
+    good = _dsir_invariants_contract(gate, fast).collect()[0]
+    assert good["per_doc_grams_match"] is True
+    assert good["n_docs"] > 0 and good["total_grams"] > 0
+
+    drifted = fast.withColumn("n_grams", F.col("n_grams") + 1)
+    bad = _dsir_invariants_contract(gate, drifted).collect()[0]
+    assert bad["per_doc_grams_match"] is False
+    assert bad["n_docs"] == good["n_docs"]
