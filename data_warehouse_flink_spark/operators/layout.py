@@ -58,3 +58,64 @@ def zorder_file_stats(
         F.min("yv").cast("long").alias("min_y"),
         F.max("yv").cast("long").alias("max_y"),
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    pos_col: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global position in the total order over ``order_cols``
+    (which must be a unique key) — WITHOUT the single-partition trap.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY forces Spark
+    to exchange the ENTIRE dataset into one partition — the canonical
+    100 TB killer. This computes the identical numbering distributed:
+
+    1. ``repartitionByRange`` on the order keys (the one exchange any
+       global ordering pays; ranges land on ascending partition indexes,
+       and AQE coalescing only merges ADJACENT ranges, preserving that),
+       then sort within partitions and FREEZE the layout with an eager
+       localCheckpoint (both downstream consumers must see one layout).
+    2. Per-partition sequence numbers come free from
+       ``monotonically_increasing_id`` evaluated over the sorted layout —
+       its encoding is (partition index << 33) + in-partition row number,
+       i.e. a distributed zipWithIndex with zero extra shuffle.
+    3. Per-partition offsets are a running sum over the partition COUNTS —
+       a table with one row per partition, where a single-partition window
+       is exactly right. Broadcast back and add.
+
+    Total cost: one range exchange + one tiny aggregate + one broadcast
+    join; no stage ever concentrates the data.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parts = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    base = parts.withColumn(
+        "_pid", F.shiftrightunsigned(F.col("_mid"), 33)
+    ).withColumn(
+        "_seq", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    )
+    counts = base.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off")
+    )
+    return (
+        base.join(F.broadcast(offsets), "_pid")
+        .withColumn(pos_col, (F.col("_off") + F.col("_seq") + 1).cast("long"))
+        .drop("_mid", "_pid", "_seq", "_off")
+    )

@@ -4472,3 +4472,59 @@ def _register_knn_recall_report() -> None:
 
 
 _register_knn_recall_report()
+
+
+# -------------------- deterministic corpus shuffle + fixed-size shards ----
+@register(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 12))::BIGINT
+               AS sort_key
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, sort_key,
+             row_number() OVER (ORDER BY sort_key, doc_id)::BIGINT AS pos
+      FROM keyed
+    )
+    SELECT doc_id, sort_key, pos,
+           ((pos - 1) // 256)::BIGINT AS shard,
+           ((pos - 1) % 256)::BIGINT AS pos_in_shard
+    FROM pos
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle → exact global position →
+    fixed-size training shards (256 docs/shard here; thousands of
+    sequences at 100 TB) — the step between curation and the data loader:
+    training wants a seed-reproducible permutation with equal-size shards,
+    not a hash-bucketed approximation.
+
+    sort_key = md5-prefix integer of (doc_id, seed) — the engine-portable
+    hash idiom — so the permutation is frozen by the seed. The global
+    position uses `operators/layout.py::global_row_number`: a naive
+    ``row_number() OVER (ORDER BY sort_key)`` (the oracle's spelling)
+    exchanges the whole corpus into ONE partition; the distributed form
+    pays the same single range exchange a global sort costs, derives
+    in-partition sequence numbers from `monotonically_increasing_id`'s
+    (partition << 33) + row encoding over the frozen sorted layout, and
+    adds per-partition offsets (a partition-count-sized broadcast).
+    Identical numbering, no concentrated stage."""
+    from data_warehouse_flink_spark.operators.layout import global_row_number
+
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':42')), "
+            "1, 12), 16, 10) AS BIGINT)"
+        ).alias("sort_key"),
+    )
+    pos = global_row_number(keyed, ["sort_key", "doc_id"], pos_col="pos")
+    return pos.select(
+        "doc_id",
+        "sort_key",
+        "pos",
+        F.expr("CAST((pos - 1) DIV 256 AS BIGINT)").alias("shard"),
+        F.expr("CAST((pos - 1) % 256 AS BIGINT)").alias("pos_in_shard"),
+    )

@@ -77,16 +77,20 @@ def load_all() -> None:
 #     approximation contracts; takes the weaker rows-only check category
 #     to zero) and the ANN recall audit (`knn_recall_report` — the
 #     VERDICT r6 #6 recall-gate pattern extended to the last approximation
-#     family without measured recall);
+#     family without measured recall) and `corpus_shuffle_shards` (the
+#     deterministic global shuffle -> exact global position -> fixed-size
+#     training shards step, built on the distributed two-phase numbering
+#     in operators/layout.py::global_row_number);
 # (3) periodic-reconfirmation cadence (rule since r7: after first-evidence
 #     entries, fill the prefix with the queries holding the OLDEST driver
 #     hash evidence, ties broken by registration order, so no query's
 #     evidence age is unbounded). This round: the r3-evidence cohort
-#     (first 23 of 24 — last driver-graded in CORRECTNESS_r03;
-#     `purchase_asof_click` yields its slot to the recall audit under the
-#     first-evidence-goes-ahead rule and leads the round-9 queue).
-# 22 + 5 + 23 = 50 exactly. Next up (round 9): purchase_asof_click + the
-# r4 cohort (28).
+#     (first 22 of 24 — last driver-graded in CORRECTNESS_r03;
+#     `purchase_asof_click` and `error_rate_spikes` yield their slots to
+#     the recall audit and the shard planner under the
+#     first-evidence-goes-ahead rule and lead the round-9 queue).
+# 22 + 6 + 22 = 50 exactly. Next up (round 9): purchase_asof_click,
+# error_rate_spikes, then the r4 cohort (28).
 _GRADING_PRIORITY = (
     # -- §2 gates (reference_jobs registration order) --
     "page_view",
@@ -111,13 +115,14 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- first-evidence: the four production-tier contracts + the ANN
-    # recall audit (r8 new) --
+    # -- first-evidence: the four production-tier contracts, the ANN
+    # recall audit, and the shard planner (r8 new) --
     "doc_span_dedup_fast_contract",
     "doc_exact_substring_dedup_fast_contract",
     "doc_importance_weights_fast_contract",
     "doc_minhash_lsh_fast_contract",
     "knn_recall_report",
+    "corpus_shuffle_shards",
     # -- oldest-evidence reconfirmation: the full r3 cohort (evidence
     # CORRECTNESS_r03; registration order) --
     "doc_dup_clusters",  # r3
@@ -142,7 +147,6 @@ _GRADING_PRIORITY = (
     "conversion_funnel",  # r3
     "hourly_counts_gapfilled",  # r3
     "weekly_cohort_retention",  # r3
-    "error_rate_spikes",  # r3
 )
 # Rotated OUT of the prefix this round: the r1/r2 cohorts and the two
 # contract graduates (all hash-green in CORRECTNESS_r07). Evidence ages

@@ -177,3 +177,50 @@ def test_dsir_contract_detects_gram_drift(spark):
     bad = _dsir_invariants_contract(gate, drifted).collect()[0]
     assert bad["per_doc_grams_match"] is False
     assert bad["n_docs"] == good["n_docs"]
+
+
+def test_global_row_number_matches_window_reference(spark):
+    """The distributed two-phase numbering must equal the single-partition
+    window spelling exactly — including with skewed/duplicate-free keys in
+    adversarial input order."""
+    from pyspark.sql import Window
+
+    from data_warehouse_flink_spark.operators.layout import global_row_number
+
+    df = (
+        spark.range(10_000)
+        .withColumn("k", F.xxhash64("id"))
+        .repartition(17)  # adversarial input layout
+    )
+    got = global_row_number(df, ["k", "id"], pos_col="pos")
+    want = df.withColumn(
+        "pos", F.row_number().over(Window.orderBy("k", "id")).cast("long")
+    )
+    assert _rows(got.select("id", "k", "pos")) == _rows(
+        want.select("id", "k", "pos")
+    )
+
+
+def test_global_row_number_has_no_big_single_partition_exchange(spark):
+    """The whole point: the data never concentrates. The final plan reads
+    the checkpointed range layout (the range exchange is inside the
+    checkpoint, so it cannot appear here); the ONLY SinglePartition
+    exchange allowed is the offsets window over the per-partition COUNTS
+    (one row per partition), and the offsets come back as a broadcast —
+    never a data-bearing shuffle."""
+    from data_warehouse_flink_spark.operators.layout import global_row_number
+
+    df = spark.range(50_000).withColumn("k", F.xxhash64("id"))
+    out = global_row_number(df, ["k", "id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1
+    sp = plan.index("Exchange SinglePartition")
+    # the single-partition exchange feeds the offsets Window (tiny side)
+    assert "Window" in plan[:sp]
+    assert "BroadcastExchange" in plan  # offsets return as a broadcast
+    # and the pre-checkpoint layout stage IS a range exchange
+    staged = (
+        df.repartitionByRange(8, F.col("k"), F.col("id"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in staged
