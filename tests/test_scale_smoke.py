@@ -993,3 +993,27 @@ def test_knn_recall_audit_shape_at_500k_vectors(spark, big_vectors):
         .count()
     )
     assert hits2 == hits
+
+
+def test_global_row_number_at_5m_rows(spark, big_events):
+    """The distributed numbering at volume: exact 1..N with no gaps and no
+    concentrated stage (a naive global window would pull all 5M rows into
+    one task; this pays one range exchange)."""
+    import time
+
+    from data_warehouse_flink_spark.operators.layout import global_row_number
+
+    keyed = big_events.select(
+        "event_id", F.xxhash64("event_id").alias("k")
+    )
+    t0 = time.perf_counter()
+    pos = global_row_number(keyed, ["k", "event_id"], pos_col="pos")
+    agg = pos.agg(
+        F.count("*").alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.count_distinct("pos").alias("nd"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    print(f"global_row_number at {agg['n']} rows: {dt:.1f}s")
+    assert agg["lo"] == 1 and agg["hi"] == agg["n"] == agg["nd"] == N
