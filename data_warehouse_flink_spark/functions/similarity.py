@@ -274,13 +274,18 @@ def knn_ivf(
     the query-vector lookup read from it) — pass the index built over the
     corpus you mean to search, and note its columns are fixed to
     (`id_col`, vecd, norm, cell) by `frozen_ivf_assign`, which itself
-    defaults id_col/vec_col (ADVICE r7 #2)."""
-    if assigned is not None and embeddings is not None:
-        # a filtered/different corpus alongside a full-corpus index would
-        # silently return wrong neighbors — force the caller to be explicit
-        assert id_col in assigned.columns, (
+    defaults id_col/vec_col (ADVICE r7 #2). Corpus identity is the
+    CALLER's contract: whether `assigned` covers the same rows as the
+    `embeddings` frame you would otherwise have passed is not checkable
+    here without scanning both — a filtered corpus next to a full-corpus
+    index silently searches the full corpus."""
+    if assigned is not None and id_col not in assigned.columns:
+        # loud schema check only (cheap); it cannot detect a same-schema
+        # index built over a DIFFERENT corpus — see the docstring contract
+        raise ValueError(
             f"assigned index lacks id column {id_col!r}; it replaces "
-            "`embeddings`, so it must cover the corpus being searched"
+            "`embeddings`, so it must be built over the corpus being "
+            "searched with the same id_col"
         )
     # materialize the assignment once — this IS the inverted-file index;
     # without it both the corpus side and the query side re-run the

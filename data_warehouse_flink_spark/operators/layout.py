@@ -83,16 +83,29 @@ def global_row_number(
        its encoding is (partition index << 33) + in-partition row number,
        i.e. a distributed zipWithIndex with zero extra shuffle.
     3. Per-partition offsets are a running sum over the partition COUNTS —
-       a table with one row per partition, where a single-partition window
-       is exactly right. Broadcast back and add.
+       one row per partition, so they are collected to the driver (the
+       only driver-side data is this partition-count list), cumsum'd, and
+       broadcast back. Collecting also makes the encoding's hard limit
+       LOUD: a partition beyond 2^33 rows would silently bleed sequence
+       bits into the partition bits, so it raises here instead.
 
     Total cost: one range exchange + one tiny aggregate + one broadcast
     join; no stage ever concentrates the data.
+
+    NOTE: each call freezes its own layout (an eager localCheckpoint).
+    Callers invoking this repeatedly on the same input should cache the
+    RESULT (see `corpus_shuffle_shards`'s session cache) — per-invocation
+    checkpoints leak a cached block per call, the round-6 knn_ivf_pq
+    lesson.
     """
     spark = df.sparkSession
-    n = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    if num_partitions is not None:
+        n = num_partitions
+    else:
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except ValueError:  # e.g. "auto" on AQE-managed deployments
+            n = 256
     parts = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
@@ -104,18 +117,24 @@ def global_row_number(
     ).withColumn(
         "_seq", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     )
-    counts = base.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    from pyspark.sql import Window
-
-    w = (
-        Window.orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    counts = sorted(
+        (r["_pid"], r["_cnt"])
+        for r in base.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+        .collect()
     )
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off")
-    )
+    if any(cnt >= (1 << 33) for _, cnt in counts):
+        raise ValueError(
+            "global_row_number: a range partition holds >= 2^33 rows; "
+            "monotonically_increasing_id's sequence bits would overflow "
+            "into the partition bits — raise num_partitions"
+        )
+    offsets, running = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, running))
+        running += cnt
+    off_df = spark.createDataFrame(offsets, schema="_pid long, _off long")
     return (
-        base.join(F.broadcast(offsets), "_pid")
+        base.join(F.broadcast(off_df), "_pid")
         .withColumn(pos_col, (F.col("_off") + F.col("_seq") + 1).cast("long"))
         .drop("_mid", "_pid", "_seq", "_off")
     )

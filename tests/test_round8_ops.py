@@ -201,22 +201,19 @@ def test_global_row_number_matches_window_reference(spark):
     )
 
 
-def test_global_row_number_has_no_big_single_partition_exchange(spark):
+def test_global_row_number_has_no_single_partition_exchange(spark):
     """The whole point: the data never concentrates. The final plan reads
     the checkpointed range layout (the range exchange is inside the
-    checkpoint, so it cannot appear here); the ONLY SinglePartition
-    exchange allowed is the offsets window over the per-partition COUNTS
-    (one row per partition), and the offsets come back as a broadcast —
-    never a data-bearing shuffle."""
+    checkpoint, so it cannot appear here); the per-partition offsets are
+    computed driver-side from the partition-count list and come back as a
+    broadcast — NO SinglePartition exchange anywhere, and no Window."""
     from data_warehouse_flink_spark.operators.layout import global_row_number
 
     df = spark.range(50_000).withColumn("k", F.xxhash64("id"))
     out = global_row_number(df, ["k", "id"])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange SinglePartition") == 1
-    sp = plan.index("Exchange SinglePartition")
-    # the single-partition exchange feeds the offsets Window (tiny side)
-    assert "Window" in plan[:sp]
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
     assert "BroadcastExchange" in plan  # offsets return as a broadcast
     # and the pre-checkpoint layout stage IS a range exchange
     staged = (
