@@ -408,3 +408,33 @@ def test_simhash_pigeonhole_lossless_matches_python(spark, sigs, n_blocks):
                 a, b = min(ida, idb), max(ida, idb)
                 want.add((a, b, h))
     assert got == want
+
+
+GRN_KEYS = st.lists(
+    st.integers(min_value=-(2 ** 40), max_value=2 ** 40),
+    min_size=1,
+    max_size=400,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=GRN_KEYS, n_parts=st.integers(min_value=1, max_value=9))
+def test_global_row_number_matches_python_sort(spark, keys, n_parts):
+    """global_row_number == the position in Python's sorted() for any key
+    set, partition count (including n_parts > n_rows), and input order."""
+    from data_warehouse_flink_spark.operators.layout import global_row_number
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(3)
+    got = {
+        r["k"]: r["pos"]
+        for r in global_row_number(
+            df, ["k"], pos_col="pos", num_partitions=n_parts
+        ).collect()
+    }
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
