@@ -3040,7 +3040,22 @@ def doc_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers: no global sort, no ntile, nothing that would serialize at
     100 TB. Exactness: NLL in integer micro-nats (ln rounded at 1e-6 —
     the DSIR discipline), bucket compare on exact BIGINT division.
+
+    The per-doc bucket table is session-cached (`_cached`): the LM build
+    is the expensive stage and the result is consumed by this gate AND
+    `corpus_ccnet_funnel` (which fetches buckets per doc) — the
+    shared-intermediate idiom every other multi-consumer stage here uses
+    (round 8; the r3 `_candidate_pairs` precedent).
     """
+    return _cached(
+        spark,
+        sf_dir,
+        "perplexity_buckets",
+        lambda: _perplexity_buckets_build(spark, sf_dir),
+    )
+
+
+def _perplexity_buckets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_wide(spark, sf_dir).withColumn(
         "toks", F.split("text", " ")
     ).filter(F.size("toks") >= 2)
