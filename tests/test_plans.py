@@ -265,8 +265,20 @@ def test_weighted_sample_is_scan_plus_rank(spark):
 def test_perplexity_bucket_broadcasts_vocab_scalar(spark):
     """The vocab size is a 1-row broadcast; the LM-count joins key on the
     bigram (shuffle or broadcast by size) — never cartesian. Bucketing
-    must NOT introduce a single-partition global sort/ntile exchange."""
-    plan = formatted_plan(spark, "doc_perplexity_bucket")
+    must NOT introduce a single-partition global sort/ntile exchange.
+
+    Asserts on the pre-cache BUILDER plan: the gate itself serves the
+    session-cached table (round 8), so its plan is a checkpoint scan that
+    hides the joins this guard protects."""
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _perplexity_buckets_build,
+    )
+
+    df = _perplexity_buckets_build(spark, SF_SMOKE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "ntile" not in plan.lower()
