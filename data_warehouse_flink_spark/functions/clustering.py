@@ -1,0 +1,141 @@
+"""In-engine distributed k-means (Lloyd's) over embedding columns, exact
+enough to oracle-check.
+
+The frozen IVF/PQ literals (`functions/ivf_centroids.py`,
+`functions/pq_codebooks.py`) are trained OFFLINE by `tools/train_*.py`
+with pyspark.ml — correct for serving, but the trainer itself was outside
+the oracle gate. This module closes that loop: a Lloyd's iteration built
+from plain DataFrame ops whose every arithmetic step is bit-identical in
+any IEEE/ANSI engine, so the *training algorithm* (not just the served
+index) can be hash-checked against DuckDB.
+
+Determinism recipe (why this is exact, not approximately-equal):
+- vectors are quantized once: q_d = FLOOR(DOUBLE(x_d) * SCALE). float→
+  double is exact, the product is one correctly-rounded IEEE op, FLOOR is
+  total — identical in Spark, DuckDB, numpy.
+- assignment distance is pure BIGINT arithmetic: Σ (q_d − c_d)²; argmin
+  ties break on the lower cell id.
+- the centroid update is c_d = FLOOR(s_d / n) with s_d, n integers far
+  below 2^53: the double quotient is correctly rounded and the true
+  rational s/n is ≥ 1/n away from any integer it isn't equal to — vastly
+  more than one ulp — so the floored quotient equals exact integer floor
+  division in every engine.
+- empty cells carry their previous centroid forward.
+
+Scale shape (the part that must survive 100 TB):
+- assignment is a MAP-ONLY scan — the k×dim centroid table is a code
+  literal per iteration (same idiom as `frozen_ivf_assign`), so there is
+  no join and no shuffle;
+- the update is one groupBy("cell") with k groups and dim+1 partial
+  aggregates — map-side combine reduces each partition to ≤k rows before
+  the (tiny) shuffle, the same 64-column-min shape the MinHash signature
+  aggregation proved out;
+- the driver materializes exactly k·(dim+1) integers per iteration — the
+  MODEL, never the data (pyspark.ml's KMeans does the same via
+  treeAggregate).
+
+Reference parity: the reference has no trainer (it serves hand-fed
+state); this is the SURVEY §2.7/§4.2 "custom iterative operator"
+capability, the batch sibling of the connected-components loop in
+`operators/graph.py`.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1_000_000
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    scale: int = QUANT_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, q: array<bigint>) with q_d = FLOOR(DOUBLE(x_d) * scale)."""
+    return df.select(
+        id_col,
+        F.expr(
+            f"transform({vec_col}, "
+            f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))"
+        ).alias("q"),
+    )
+
+
+def _dist_exprs(centroids: list[list[int]]) -> list[str]:
+    """One BIGINT squared-L2 SQL expression per centroid literal."""
+    return [
+        (
+            f"aggregate(zip_with(q, array({','.join(f'{v}L' for v in c)}), "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+            f"(acc, v) -> acc + v)"
+        )
+        for c in centroids
+    ]
+
+
+def assign_quantized_cells(
+    qdf: DataFrame, centroids: list[list[int]], id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, cell, dist): nearest centroid by integer squared L2, ties to the
+    lower cell id. Map-only — centroids ride as literals, no shuffle."""
+    dists = _dist_exprs(centroids)
+    structs = ", ".join(
+        f"struct({d} AS dist, CAST({c} AS BIGINT) AS cell)"
+        for c, d in enumerate(dists)
+    )
+    best = F.expr(f"array_min(array({structs}))")
+    return qdf.select(
+        id_col,
+        best.getField("cell").alias("cell"),
+        best.getField("dist").alias("dist"),
+    )
+
+
+def _floor_mean(s: int, n: int) -> int:
+    """FLOOR(s / n) via double division — exact for |s| < 2^53 (see module
+    docstring), and the SAME op Spark/DuckDB run, which is the point."""
+    return math.floor(s / n)
+
+
+def kmeans_quantized_train(
+    qdf: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> list[list[int]]:
+    """`iters` Lloyd iterations over a quantized embedding table; returns
+    the final centroid matrix (k × dim ints). Init: the quantized vectors
+    of the k smallest ids, cell index in id order."""
+    init_rows = qdf.orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(init_rows)}")
+    centroids = [list(r["q"]) for r in init_rows]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign_quantized_cells(qdf, centroids, id_col)
+        sums = (
+            qdf.join(assigned.select(id_col, "cell"), id_col)
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(dim)],
+            )
+        )
+        by_cell = {int(r["cell"]): r for r in sums.collect()}  # ≤ k rows: the model
+        centroids = [
+            (
+                [
+                    _floor_mean(int(by_cell[c][f"s{d}"]), int(by_cell[c]["n"]))
+                    for d in range(dim)
+                ]
+                if c in by_cell
+                else centroids[c]  # empty cell: carry forward
+            )
+            for c in range(k)
+        ]
+    return centroids

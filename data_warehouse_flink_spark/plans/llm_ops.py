@@ -4571,3 +4571,247 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((pos - 1) DIV 256 AS BIGINT)").alias("shard"),
         F.expr("CAST((pos - 1) % 256 AS BIGINT)").alias("pos_in_shard"),
     )
+
+
+# --------------------- in-engine IVF trainer: integer-exact k-means ----
+# The served IVF/PQ tiers assign against OFFLINE-trained frozen literals
+# (tools/train_ivf_centroids.py → functions/ivf_centroids.py) — standard
+# for serving, but the trainer itself had no oracle. These gates put the
+# TRAINING loop under the hash gate: Lloyd's iterations built from plain
+# DataFrame ops over integer-quantized vectors, bit-identical in any
+# IEEE/ANSI engine (see functions/clustering.py for the exactness
+# argument), with the DuckDB oracle running the same iterations as
+# unrolled CTEs. Capability class: SURVEY §4.2 custom iterative operator
+# (batch sibling of the HashToMin connected-components loop).
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+_KMEANS_DIM = 64
+
+
+def _kmeans_ctes(
+    k: int = _KMEANS_K,
+    dim: int = _KMEANS_DIM,
+    iters: int = _KMEANS_ITERS,
+    scale: int = 1_000_000,
+) -> str:
+    """Unrolled-Lloyd CTE prefix: quantize → long format → init centroids
+    (the k smallest vec_ids, cell index in id order) → per iteration
+    assignment (integer squared L2, ties to the lower cell) and centroid
+    update (FLOOR(sum/n), empty cells carry forward). Produces c{iters}
+    (final centroids) and a{iters} (final assignment under them)."""
+    parts = [
+        f"""qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))
+               AS q
+      FROM embeddings
+    ), ql AS MATERIALIZED (
+      SELECT vec_id, i AS dim, q[i + 1] AS v
+      FROM qv CROSS JOIN (SELECT unnest(range({dim})) AS i) s
+    ), c0 AS (
+      SELECT r.cell, l.dim, l.v
+      FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+            FROM qv QUALIFY cell < {k}) r
+      JOIN ql l ON l.vec_id = r.vec_id
+    )"""
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f""", d{t} AS (
+      SELECT l.vec_id, c.cell, SUM((l.v - c.v) * (l.v - c.v)) AS dist
+      FROM ql l JOIN c{t} c ON l.dim = c.dim
+      GROUP BY 1, 2
+    ), a{t} AS (
+      SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM d{t}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell) = 1
+    )"""
+        )
+        if t < iters:
+            parts.append(
+                f""", s{t} AS (
+      SELECT a.cell, l.dim, SUM(l.v) AS s, COUNT(*) AS n
+      FROM a{t} a JOIN ql l ON a.vec_id = l.vec_id
+      GROUP BY 1, 2
+    ), c{t + 1} AS (
+      SELECT c.cell, c.dim,
+             COALESCE(CAST(FLOOR(CAST(s.s AS DOUBLE) / s.n) AS BIGINT),
+                      c.v) AS v
+      FROM c{t} c LEFT JOIN s{t} s ON s.cell = c.cell AND s.dim = c.dim
+    )"""
+            )
+    return "".join(parts)
+
+
+def _kmeans_qdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized (vec_id, q) table, session-cached: every Lloyd iteration
+    re-scans it, and the train/assign/trained-IVF gates share it."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        quantize_embeddings,
+    )
+
+    return _cached(
+        spark,
+        sf_dir,
+        "emb_quantized_1e6",
+        lambda: quantize_embeddings(_embs_wide(spark, sf_dir)),
+    )
+
+
+_KMEANS_MODELS: dict[tuple[str, str], list[list[int]]] = {}
+
+
+def _kmeans_model(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """The trained centroid matrix, once per (session, sf_dir). The model
+    is k·(dim+1) integers — what Lloyd's materializes on the driver by
+    construction; the data never leaves the executors."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        kmeans_quantized_train,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _KMEANS_MODELS.get(key)
+    if model is None:
+        model = kmeans_quantized_train(
+            _kmeans_qdf(spark, sf_dir), k=_KMEANS_K, iters=_KMEANS_ITERS
+        )
+        _KMEANS_MODELS[key] = model
+    return model
+
+
+_KMEANS_TRAIN_ORACLE = f"""
+    WITH {_kmeans_ctes()}, nf AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{_KMEANS_ITERS} GROUP BY 1
+    )
+    SELECT c.cell, c.dim, c.v AS value, COALESCE(nf.n, 0) AS n
+    FROM c{_KMEANS_ITERS} c LEFT JOIN nf ON nf.cell = c.cell
+    """
+
+
+@register("embedding_kmeans_train", oracle=_KMEANS_TRAIN_ORACLE)
+def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=8, 3 Lloyd iterations) over the corpus
+    embeddings, hash-checked end-to-end against the same iterations
+    unrolled as DuckDB CTEs. Output: the final centroid matrix in long
+    format (cell, dim, value) with each cell's final population n.
+
+    Scale shape per iteration: map-only assignment (centroid literals,
+    no join/shuffle — `frozen_ivf_assign`'s idiom) + one k-group
+    partial-agg groupBy (the MinHash 64-column-min shape) + a k-row
+    driver collect of the MODEL. At 100 TB: train on a sample or accept
+    k rows/iteration on the driver — either way the data-path cost is
+    iters linear scans and k-row shuffles."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        assign_quantized_cells,
+    )
+
+    cents = _kmeans_model(spark, sf_dir)
+    assigned = assign_quantized_cells(_kmeans_qdf(spark, sf_dir), cents)
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+    cent_df = spark.createDataFrame(
+        [
+            (c, d, int(v))
+            for c, vec in enumerate(cents)
+            for d, v in enumerate(vec)
+        ],
+        "cell BIGINT, dim BIGINT, value BIGINT",
+    )
+    return cent_df.join(sizes, "cell", "left").select(
+        "cell",
+        "dim",
+        "value",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+    )
+
+
+_KMEANS_ASSIGN_ORACLE = f"""
+    WITH {_kmeans_ctes()}
+    SELECT vec_id, cell, dist FROM a{_KMEANS_ITERS}
+    """
+
+
+@register("embedding_kmeans_assign", oracle=_KMEANS_ASSIGN_ORACLE)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cell assignment under the in-engine-trained centroids:
+    (vec_id, cell, dist) with dist the exact integer squared L2 in the
+    quantized space. This is the map-only serving scan a trained IVF
+    index runs over the full corpus — the trainer's output consumed the
+    way production consumes it."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        assign_quantized_cells,
+    )
+
+    return assign_quantized_cells(
+        _kmeans_qdf(spark, sf_dir), _kmeans_model(spark, sf_dir)
+    )
+
+
+_KNN_IVF_TRAINED_ORACLE = f"""
+    WITH {_kmeans_ctes()}, v AS (
+      SELECT e.vec_id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+             a.cell
+      FROM embeddings e JOIN a{_KMEANS_ITERS} a ON a.vec_id = e.vec_id
+    ), b AS (
+      SELECT vec_id, vecd, cell,
+             sqrt(list_sum(list_transform(vecd, x -> x * x))) AS norm
+      FROM v
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+                     i -> q.vecd[i] * c.vecd[i])) / (q.norm * c.norm), 6)
+               AS cosine
+      FROM b q JOIN b c ON q.cell = c.cell
+       AND q.vec_id < 20 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+             AS BIGINT) AS rn
+    FROM pairs
+    QUALIFY rn <= 5
+    """
+
+
+def _kmeans_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vecd, norm, cell) IVF index under the TRAINED centroids,
+    session-cached — the trained twin of `_ivf_assigned` (same schema, so
+    `knn_ivf` serves either). Cells come from the integer-quantized
+    assignment; vectors/norms stay full-precision for the cosine rerank."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        assign_quantized_cells,
+    )
+    from data_warehouse_flink_spark.functions.similarity import with_norm
+
+    def _build() -> DataFrame:
+        cells = assign_quantized_cells(
+            _kmeans_qdf(spark, sf_dir), _kmeans_model(spark, sf_dir)
+        ).select("vec_id", "cell")
+        return (
+            with_norm(_embs_wide(spark, sf_dir))
+            .select("vec_id", "vecd", "norm")
+            .join(cells, "vec_id")
+        )
+
+    return _cached(spark, sf_dir, "kmeans_ivf_assigned", _build)
+
+
+@register("knn_ivf_trained", oracle=_KNN_IVF_TRAINED_ORACLE)
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via the IN-ENGINE-trained IVF index
+    (nprobe=1): the full train→index→serve loop under one oracle, where
+    `knn_ivf` proves serving against offline frozen centroids. Same
+    search kernel (`knn_ivf` with a prebuilt `assigned` table), cells
+    from `embedding_kmeans_train`'s centroids."""
+    from data_warehouse_flink_spark.functions.similarity import knn_ivf
+
+    embs = _embs_wide(spark, sf_dir)
+    return knn_ivf(
+        embs,
+        embs.filter(F.col("vec_id") < 20),
+        k=5,
+        assigned=_kmeans_ivf_assigned(spark, sf_dir),
+    )

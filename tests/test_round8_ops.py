@@ -221,3 +221,102 @@ def test_global_row_number_has_no_single_partition_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "rangepartitioning" in staged
+
+
+# --------------------- in-engine k-means trainer (llm_ops k-means gates) ----
+
+
+def test_kmeans_quantized_matches_numpy_replica(spark):
+    """The distributed Lloyd loop must equal an independent single-process
+    replica exactly — same quantization, same argmin tie-break, same
+    floored-mean update — at sf0.001. This is the trainer's ground-truth
+    pin; the DuckDB oracle re-proves it per-SF via unrolled CTEs."""
+    import math
+
+    import numpy as np
+
+    from data_warehouse_flink_spark.functions.clustering import (
+        kmeans_quantized_train,
+        quantize_embeddings,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import _embs
+
+    qdf = quantize_embeddings(_embs(spark, SF))
+    got = kmeans_quantized_train(qdf, k=8, iters=3)
+
+    rows = sorted(qdf.collect(), key=lambda r: r["vec_id"])
+    q = np.array([r["q"] for r in rows], dtype=np.int64)
+    cents = q[:8].copy()
+    for _ in range(3):
+        # argmin with (dist, cell) tie-break
+        d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)  # numpy argmin ties -> first index
+        new = []
+        for c in range(8):
+            members = q[cell == c]
+            if len(members):
+                new.append(
+                    [math.floor(s / len(members)) for s in members.sum(axis=0)]
+                )
+            else:
+                new.append(list(cents[c]))
+        cents = np.array(new, dtype=np.int64)
+    assert got == [list(map(int, c)) for c in cents]
+
+
+def test_kmeans_iterations_move_centroids(spark):
+    """Non-vacuity: the trained model must differ from its init (a loop
+    that never updates would still pass a fixed-point oracle)."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        kmeans_quantized_train,
+        quantize_embeddings,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import _embs
+
+    qdf = quantize_embeddings(_embs(spark, SF))
+    init = [list(r["q"]) for r in qdf.orderBy("vec_id").limit(8).collect()]
+    trained = kmeans_quantized_train(qdf, k=8, iters=3)
+    assert trained != init
+    # and iterating further from the same init changes the model again
+    # (3 iterations have not already converged on this corpus)
+    assert trained != kmeans_quantized_train(qdf, k=8, iters=1)
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """The serving scan must stay shuffle-free: centroids ride as literals
+    (frozen_ivf_assign's idiom), so the assignment plan may contain no
+    Exchange at all past the cached input."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        assign_quantized_cells,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _kmeans_model,
+        _kmeans_qdf,
+    )
+
+    df = assign_quantized_cells(
+        _kmeans_qdf(spark, SF), _kmeans_model(spark, SF)
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_kmeans_trained_index_schema_matches_frozen_index(spark):
+    """`knn_ivf` serves either index; the trained table must keep the
+    frozen table's exact column contract (vec_id, vecd, norm, cell)."""
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _ivf_assigned,
+        _kmeans_ivf_assigned,
+        _kmeans_qdf,
+    )
+
+    frozen = _ivf_assigned(spark, SF)
+    trained = _kmeans_ivf_assigned(spark, SF)
+    assert set(trained.columns) == set(frozen.columns)
+    got = trained.groupBy().agg(
+        F.count("*").alias("n"), F.countDistinct("cell").alias("cells")
+    ).collect()[0]
+    assert got["n"] == _kmeans_qdf(spark, SF).count()
+    assert 1 <= got["cells"] <= 8
