@@ -4815,3 +4815,89 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         assigned=_kmeans_ivf_assigned(spark, sf_dir),
     )
+
+
+# --------------------- incremental near-dedup: new batch vs frozen corpus ----
+_MINHASH_INCREMENTAL_ORACLE = f"""
+    WITH {_minhash_bands_sql()}, cand AS (
+      SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS match_id
+      FROM bands b JOIN bands c
+        ON b.band = c.band AND b.bucket = c.bucket
+       AND b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+    ), common AS (
+      SELECT cd.doc_id, cd.match_id, count(*) AS c
+      FROM cand cd
+      JOIN grams ga ON ga.doc_id = cd.doc_id
+      JOIN grams gb ON gb.doc_id = cd.match_id AND ga.gram = gb.gram
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT cm.doc_id, cm.match_id,
+             ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      FROM common cm
+      JOIN sizes sa ON cm.doc_id = sa.doc_id
+      JOIN sizes sb ON cm.match_id = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+    )
+    SELECT doc_id, match_id, jaccard
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, match_id) = 1
+    """
+
+
+@register("doc_minhash_incremental", oracle=_MINHASH_INCREMENTAL_ORACLE)
+def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: a NEW batch (doc_id % 10 = 7 stands in for
+    today's crawl increment) deduped against the FROZEN corpus (the other
+    90%) without re-pairing the corpus against itself — the daily-ingest
+    shape, where the corpus's LSH band ledger is precomputed state and
+    only the increment is shingled and signed. Output: each batch doc
+    that near-duplicates corpus content, with its best corpus match
+    (highest exact Jaccard, ties to the lower match_id).
+
+    Scale shape: the candidate join keys batch bands against the corpus
+    band LEDGER on (band, bucket) — cost is proportional to the
+    increment and its collisions, never corpus², and the corpus side is
+    a stored table in production (exactly the state-table idiom
+    `streaming/curation.py::near_dedup_stream` runs continuously;
+    this is its batch, oracle-graded twin). Verification is exact
+    Jaccard on candidates only. Intra-batch duplicates are the existing
+    `doc_minhash_lsh` applied to the increment; this gate proves the
+    asymmetric path. md5 gram hash = the oracle tier, as in
+    `doc_minhash_lsh`; production uses xxhash64 signatures.
+    """
+    from data_warehouse_flink_spark.functions.dedup import (
+        band_keys,
+        minhash_signatures,
+        verify_jaccard_on_candidates,
+    )
+    from pyspark.sql import Window
+
+    grams = _trigram_grams(spark, sf_dir)
+    banded = band_keys(minhash_signatures(grams, gram_hash="md5"))
+    batch = banded.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    ledger = banded.filter(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket"
+    )
+    cand = (
+        batch.join(ledger, on=["band", "bucket"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    scored = verify_jaccard_on_candidates(cand, grams, threshold=0.3)
+    w = Window.partitionBy("doc_a").orderBy(
+        F.desc("jaccard"), F.asc("doc_b")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("match_id"),
+            "jaccard",
+        )
+    )

@@ -320,3 +320,33 @@ def test_kmeans_trained_index_schema_matches_frozen_index(spark):
     ).collect()[0]
     assert got["n"] == _kmeans_qdf(spark, SF).count()
     assert 1 <= got["cells"] <= 8
+
+
+def test_minhash_incremental_consistent_with_symmetric_gate(spark):
+    """The incremental (batch-vs-ledger) path must agree with the
+    symmetric gate: every reported match is a doc_minhash_lsh pair that
+    crosses the split with the SAME jaccard, and it is the best such pair
+    for its batch doc. Also pins the asymmetry itself: doc_id always from
+    the batch (≡7 mod 10), match_id always from the corpus."""
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        doc_minhash_incremental,
+        doc_minhash_lsh,
+    )
+
+    inc = doc_minhash_incremental(spark, SF).collect()
+    assert inc, "expected at least one cross-split near-dup at sf0.001"
+    assert all(r["doc_id"] % 10 == 7 for r in inc)
+    assert all(r["match_id"] % 10 != 7 for r in inc)
+
+    sym = {}
+    for r in doc_minhash_lsh(spark, SF).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        for x, y in ((a, b), (b, a)):
+            if x % 10 == 7 and y % 10 != 7:
+                sym.setdefault(x, []).append((y, r["jaccard"]))
+    best = {
+        d: max(ms, key=lambda m: (m[1], -m[0]))
+        for d, ms in sym.items()
+    }
+    got = {r["doc_id"]: (r["match_id"], r["jaccard"]) for r in inc}
+    assert got == best
