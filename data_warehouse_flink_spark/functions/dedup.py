@@ -16,7 +16,7 @@ All hashing uses xxhash64 (JVM built-in, seedable) — no Python in hot paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -515,4 +515,58 @@ def span_dedup(
             ),
             F.lit(""),
         ).alias("dedup_text"),
+    )
+
+
+def incremental_minhash_dedup(
+    grams: DataFrame,
+    is_batch: Column,
+    threshold: float = 0.3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    gram_hash: str = "xxhash64",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-dedup: docs where `is_batch` holds (the increment)
+    against the rest (the frozen corpus), returning each dup batch doc's
+    best corpus match — (doc_id, match_id, jaccard), highest exact
+    Jaccard, ties to the lower match_id.
+
+    The daily-ingest shape: candidates come from joining the increment's
+    band keys against the corpus band LEDGER on (band, bucket) — cost is
+    proportional to the increment and its collisions, never corpus²; in
+    production the ledger side is stored state (the
+    `streaming/curation.py::near_dedup_stream` parquet state table),
+    recomputed here only because the gate runs self-contained.
+    Verification is exact Jaccard on candidates only. Intra-batch dups
+    are `minhash_lsh_dedup` applied to the increment; this covers the
+    batch-vs-corpus arm.
+    """
+    from pyspark.sql import Window
+
+    sigs = minhash_signatures(grams, num_hashes, id_col, gram_hash)
+    banded = band_keys(sigs, bands, num_hashes // bands, id_col)
+    batch = banded.filter(is_batch).select(
+        F.col(id_col).alias("doc_a"), "band", "bucket"
+    )
+    ledger = banded.filter(~is_batch).select(
+        F.col(id_col).alias("doc_b"), "band", "bucket"
+    )
+    cand = (
+        batch.join(ledger, on=["band", "bucket"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    scored = verify_jaccard_on_candidates(
+        cand, grams, threshold, id_col=id_col
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("match_id"),
+            "jaccard",
+        )
     )

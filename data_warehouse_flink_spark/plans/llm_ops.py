@@ -4869,35 +4869,12 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     `doc_minhash_lsh`; production uses xxhash64 signatures.
     """
     from data_warehouse_flink_spark.functions.dedup import (
-        band_keys,
-        minhash_signatures,
-        verify_jaccard_on_candidates,
+        incremental_minhash_dedup,
     )
-    from pyspark.sql import Window
 
-    grams = _trigram_grams(spark, sf_dir)
-    banded = band_keys(minhash_signatures(grams, gram_hash="md5"))
-    batch = banded.filter(F.col("doc_id") % 10 == 7).select(
-        F.col("doc_id").alias("doc_a"), "band", "bucket"
-    )
-    ledger = banded.filter(F.col("doc_id") % 10 != 7).select(
-        F.col("doc_id").alias("doc_b"), "band", "bucket"
-    )
-    cand = (
-        batch.join(ledger, on=["band", "bucket"])
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    scored = verify_jaccard_on_candidates(cand, grams, threshold=0.3)
-    w = Window.partitionBy("doc_a").orderBy(
-        F.desc("jaccard"), F.asc("doc_b")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("doc_a").alias("doc_id"),
-            F.col("doc_b").alias("match_id"),
-            "jaccard",
-        )
+    return incremental_minhash_dedup(
+        _trigram_grams(spark, sf_dir),
+        is_batch=F.col("doc_id") % 10 == 7,
+        threshold=0.3,
+        gram_hash="md5",
     )

@@ -1017,3 +1017,78 @@ def test_global_row_number_at_5m_rows(spark, big_events):
     dt = time.perf_counter() - t0
     print(f"global_row_number at {agg['n']} rows: {dt:.1f}s")
     assert agg["lo"] == 1 and agg["hi"] == agg["n"] == agg["nd"] == N
+
+
+def test_kmeans_trainer_at_500k_vectors(spark, big_vectors):
+    """The in-engine Lloyd trainer at 500k × 64-dim: three iterations,
+    each a map-only assignment scan (literal centroids, zero exchanges —
+    plan-guarded in test_round8_ops) plus one 8-group partial-agg
+    groupBy. Invariants at volume: determinism (re-train → identical
+    model), full coverage, and the trained model strictly beats the init
+    on total within-cluster cost (random init points vs near-mean
+    centroids — the one cost comparison that must hold on any data)."""
+    import time
+
+    from data_warehouse_flink_spark.functions.clustering import (
+        assign_quantized_cells,
+        kmeans_quantized_train,
+        quantize_embeddings,
+    )
+
+    qdf = quantize_embeddings(big_vectors).localCheckpoint(eager=True)
+    init = [list(r["q"]) for r in qdf.orderBy("vec_id").limit(8).collect()]
+    t0 = time.perf_counter()
+    model = kmeans_quantized_train(qdf, k=8, iters=3)
+    dt = time.perf_counter() - t0
+    assert kmeans_quantized_train(qdf, k=8, iters=3) == model
+
+    def total_cost(cents):
+        # decimal sum: 500k × per-row dists up to ~2.6e14 can exceed
+        # BIGINT range at larger N — don't let the AUDIT wrap silently
+        return assign_quantized_cells(qdf, cents).agg(
+            F.sum(F.col("dist").cast("decimal(38,0)")).alias("c"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+
+    got_init, got_trained = total_cost(init), total_cost(model)
+    n = qdf.count()
+    print(
+        f"kmeans at {n} vectors: 3 iters in {dt:.1f}s, cost "
+        f"{got_init['c']} -> {got_trained['c']}"
+    )
+    assert got_trained["n"] == got_init["n"] == n
+    assert got_trained["c"] < got_init["c"]
+
+
+def test_minhash_incremental_at_1m_docs(spark, dup_docs):
+    """The asymmetric batch-vs-ledger path at 1M docs / 38M gram rows:
+    the 100k-doc tail (every doc an exact duplicate of doc_id − 900k)
+    plays the increment against the 900k-doc corpus. The constructed
+    truth is total: exactly 100k matches, every one (d, d − 900k) at
+    jaccard 1.0 — candidate volume stays linear (the dup pairs plus
+    band collisions), never corpus²."""
+    import time
+
+    from data_warehouse_flink_spark.functions.dedup import (
+        incremental_minhash_dedup,
+        word_ngrams,
+    )
+
+    grams = word_ngrams(dup_docs, n=3).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    out = incremental_minhash_dedup(
+        grams, is_batch=F.col("doc_id") >= 900_000, threshold=0.3
+    )
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.min("jaccard").alias("jmin"),
+        F.max("jaccard").alias("jmax"),
+        F.sum(
+            (F.col("match_id") == F.col("doc_id") - 900_000).cast("long")
+        ).alias("exact"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    print(f"incremental minhash at 1M docs: {dt:.1f}s, {agg['n']} matches")
+    assert agg["n"] == 100_000
+    assert agg["exact"] == 100_000
+    assert agg["jmin"] == agg["jmax"] == 1.0
