@@ -438,3 +438,60 @@ def test_global_row_number_matches_python_sort(spark, keys, n_parts):
     }
     want = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+VECSETS = st.lists(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=3, max_size=3
+    ),
+    min_size=2,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=VECSETS, parts=st.integers(min_value=1, max_value=7))
+def test_kmeans_quantized_train_matches_python_reference(spark, vecs, parts):
+    """The distributed Lloyd loop vs an exact pure-Python replica on
+    randomized small integer vector sets across partition layouts —
+    covers argmin ties, empty cells (duplicate points collapse clusters),
+    and k > distinct-points degeneracy."""
+    import math
+
+    from data_warehouse_flink_spark.functions.clustering import (
+        kmeans_quantized_train,
+    )
+
+    k, iters = 2, 2
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id BIGINT, q ARRAY<BIGINT>"
+    ).repartition(parts)
+
+    got = kmeans_quantized_train(qdf, k=k, iters=iters)
+
+    cents = [list(v) for v in vecs[:k]]
+    for _ in range(iters):
+        cells = []
+        for v in vecs:
+            dists = [
+                sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents
+            ]
+            cells.append(dists.index(min(dists)))  # first index on ties
+        new = []
+        for c in range(k):
+            members = [v for v, cell in zip(vecs, cells) if cell == c]
+            if members:
+                new.append(
+                    [
+                        math.floor(sum(col) / len(members))
+                        for col in zip(*members)
+                    ]
+                )
+            else:
+                new.append(cents[c])
+        cents = new
+    assert got == cents
