@@ -78,17 +78,24 @@ def _dist_exprs(centroids: list[list[int]]) -> list[str]:
     ]
 
 
-def assign_quantized_cells(
-    qdf: DataFrame, centroids: list[list[int]], id_col: str = "vec_id"
-) -> DataFrame:
-    """(id, cell, dist): nearest centroid by integer squared L2, ties to the
-    lower cell id. Map-only — centroids ride as literals, no shuffle."""
+def _best_cell(centroids: list[list[int]]):
+    """struct(dist, cell) of the nearest centroid — integer squared L2,
+    ties to the lower cell id. A pure literal expression: any projection
+    using it stays map-only."""
     dists = _dist_exprs(centroids)
     structs = ", ".join(
         f"struct({d} AS dist, CAST({c} AS BIGINT) AS cell)"
         for c, d in enumerate(dists)
     )
-    best = F.expr(f"array_min(array({structs}))")
+    return F.expr(f"array_min(array({structs}))")
+
+
+def assign_quantized_cells(
+    qdf: DataFrame, centroids: list[list[int]], id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, cell, dist): nearest centroid by integer squared L2, ties to the
+    lower cell id. Map-only — centroids ride as literals, no shuffle."""
+    best = _best_cell(centroids)
     return qdf.select(
         id_col,
         best.getField("cell").alias("cell"),
@@ -100,6 +107,29 @@ def _floor_mean(s: int, n: int) -> int:
     """FLOOR(s / n) via double division — exact for |s| < 2^53 (see module
     docstring), and the SAME op Spark/DuckDB run, which is the point."""
     return math.floor(s / n)
+
+
+def lloyd_iteration_sums(
+    qdf: DataFrame, centroids: list[list[int]]
+) -> DataFrame:
+    """One Lloyd iteration's update stage: (cell, n, s0..s{dim-1}) — the
+    per-cell population and per-dimension sums under the given centroids.
+
+    The cell is computed INLINE in the same projection as q, so the
+    iteration is one map-only scan feeding one k-group partial agg (its
+    only Exchange — plan-guarded in tests/test_round8_ops.py); a
+    join-back of a separate assignment frame would re-shuffle the whole
+    corpus on id once the assignment side outgrows broadcast."""
+    dim = len(centroids[0])
+    cell = _best_cell(centroids).getField("cell").alias("cell")
+    return (
+        qdf.select(cell, "q")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(dim)],
+        )
+    )
 
 
 def kmeans_quantized_train(
@@ -117,15 +147,7 @@ def kmeans_quantized_train(
     centroids = [list(r["q"]) for r in init_rows]
     dim = len(centroids[0])
     for _ in range(iters):
-        assigned = assign_quantized_cells(qdf, centroids, id_col)
-        sums = (
-            qdf.join(assigned.select(id_col, "cell"), id_col)
-            .groupBy("cell")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(dim)],
-            )
-        )
+        sums = lloyd_iteration_sums(qdf, centroids)
         by_cell = {int(r["cell"]): r for r in sums.collect()}  # ≤ k rows: the model
         centroids = [
             (

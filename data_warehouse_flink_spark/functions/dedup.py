@@ -541,6 +541,11 @@ def incremental_minhash_dedup(
     Verification is exact Jaccard on candidates only. Intra-batch dups
     are `minhash_lsh_dedup` applied to the increment; this covers the
     batch-vs-corpus arm.
+
+    `grams` feeds TWO lineages (signatures and the Jaccard verify) — the
+    caller owns its materialization (cache/checkpoint), same contract as
+    `jaccard_pairs`/`minhash_lsh_dedup`; an unmaterialized word_ngrams
+    frame would re-run the corpus scan + explode per consumer.
     """
     from pyspark.sql import Window
 

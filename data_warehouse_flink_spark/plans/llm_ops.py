@@ -4593,13 +4593,23 @@ def _kmeans_ctes(
     k: int = _KMEANS_K,
     dim: int = _KMEANS_DIM,
     iters: int = _KMEANS_ITERS,
-    scale: int = 1_000_000,
+    scale: int | None = None,
 ) -> str:
     """Unrolled-Lloyd CTE prefix: quantize → long format → init centroids
     (the k smallest vec_ids, cell index in id order) → per iteration
     assignment (integer squared L2, ties to the lower cell) and centroid
     update (FLOOR(sum/n), empty cells carry forward). Produces c{iters}
-    (final centroids) and a{iters} (final assignment under them)."""
+    (final centroids) and a{iters} (final assignment under them).
+
+    `scale` defaults to `clustering.QUANT_SCALE` — the one constant the
+    Spark side quantizes with; an independent literal here would let the
+    two sides drift and surface only as a mystery parity mismatch."""
+    if scale is None:
+        from data_warehouse_flink_spark.functions.clustering import (
+            QUANT_SCALE,
+        )
+
+        scale = QUANT_SCALE
     parts = [
         f"""qv AS MATERIALIZED (
       SELECT vec_id,
@@ -4652,10 +4662,12 @@ def _kmeans_qdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_embeddings,
     )
 
+    from data_warehouse_flink_spark.functions.clustering import QUANT_SCALE
+
     return _cached(
         spark,
         sf_dir,
-        "emb_quantized_1e6",
+        f"emb_quantized_{QUANT_SCALE}",
         lambda: quantize_embeddings(_embs_wide(spark, sf_dir)),
     )
 
@@ -4818,12 +4830,30 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------- incremental near-dedup: new batch vs frozen corpus ----
-_MINHASH_INCREMENTAL_ORACLE = f"""
+# One source of truth for the gate's parameters: the Spark side builds its
+# is_batch Column from the SAME SQL text the oracle embeds (F.expr), and
+# both sides take the threshold from the constant — the drift-proofing
+# the parameterized _minhash_lsh_oracle established for the symmetric gate.
+_INC_THRESHOLD = 0.3
+_INC_BATCH_SQL = "doc_id % 10 = 7"
+
+
+def _minhash_incremental_oracle(
+    threshold: float = _INC_THRESHOLD, batch_sql: str = _INC_BATCH_SQL
+) -> str:
+    """Generated oracle for the asymmetric batch-vs-ledger pipeline:
+    shared signature/band CTEs, candidates restricted to batch × corpus,
+    exact-Jaccard verify, best-match rank per batch doc."""
+
+    def pred(alias: str) -> str:
+        return batch_sql.replace("doc_id", f"{alias}.doc_id")
+
+    return f"""
     WITH {_minhash_bands_sql()}, cand AS (
       SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS match_id
       FROM bands b JOIN bands c
         ON b.band = c.band AND b.bucket = c.bucket
-       AND b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+       AND ({pred('b')}) AND NOT ({pred('c')})
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
     ), common AS (
@@ -4838,7 +4868,7 @@ _MINHASH_INCREMENTAL_ORACLE = f"""
       FROM common cm
       JOIN sizes sa ON cm.doc_id = sa.doc_id
       JOIN sizes sb ON cm.match_id = sb.doc_id
-      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}
     )
     SELECT doc_id, match_id, jaccard
     FROM scored
@@ -4847,7 +4877,7 @@ _MINHASH_INCREMENTAL_ORACLE = f"""
     """
 
 
-@register("doc_minhash_incremental", oracle=_MINHASH_INCREMENTAL_ORACLE)
+@register("doc_minhash_incremental", oracle=_minhash_incremental_oracle())
 def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup: a NEW batch (doc_id % 10 = 7 stands in for
     today's crawl increment) deduped against the FROZEN corpus (the other
@@ -4874,7 +4904,7 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return incremental_minhash_dedup(
         _trigram_grams(spark, sf_dir),
-        is_batch=F.col("doc_id") % 10 == 7,
-        threshold=0.3,
+        is_batch=F.expr(_INC_BATCH_SQL),
+        threshold=_INC_THRESHOLD,
         gram_hash="md5",
     )

@@ -14,12 +14,15 @@ from conftest import SF_SMOKE
 from data_warehouse_flink_spark.registry import all_queries
 
 
-def formatted_plan(spark, name: str) -> str:
-    df = all_queries()[name].spark_fn(spark, SF_SMOKE)
+def formatted_plan_df(spark, df) -> str:
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
     return df._jdf.queryExecution().explainString(jmode)
+
+
+def formatted_plan(spark, name: str) -> str:
+    return formatted_plan_df(spark, all_queries()[name].spark_fn(spark, SF_SMOKE))
 
 
 def test_page_view_pushdown_and_pruning(spark):
@@ -274,11 +277,7 @@ def test_perplexity_bucket_broadcasts_vocab_scalar(spark):
         _perplexity_buckets_build,
     )
 
-    df = _perplexity_buckets_build(spark, SF_SMOKE)
-    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    plan = df._jdf.queryExecution().explainString(jmode)
+    plan = formatted_plan_df(spark, _perplexity_buckets_build(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "ntile" not in plan.lower()

@@ -350,3 +350,26 @@ def test_minhash_incremental_consistent_with_symmetric_gate(spark):
     }
     got = {r["doc_id"]: (r["match_id"], r["jaccard"]) for r in inc}
     assert got == best
+
+
+def test_kmeans_training_iteration_is_single_exchange(spark):
+    """The update stage must be scan → partial agg → one k-row exchange:
+    the cell rides inline with q (literal centroids), so a second
+    Exchange would mean the join-back-of-assignment regression (the
+    corpus re-shuffled on id every iteration)."""
+    from test_plans import formatted_plan_df
+
+    from data_warehouse_flink_spark.functions.clustering import (
+        lloyd_iteration_sums,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _kmeans_model,
+        _kmeans_qdf,
+    )
+
+    sums = lloyd_iteration_sums(
+        _kmeans_qdf(spark, SF), _kmeans_model(spark, SF)
+    )
+    plan = formatted_plan_df(spark, sums)
+    assert plan.count(") Exchange") == 1, plan
+    assert "Join" not in plan, plan
