@@ -306,7 +306,13 @@ def main() -> None:
     ]
     tag = f"r{max(rounds) + 1:02d}" if rounds else "r00"
     sidecar = {**payload, "queries": timings}
-    for name in (f"BENCH_QUERIES_{tag}.json", "BENCH_QUERIES_latest.json"):
+    # The round sidecar is the DRIVER's record: only a default-SF run may
+    # write it — a local dev/verify run at another SF would silently
+    # overwrite the round's sf0.1 numbers (it happened; restored from git).
+    names = ["BENCH_QUERIES_latest.json"]
+    if "SPARK_GRAFT_SF_DIR" not in os.environ:
+        names.append(f"BENCH_QUERIES_{tag}.json")
+    for name in names:
         with open(os.path.join(REPO_ROOT, name), "w") as fh:
             json.dump(sidecar, fh, indent=1, sort_keys=True)
             fh.write("\n")
