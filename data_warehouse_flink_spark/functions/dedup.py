@@ -320,6 +320,7 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     gram_hash: str = "xxhash64",
     grams: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-dup pairs with exact Jaccard.
 
@@ -346,10 +347,20 @@ def minhash_lsh_dedup(
     shingle config is whatever the caller baked into the table, so a
     grams/ngram mismatch at a call site is silent by design; call sites
     should not pass ngram alongside grams (ADVICE r7 #3).
+
+    `signatures`: optionally pass an already-materialized signature table
+    for the SAME grams (e.g. a session cache shared with the recall audit
+    and the incremental gate) — skips the 64-min aggregation, the
+    pipeline's dominant stage. `num_hashes`/`gram_hash` are then ignored
+    for the signature stage (the config lives with the cached builder,
+    the `_simhash_sigs` discipline); `bands` must still divide the
+    table's signature length.
     """
     if grams is None:
         grams = word_ngrams(df, ngram, text_col).localCheckpoint(eager=True)
-    sigs = minhash_signatures(grams, num_hashes, gram_hash=gram_hash)
+    sigs = signatures
+    if sigs is None:
+        sigs = minhash_signatures(grams, num_hashes, gram_hash=gram_hash)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return verify_jaccard_on_candidates(cands, grams, threshold)
 
@@ -526,6 +537,7 @@ def incremental_minhash_dedup(
     bands: int = 16,
     gram_hash: str = "xxhash64",
     id_col: str = "doc_id",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dedup: docs where `is_batch` holds (the increment)
     against the rest (the frozen corpus), returning each dup batch doc's
@@ -546,10 +558,14 @@ def incremental_minhash_dedup(
     caller owns its materialization (cache/checkpoint), same contract as
     `jaccard_pairs`/`minhash_lsh_dedup`; an unmaterialized word_ngrams
     frame would re-run the corpus scan + explode per consumer.
+    `signatures` (optional) skips the signature stage exactly as in
+    `minhash_lsh_dedup` — num_hashes/gram_hash are then ignored for it.
     """
     from pyspark.sql import Window
 
-    sigs = minhash_signatures(grams, num_hashes, id_col, gram_hash)
+    sigs = signatures
+    if sigs is None:
+        sigs = minhash_signatures(grams, num_hashes, id_col, gram_hash)
     banded = band_keys(sigs, bands, num_hashes // bands, id_col)
     batch = banded.filter(is_batch).select(
         F.col(id_col).alias("doc_a"), "band", "bucket"

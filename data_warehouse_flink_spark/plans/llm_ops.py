@@ -113,6 +113,30 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sigs(
+    spark: SparkSession, sf_dir: str, gram_hash: str
+) -> DataFrame:
+    """The 64-hash MinHash signature table over the shared trigram
+    shingles, materialized ONCE per (session, sf_dir, gram_hash) — the
+    64-min aggregation is the dominant stage of every MinHash consumer
+    (the two gates, the LSH recall audit, the incremental gate, the fast
+    contract), and each used to re-run it per invocation. The
+    num_hashes/gram_hash config lives HERE so consumers cannot drift
+    (the `_simhash_sigs` discipline, ADVICE r7 #1)."""
+    from data_warehouse_flink_spark.functions.dedup import (
+        minhash_signatures,
+    )
+
+    return _cached(
+        spark,
+        sf_dir,
+        f"minhash_sigs_{gram_hash}_64",
+        lambda: minhash_signatures(
+            _trigram_grams(spark, sf_dir), 64, gram_hash=gram_hash
+        ),
+    )
+
+
 def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram-Jaccard candidate pairs at the family's loosest threshold
     (0.3) — higher-threshold consumers filter it. df_cap: hot-shingle guard
@@ -294,8 +318,8 @@ def doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         _docs(spark, sf_dir),
         threshold=0.3,
-        gram_hash="md5",
         grams=_trigram_grams(spark, sf_dir),  # trigram table; ngram lives there
+        signatures=_minhash_sigs(spark, sf_dir, "md5"),
     )
 
 
@@ -3376,8 +3400,8 @@ def doc_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         _docs(spark, sf_dir),
         threshold=0.3,
-        gram_hash="xxhash64",
         grams=_trigram_grams(spark, sf_dir),  # trigram table; ngram lives there
+        signatures=_minhash_sigs(spark, sf_dir, "xxhash64"),
     )
 
 
@@ -3579,13 +3603,10 @@ def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_warehouse_flink_spark.functions.dedup import (
         lsh_candidate_pairs,
-        minhash_signatures,
     )
 
     exact = _candidate_pairs(spark, sf_dir)
-    sigs = minhash_signatures(
-        _trigram_grams(spark, sf_dir), 64, gram_hash="md5"
-    )
+    sigs = _minhash_sigs(spark, sf_dir, "md5")
     cand = lsh_candidate_pairs(sigs, 16, 4).withColumn("found", F.lit(1))
     flagged = exact.join(cand, ["doc_a", "doc_b"], "left").select(
         "jaccard", F.coalesce("found", F.lit(0)).alias("found")
@@ -4411,8 +4432,8 @@ def _register_fast_tier_contracts() -> None:
         fast = minhash_lsh_dedup(
             _docs(spark, sf_dir),
             threshold=0.3,
-            gram_hash="xxhash64",
             grams=_trigram_grams(spark, sf_dir),
+            signatures=_minhash_sigs(spark, sf_dir, "xxhash64"),
         )
         return _minhash_subset_contract(
             fast, _candidate_pairs(spark, sf_dir)
@@ -4906,5 +4927,5 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _trigram_grams(spark, sf_dir),
         is_batch=F.expr(_INC_BATCH_SQL),
         threshold=_INC_THRESHOLD,
-        gram_hash="md5",
+        signatures=_minhash_sigs(spark, sf_dir, "md5"),
     )
