@@ -4455,7 +4455,7 @@ def _register_knn_recall_report() -> None:
 
     tier_oracles = {
         t: _REGISTRY[f"knn_{t}"].oracle
-        for t in ("lsh", "ivf", "pq", "ivf_pq", "rrf")
+        for t in ("lsh", "ivf", "pq", "ivf_pq", "rrf", "ivf_trained")
     }
     brute_o = _REGISTRY["knn_bruteforce"].oracle
     arms = "\n      UNION ALL\n".join(
@@ -4481,7 +4481,9 @@ def _register_knn_recall_report() -> None:
         """Recall@5 (exact ppm) of every ANN tier against the brute-force
         cosine top-5 — the acceptance report an embedding-retrieval
         deployment reads before picking its tier. One row per tier
-        (lsh, ivf, pq, ivf_pq, rrf); n_possible is the brute-force hit
+        (lsh, ivf, pq, ivf_pq, rrf, and the in-engine-trained
+        ivf_trained, so frozen and trained coarse quantizers are
+        measured side by side); n_possible is the brute-force hit
         count so the ratio is exact integer arithmetic.
 
         Scale shape: each tier is its own already-bucket/cell-restricted
@@ -4507,6 +4509,7 @@ def _register_knn_recall_report() -> None:
             "pq": knn_pq_query,
             "ivf_pq": knn_ivf_pq_query,
             "rrf": knn_rrf_query,
+            "ivf_trained": knn_ivf_trained,
         }
         out = None
         n_possible = brute.agg(F.count("*").alias("n_possible"))
@@ -4528,7 +4531,9 @@ def _register_knn_recall_report() -> None:
         return out
 
 
-_register_knn_recall_report()
+# NOTE: _register_knn_recall_report() is invoked at the END of this
+# module — the audit composes tier oracles from the registry, and its
+# sixth tier (knn_ivf_trained) registers in the k-means section below.
 
 
 # -------------------- deterministic corpus shuffle + fixed-size shards ----
@@ -4929,3 +4934,6 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_INC_THRESHOLD,
         signatures=_minhash_sigs(spark, sf_dir, "md5"),
     )
+
+
+_register_knn_recall_report()
