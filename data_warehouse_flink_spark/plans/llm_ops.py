@@ -4620,62 +4620,70 @@ def _kmeans_ctes(
     dim: int = _KMEANS_DIM,
     iters: int = _KMEANS_ITERS,
     scale: int | None = None,
+    prefix: str = "",
+    vec_sql: str = "embedding",
 ) -> str:
     """Unrolled-Lloyd CTE prefix: quantize → long format → init centroids
     (the k smallest vec_ids, cell index in id order) → per iteration
     assignment (integer squared L2, ties to the lower cell) and centroid
-    update (FLOOR(sum/n), empty cells carry forward). Produces c{iters}
-    (final centroids) and a{iters} (final assignment under them).
+    update (FLOOR(sum/n), empty cells carry forward). Produces
+    {prefix}c{iters} (final centroids) and {prefix}a{iters} (final
+    assignment under them).
 
     `scale` defaults to `clustering.QUANT_SCALE` — the one constant the
     Spark side quantizes with; an independent literal here would let the
-    two sides drift and surface only as a mystery parity mismatch."""
+    two sides drift and surface only as a mystery parity mismatch.
+    `prefix` namespaces every CTE so several chains (one per PQ subspace)
+    can share one WITH clause; `vec_sql` is the DuckDB expression for the
+    vector to quantize (a list slice for subspace training)."""
     if scale is None:
         from data_warehouse_flink_spark.functions.clustering import (
             QUANT_SCALE,
         )
 
         scale = QUANT_SCALE
+    P = prefix
     parts = [
-        f"""qv AS MATERIALIZED (
+        f"""{P}qv AS MATERIALIZED (
       SELECT vec_id,
-             list_transform(embedding,
+             list_transform({vec_sql},
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))
                AS q
       FROM embeddings
-    ), ql AS MATERIALIZED (
+    ), {P}ql AS MATERIALIZED (
       SELECT vec_id, i AS dim, q[i + 1] AS v
-      FROM qv CROSS JOIN (SELECT unnest(range({dim})) AS i) s
-    ), c0 AS (
+      FROM {P}qv CROSS JOIN (SELECT unnest(range({dim})) AS i) s
+    ), {P}c0 AS (
       SELECT r.cell, l.dim, l.v
       FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
-            FROM qv QUALIFY cell < {k}) r
-      JOIN ql l ON l.vec_id = r.vec_id
+            FROM {P}qv QUALIFY cell < {k}) r
+      JOIN {P}ql l ON l.vec_id = r.vec_id
     )"""
     ]
     for t in range(iters + 1):
         parts.append(
-            f""", d{t} AS (
+            f""", {P}d{t} AS (
       SELECT l.vec_id, c.cell, SUM((l.v - c.v) * (l.v - c.v)) AS dist
-      FROM ql l JOIN c{t} c ON l.dim = c.dim
+      FROM {P}ql l JOIN {P}c{t} c ON l.dim = c.dim
       GROUP BY 1, 2
-    ), a{t} AS (
-      SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM d{t}
+    ), {P}a{t} AS (
+      SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM {P}d{t}
       QUALIFY row_number() OVER (PARTITION BY vec_id
                                  ORDER BY dist, cell) = 1
     )"""
         )
         if t < iters:
             parts.append(
-                f""", s{t} AS (
+                f""", {P}s{t} AS (
       SELECT a.cell, l.dim, SUM(l.v) AS s, COUNT(*) AS n
-      FROM a{t} a JOIN ql l ON a.vec_id = l.vec_id
+      FROM {P}a{t} a JOIN {P}ql l ON a.vec_id = l.vec_id
       GROUP BY 1, 2
-    ), c{t + 1} AS (
+    ), {P}c{t + 1} AS (
       SELECT c.cell, c.dim,
              COALESCE(CAST(FLOOR(CAST(s.s AS DOUBLE) / s.n) AS BIGINT),
                       c.v) AS v
-      FROM c{t} c LEFT JOIN s{t} s ON s.cell = c.cell AND s.dim = c.dim
+      FROM {P}c{t} c LEFT JOIN {P}s{t} s
+        ON s.cell = c.cell AND s.dim = c.dim
     )"""
             )
     return "".join(parts)
@@ -4937,3 +4945,138 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_knn_recall_report()
+
+
+# --------------------- in-engine PQ codebook trainer (per-subspace Lloyd) ----
+# The same closure for the OTHER frozen-literal trainer: the PQ codebooks
+# (functions/pq_codebooks.py, trained offline by tools/train_pq_codebooks.py)
+# get an in-engine, oracle-graded training twin. Product quantization
+# trains M independent k-means problems — one per subspace slice — so the
+# integer-exact Lloyd machinery applies verbatim to each slice; the DuckDB
+# oracle runs M prefixed CTE chains in one WITH clause.
+
+_PQ_TRAIN_M = 8
+_PQ_TRAIN_SUB_DIM = 8
+_PQ_TRAIN_K = 16
+_PQ_TRAIN_ITERS = 2
+
+
+def _pq_sub_qdf(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
+    """Subspace m's quantized slice of the shared quantized table —
+    slicing the quantized full vector equals quantizing the slice
+    (quantization is elementwise), which is what lets all M trainers
+    reuse the ONE cached `_kmeans_qdf` materialization."""
+    lo = m * _PQ_TRAIN_SUB_DIM + 1
+    return _kmeans_qdf(spark, sf_dir).select(
+        "vec_id",
+        F.expr(f"slice(q, {lo}, {_PQ_TRAIN_SUB_DIM})").alias("q"),
+    )
+
+
+def _pq_train_model(
+    spark: SparkSession, sf_dir: str
+) -> list[list[list[int]]]:
+    """[subspace][code][dim] trained codebooks, once per (session, sf_dir).
+
+    The M subproblems are independent: here they train sequentially off
+    the one cached quantized table (each iteration a map-only scan of a
+    2000-row slice locally); a production run fuses them into one scan
+    per iteration (tag rows with m, one groupBy(m, cell)) or trains on a
+    sample — either way per-iteration cost stays one corpus pass."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        kmeans_quantized_train,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    model = _KMEANS_MODELS.get(key)
+    if model is None:
+        model = [
+            kmeans_quantized_train(
+                _pq_sub_qdf(spark, sf_dir, m),
+                k=_PQ_TRAIN_K,
+                iters=_PQ_TRAIN_ITERS,
+            )
+            for m in range(_PQ_TRAIN_M)
+        ]
+        _KMEANS_MODELS[key] = model
+    return model
+
+
+def _pq_train_oracle() -> str:
+    chains = ", ".join(
+        _kmeans_ctes(
+            k=_PQ_TRAIN_K,
+            dim=_PQ_TRAIN_SUB_DIM,
+            iters=_PQ_TRAIN_ITERS,
+            prefix=f"p{m}_",
+            vec_sql=(
+                f"embedding[{m * _PQ_TRAIN_SUB_DIM + 1}:"
+                f"{(m + 1) * _PQ_TRAIN_SUB_DIM}]"
+            ),
+        )
+        for m in range(_PQ_TRAIN_M)
+    )
+    T = _PQ_TRAIN_ITERS
+    arms = "\n      UNION ALL ".join(
+        f"""SELECT CAST({m} AS BIGINT) AS m, c.cell AS code, c.dim,
+             c.v AS value, COALESCE(nf{m}.n, 0) AS n
+      FROM p{m}_c{T} c LEFT JOIN nf{m} ON nf{m}.cell = c.cell"""
+        for m in range(_PQ_TRAIN_M)
+    )
+    sizes = ", ".join(
+        f"""nf{m} AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p{m}_a{T} GROUP BY 1
+    )"""
+        for m in range(_PQ_TRAIN_M)
+    )
+    return f"""
+    WITH {chains}, {sizes}
+    {arms}
+    """
+
+
+@register("embedding_pq_train", oracle=_pq_train_oracle())
+def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine product-quantization codebook training: M=8 independent
+    integer-exact Lloyd runs (k=16, 2 iterations) over the subspace
+    slices, hash-checked against the same M chains unrolled as DuckDB
+    CTEs. Output: the trained codebooks in long format
+    (m, code, dim, value) with each code's final population n — the
+    in-engine twin of the offline `tools/train_pq_codebooks.py` whose
+    frozen output serves `knn_pq`/`knn_ivf_pq`.
+
+    Scale: per subspace per iteration the work is the k-means map-only
+    assignment + 16-group partial agg over an 8-dim slice; M subspaces
+    fuse into one scan per iteration in production (rows tagged with m).
+    The model is M·k·(dim+1) integers on the driver."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        assign_quantized_cells,
+    )
+
+    books = _pq_train_model(spark, sf_dir)
+    out = None
+    for m, book in enumerate(books):
+        sizes = (
+            assign_quantized_cells(_pq_sub_qdf(spark, sf_dir, m), book)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .withColumnRenamed("cell", "code")
+        )
+        cent_df = spark.createDataFrame(
+            [
+                (m, code, d, int(v))
+                for code, vec in enumerate(book)
+                for d, v in enumerate(vec)
+            ],
+            "m BIGINT, code BIGINT, dim BIGINT, value BIGINT",
+        )
+        part = cent_df.join(sizes, "code", "left").select(
+            "m",
+            "code",
+            "dim",
+            "value",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
