@@ -4455,7 +4455,9 @@ def _register_knn_recall_report() -> None:
 
     tier_oracles = {
         t: _REGISTRY[f"knn_{t}"].oracle
-        for t in ("lsh", "ivf", "pq", "ivf_pq", "rrf", "ivf_trained")
+        for t in (
+            "lsh", "ivf", "pq", "ivf_pq", "rrf", "ivf_trained", "pq_trained"
+        )
     }
     brute_o = _REGISTRY["knn_bruteforce"].oracle
     arms = "\n      UNION ALL\n".join(
@@ -4481,10 +4483,11 @@ def _register_knn_recall_report() -> None:
         """Recall@5 (exact ppm) of every ANN tier against the brute-force
         cosine top-5 — the acceptance report an embedding-retrieval
         deployment reads before picking its tier. One row per tier
-        (lsh, ivf, pq, ivf_pq, rrf, and the in-engine-trained
-        ivf_trained, so frozen and trained coarse quantizers are
-        measured side by side); n_possible is the brute-force hit
-        count so the ratio is exact integer arithmetic.
+        (lsh, ivf, pq, ivf_pq, rrf, plus the in-engine-trained
+        ivf_trained and pq_trained, so frozen and trained quantizers
+        are measured side by side for BOTH index families); n_possible
+        is the brute-force hit count so the ratio is exact integer
+        arithmetic.
 
         Scale shape: each tier is its own already-bucket/cell-restricted
         query over the shared cached index tables; the audit adds only
@@ -4510,6 +4513,7 @@ def _register_knn_recall_report() -> None:
             "ivf_pq": knn_ivf_pq_query,
             "rrf": knn_rrf_query,
             "ivf_trained": knn_ivf_trained,
+            "pq_trained": knn_pq_trained,
         }
         out = None
         n_possible = brute.agg(F.count("*").alias("n_possible"))
@@ -4944,8 +4948,6 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register_knn_recall_report()
-
 
 # --------------------- in-engine PQ codebook trainer (per-subspace Lloyd) ----
 # The same closure for the OTHER frozen-literal trainer: the PQ codebooks
@@ -5080,3 +5082,131 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+# --------------------- trained-PQ serving: integer-exact ADC scan ----
+def _knn_pq_trained_oracle(k: int = 5) -> str:
+    """Generated oracle for ADC search under the TRAINED codebooks: the
+    training chains' final-assignment CTEs ARE the encoding (p{m}_a2 =
+    each vector's nearest code per subspace) and their distance CTEs
+    (p{m}_d2) ARE the ADC lookup tables, so the oracle derives the
+    codebooks it serves — nothing is frozen at generation time. All
+    arithmetic stays in the integer quantized space (exact; no rounding
+    discipline needed, unlike the double-space frozen-PQ oracle)."""
+    M, T = _PQ_TRAIN_M, _PQ_TRAIN_ITERS
+    chains = ", ".join(
+        _kmeans_ctes(
+            k=_PQ_TRAIN_K,
+            dim=_PQ_TRAIN_SUB_DIM,
+            iters=T,
+            prefix=f"p{m}_",
+            vec_sql=(
+                f"embedding[{m * _PQ_TRAIN_SUB_DIM + 1}:"
+                f"{(m + 1) * _PQ_TRAIN_SUB_DIM}]"
+            ),
+        )
+        for m in range(M)
+    )
+    enc_joins = " ".join(
+        f"JOIN p{m}_a{T} a{m} ON a{m}.vec_id = a0.vec_id"
+        for m in range(1, M)
+    )
+    enc_cols = ", ".join(f"a{m}.cell AS c{m}" for m in range(M))
+    d_joins = " ".join(
+        f"JOIN p{m}_d{T} d{m} ON d{m}.vec_id = q.vec_id"
+        f" AND d{m}.cell = e.c{m}"
+        for m in range(M)
+    )
+    adc = " + ".join(f"d{m}.dist" for m in range(M))
+    return f"""
+    WITH {chains}, enc AS (
+      SELECT a0.vec_id, {enc_cols}
+      FROM p0_a{T} a0 {enc_joins}
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST({adc} AS BIGINT) AS adc_dist
+      FROM enc q JOIN enc e ON q.vec_id < 20 AND e.vec_id <> q.vec_id
+      {d_joins}
+    )
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+             AS BIGINT) AS rn
+    FROM pairs
+    QUALIFY rn <= {k}
+    """
+
+
+def _pq_trained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dl0..dl7, code0..code7) under the trained codebooks,
+    session-cached: dl{m} is the vector's 16 exact integer distances to
+    subspace m's codewords (the ADC lookup rows), code{m} the argmin
+    (first-index tie-break = lower code, matching the training argmin).
+    One map-only projection — codewords ride as literals."""
+
+    def _build() -> DataFrame:
+        books = _pq_train_model(spark, sf_dir)
+        dl_cols = []
+        for m, book in enumerate(books):
+            sub = f"slice(q, {m * _PQ_TRAIN_SUB_DIM + 1}, {_PQ_TRAIN_SUB_DIM})"
+            dists = ", ".join(
+                f"aggregate(zip_with({sub}, "
+                f"array({','.join(f'{v}L' for v in cw)}), "
+                f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+                f"(acc, v) -> acc + v)"
+                for cw in book
+            )
+            dl_cols.append(F.expr(f"array({dists})").alias(f"dl{m}"))
+        with_dl = _kmeans_qdf(spark, sf_dir).select("vec_id", *dl_cols)
+        code_cols = [
+            F.expr(
+                f"CAST(array_position(dl{m}, array_min(dl{m})) - 1"
+                f" AS BIGINT)"
+            ).alias(f"code{m}")
+            for m in range(len(books))
+        ]
+        return with_dl.select("*", *code_cols)
+
+    return _cached(spark, sf_dir, "pq_trained_index", _build)
+
+
+@register("knn_pq_trained", oracle=_knn_pq_trained_oracle())
+def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 by ADC over the IN-ENGINE-trained PQ codebooks —
+    the PQ train→encode→serve loop under one oracle, completing what
+    `knn_ivf_trained` did for the coarse quantizer. The corpus side is
+    scanned as CODES ONLY (8 small ints per vector — the PQ scale win);
+    each query carries its 8×16 integer ADC lookup arrays and is
+    broadcast; a candidate's distance is 8 array lookups summed in exact
+    BIGINT arithmetic, so no rounding discipline is needed anywhere
+    (unlike the double-space frozen-PQ path)."""
+    from pyspark.sql import Window
+
+    M = _PQ_TRAIN_M
+    idx = _pq_trained_index(spark, sf_dir)
+    corpus = idx.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(f"code{m}") for m in range(M)],
+    )
+    qs = idx.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"dl{m}") for m in range(M)],
+    )
+    adc = None
+    for m in range(M):
+        term = F.element_at(
+            F.col(f"dl{m}"), (F.col(f"code{m}") + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+    pairs = corpus.join(
+        F.broadcast(qs), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", adc.cast("long").alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return pairs.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).filter(F.col("rn") <= 5)
+
+
+_register_knn_recall_report()
