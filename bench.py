@@ -22,6 +22,7 @@ import sys
 import time
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 sys.path.insert(0, REPO_ROOT)
 
 # Headline set: every family of the engine — windowed agg, top-N, distinct,
@@ -187,7 +188,7 @@ CANARY_TRIO = tuple(CANARY_REF)  # measured first, in this order
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
     # A concurrent Spark JVM on the same box corrupts timings wholesale
     # (measured: 36 s readings for 2.4 s queries). Warn loudly on stderr —
@@ -306,12 +307,17 @@ def main() -> None:
     ]
     tag = f"r{max(rounds) + 1:02d}" if rounds else "r00"
     sidecar = {**payload, "queries": timings}
-    # The round sidecar is the DRIVER's record: only a default-SF run may
-    # write it — a local dev/verify run at another SF would silently
-    # overwrite the round's sf0.1 numbers (it happened; restored from git).
-    names = ["BENCH_QUERIES_latest.json"]
-    if "SPARK_GRAFT_SF_DIR" not in os.environ:
-        names.append(f"BENCH_QUERIES_{tag}.json")
+    # The sidecars are the DRIVER's git-tracked records: only a run at the
+    # default SF may write them — a local dev/verify run at another SF was
+    # silently overwriting the round's sf0.1 numbers (restored from git),
+    # and letting it rewrite the `latest` alias instead just moves the
+    # divergence there. Keyed on the RESOLVED sf_dir, not env presence:
+    # an explicit SPARK_GRAFT_SF_DIR=<default> is still a default run.
+    names = (
+        [f"BENCH_QUERIES_{tag}.json", "BENCH_QUERIES_latest.json"]
+        if os.path.realpath(sf_dir) == os.path.realpath(DEFAULT_SF_DIR)
+        else []
+    )
     for name in names:
         with open(os.path.join(REPO_ROOT, name), "w") as fh:
             json.dump(sidecar, fh, indent=1, sort_keys=True)

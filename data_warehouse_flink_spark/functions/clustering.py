@@ -161,3 +161,98 @@ def kmeans_quantized_train(
             for c in range(k)
         ]
     return centroids
+
+
+def _adc_dist_exprs(
+    books: list[list[list[int]]], sub_dim: int
+) -> list[str]:
+    """Per-subspace SQL for the 16 exact integer distances from a sliced
+    quantized vector `q` to subspace m's codewords."""
+    out = []
+    for m, book in enumerate(books):
+        sub = f"slice(q, {m * sub_dim + 1}, {sub_dim})"
+        dists = ", ".join(
+            f"aggregate(zip_with({sub}, "
+            f"array({','.join(f'{v}L' for v in cw)}), "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+            f"(acc, v) -> acc + v)"
+            for cw in book
+        )
+        out.append(f"array({dists})")
+    return out
+
+
+def pq_trained_codes(
+    qdf: DataFrame,
+    books: list[list[list[int]]],
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code0..code{M-1}) under trained codebooks — the compressed
+    corpus representation (M small ints per vector; the floats stay in
+    storage). Map-only: codewords ride as literals; the argmin is
+    array_position of the min (first index = lower code, matching the
+    training tie-break)."""
+    codes = [
+        F.expr(
+            f"CAST(array_position({dl}, array_min({dl})) - 1 AS BIGINT)"
+        ).alias(f"code{m}")
+        for m, dl in enumerate(_adc_dist_exprs(books, sub_dim))
+    ]
+    return qdf.select(id_col, *codes)
+
+
+def pq_query_lookup(
+    qdf: DataFrame,
+    books: list[list[list[int]]],
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, dl0..dl{M-1}) — each query's per-subspace integer ADC lookup
+    arrays (its exact distances to every codeword). Query-side only:
+    the corpus never materializes these (`pq_trained_codes` is all it
+    stores)."""
+    dls = [
+        F.expr(dl).alias(f"dl{m}")
+        for m, dl in enumerate(_adc_dist_exprs(books, sub_dim))
+    ]
+    return qdf.select(id_col, *dls)
+
+
+def adc_topk(
+    codes: DataFrame,
+    lookups: DataFrame,
+    k: int = 5,
+    m_subspaces: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by asymmetric distance: corpus codes join the broadcast
+    query lookup tables; a candidate's distance is M array lookups
+    summed in exact BIGINT arithmetic (no rounding discipline needed —
+    everything lives in the quantized integer space). Ranks tie-break
+    on the neighbor id."""
+    from pyspark.sql import Window
+
+    corpus = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"code{m}") for m in range(m_subspaces)],
+    )
+    qs = lookups.select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"dl{m}") for m in range(m_subspaces)],
+    )
+    adc = None
+    for m in range(m_subspaces):
+        term = F.element_at(
+            F.col(f"dl{m}"), (F.col(f"code{m}") + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+    pairs = corpus.join(
+        F.broadcast(qs), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", adc.cast("long").alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return pairs.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).filter(F.col("rn") <= k)

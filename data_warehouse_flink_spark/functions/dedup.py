@@ -311,6 +311,20 @@ def verify_jaccard_on_candidates(
     )
 
 
+def _check_signature_width(signatures: DataFrame, num_hashes: int) -> None:
+    """Raise if a caller-supplied signature table's width differs from the
+    declared num_hashes the banding math will use. One first() on what is
+    always a session-cached (localCheckpointed) table — a millisecond
+    probe that turns a silent n² degeneration into a loud error."""
+    row = signatures.select(F.size("signature").alias("w")).first()
+    if row is not None and row["w"] != num_hashes:
+        raise ValueError(
+            f"signatures table has width {row['w']} but num_hashes="
+            f"{num_hashes}; banding would read past the array (NULL"
+            f" buckets) or ignore part of the signature"
+        )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     ngram: int = 3,
@@ -351,16 +365,19 @@ def minhash_lsh_dedup(
     `signatures`: optionally pass an already-materialized signature table
     for the SAME grams (e.g. a session cache shared with the recall audit
     and the incremental gate) — skips the 64-min aggregation, the
-    pipeline's dominant stage. `num_hashes`/`gram_hash` are then ignored
-    for the signature stage (the config lives with the cached builder,
-    the `_simhash_sigs` discipline); `bands` must still divide the
-    table's signature length.
+    pipeline's dominant stage. `gram_hash` is then ignored, but
+    `num_hashes` must MATCH the table's signature width (validated —
+    banding silently degenerates otherwise: getItem past the end is
+    NULL, concat_ws drops NULLs, and the affected bands collide
+    everything into one bucket).
     """
     if grams is None:
         grams = word_ngrams(df, ngram, text_col).localCheckpoint(eager=True)
     sigs = signatures
     if sigs is None:
         sigs = minhash_signatures(grams, num_hashes, gram_hash=gram_hash)
+    else:
+        _check_signature_width(sigs, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return verify_jaccard_on_candidates(cands, grams, threshold)
 
@@ -559,13 +576,16 @@ def incremental_minhash_dedup(
     `jaccard_pairs`/`minhash_lsh_dedup`; an unmaterialized word_ngrams
     frame would re-run the corpus scan + explode per consumer.
     `signatures` (optional) skips the signature stage exactly as in
-    `minhash_lsh_dedup` — num_hashes/gram_hash are then ignored for it.
+    `minhash_lsh_dedup` — gram_hash is then ignored, and num_hashes must
+    match the table's signature width (validated).
     """
     from pyspark.sql import Window
 
     sigs = signatures
     if sigs is None:
         sigs = minhash_signatures(grams, num_hashes, id_col, gram_hash)
+    else:
+        _check_signature_width(sigs, num_hashes)
     banded = band_keys(sigs, bands, num_hashes // bands, id_col)
     batch = banded.filter(is_batch).select(
         F.col(id_col).alias("doc_a"), "band", "bucket"

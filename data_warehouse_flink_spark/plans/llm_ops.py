@@ -4537,7 +4537,8 @@ def _register_knn_recall_report() -> None:
 
 # NOTE: _register_knn_recall_report() is invoked at the END of this
 # module — the audit composes tier oracles from the registry, and its
-# sixth tier (knn_ivf_trained) registers in the k-means section below.
+# trained tiers register below (knn_ivf_trained in the k-means section,
+# knn_pq_trained in the PQ section).
 
 
 # -------------------- deterministic corpus shuffle + fixed-size shards ----
@@ -4958,6 +4959,7 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle runs M prefixed CTE chains in one WITH clause.
 
 _PQ_TRAIN_M = 8
+_PQ_MODELS: dict[tuple[str, str], list[list[list[int]]]] = {}
 _PQ_TRAIN_SUB_DIM = 8
 _PQ_TRAIN_K = 16
 _PQ_TRAIN_ITERS = 2
@@ -4989,8 +4991,8 @@ def _pq_train_model(
         kmeans_quantized_train,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir, "pq")
-    model = _KMEANS_MODELS.get(key)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _PQ_MODELS.get(key)
     if model is None:
         model = [
             kmeans_quantized_train(
@@ -5000,7 +5002,7 @@ def _pq_train_model(
             )
             for m in range(_PQ_TRAIN_M)
         ]
-        _KMEANS_MODELS[key] = model
+        _PQ_MODELS[key] = model
     return model
 
 
@@ -5137,37 +5139,27 @@ def _knn_pq_trained_oracle(k: int = 5) -> str:
     """
 
 
-def _pq_trained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, dl0..dl7, code0..code7) under the trained codebooks,
-    session-cached: dl{m} is the vector's 16 exact integer distances to
-    subspace m's codewords (the ADC lookup rows), code{m} the argmin
-    (first-index tie-break = lower code, matching the training argmin).
-    One map-only projection — codewords ride as literals."""
+def _pq_trained_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code0..code7) under the trained codebooks, session-cached
+    — the compressed corpus and ONLY the compressed corpus: the 8×16
+    ADC lookup arrays are query-side (`pq_query_lookup`, computed in a
+    tiny separate projection for the 20 query rows), so the checkpoint
+    never materializes per-corpus-vector lookup tables the serving scan
+    would not read."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        pq_trained_codes,
+    )
 
-    def _build() -> DataFrame:
-        books = _pq_train_model(spark, sf_dir)
-        dl_cols = []
-        for m, book in enumerate(books):
-            sub = f"slice(q, {m * _PQ_TRAIN_SUB_DIM + 1}, {_PQ_TRAIN_SUB_DIM})"
-            dists = ", ".join(
-                f"aggregate(zip_with({sub}, "
-                f"array({','.join(f'{v}L' for v in cw)}), "
-                f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
-                f"(acc, v) -> acc + v)"
-                for cw in book
-            )
-            dl_cols.append(F.expr(f"array({dists})").alias(f"dl{m}"))
-        with_dl = _kmeans_qdf(spark, sf_dir).select("vec_id", *dl_cols)
-        code_cols = [
-            F.expr(
-                f"CAST(array_position(dl{m}, array_min(dl{m})) - 1"
-                f" AS BIGINT)"
-            ).alias(f"code{m}")
-            for m in range(len(books))
-        ]
-        return with_dl.select("*", *code_cols)
-
-    return _cached(spark, sf_dir, "pq_trained_index", _build)
+    return _cached(
+        spark,
+        sf_dir,
+        "pq_trained_codes",
+        lambda: pq_trained_codes(
+            _kmeans_qdf(spark, sf_dir),
+            _pq_train_model(spark, sf_dir),
+            sub_dim=_PQ_TRAIN_SUB_DIM,
+        ),
+    )
 
 
 @register("knn_pq_trained", oracle=_knn_pq_trained_oracle())
@@ -5180,33 +5172,22 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; a candidate's distance is 8 array lookups summed in exact
     BIGINT arithmetic, so no rounding discipline is needed anywhere
     (unlike the double-space frozen-PQ path)."""
-    from pyspark.sql import Window
+    from data_warehouse_flink_spark.functions.clustering import (
+        adc_topk,
+        pq_query_lookup,
+    )
 
-    M = _PQ_TRAIN_M
-    idx = _pq_trained_index(spark, sf_dir)
-    corpus = idx.select(
-        F.col("vec_id").alias("neighbor_id"),
-        *[F.col(f"code{m}") for m in range(M)],
+    lookups = pq_query_lookup(
+        _kmeans_qdf(spark, sf_dir).filter(F.col("vec_id") < 20),
+        _pq_train_model(spark, sf_dir),
+        sub_dim=_PQ_TRAIN_SUB_DIM,
     )
-    qs = idx.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"),
-        *[F.col(f"dl{m}") for m in range(M)],
+    return adc_topk(
+        _pq_trained_codes(spark, sf_dir),
+        lookups,
+        k=5,
+        m_subspaces=_PQ_TRAIN_M,
     )
-    adc = None
-    for m in range(M):
-        term = F.element_at(
-            F.col(f"dl{m}"), (F.col(f"code{m}") + 1).cast("int")
-        )
-        adc = term if adc is None else adc + term
-    pairs = corpus.join(
-        F.broadcast(qs), F.col("neighbor_id") != F.col("query_id")
-    ).select("query_id", "neighbor_id", adc.cast("long").alias("adc_dist"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
-    )
-    return pairs.withColumn(
-        "rn", F.row_number().over(w).cast("long")
-    ).filter(F.col("rn") <= 5)
 
 
 _register_knn_recall_report()

@@ -1095,18 +1095,21 @@ def test_minhash_incremental_at_1m_docs(spark, dup_docs):
 
 
 def test_pq_trained_adc_at_500k_vectors(spark, big_vectors):
-    """The full PQ train→encode→serve loop at 500k × 64-dim: train 8
-    subspace codebooks (16 Lloyd scans of the 8-dim slices), build the
-    codes+lookup index, ADC-rank 20 queries. Invariants: exactly
-    queries×5 results, deterministic across a rebuilt index, and the
-    corpus side of the serving join carries ONLY the 8 code columns
-    (the PQ scale win — codes scan, floats stay in storage)."""
+    """The full PQ train→encode→serve loop at 500k × 64-dim through the
+    SHIPPED helpers (pq_trained_codes / pq_query_lookup / adc_topk —
+    the same code the knn_pq_trained gate serves): train 8 subspace
+    codebooks, build the codes-only index, ADC-rank 20 queries.
+    Invariants: exactly queries×5 results, deterministic across a
+    rebuilt index, and the cached corpus representation carries ONLY
+    the 8 code columns (the PQ scale win — codes scan, floats and
+    lookup arrays stay off the corpus side)."""
     import time
 
-    from pyspark.sql import Window
-
     from data_warehouse_flink_spark.functions.clustering import (
+        adc_topk,
         kmeans_quantized_train,
+        pq_query_lookup,
+        pq_trained_codes,
         quantize_embeddings,
     )
 
@@ -1122,62 +1125,11 @@ def test_pq_trained_adc_at_500k_vectors(spark, big_vectors):
     ]
     t_train = time.perf_counter() - t0
 
-    def build_index():
-        dl_cols = []
-        for m, book in enumerate(books):
-            sub = f"slice(q, {m * 8 + 1}, 8)"
-            dists = ", ".join(
-                f"aggregate(zip_with({sub}, "
-                f"array({','.join(f'{v}L' for v in cw)}), "
-                f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
-                f"(acc, v) -> acc + v)"
-                for cw in book
-            )
-            dl_cols.append(F.expr(f"array({dists})").alias(f"dl{m}"))
-        with_dl = qdf.select("vec_id", *dl_cols)
-        return with_dl.select(
-            "*",
-            *[
-                F.expr(
-                    f"CAST(array_position(dl{m}, array_min(dl{m})) - 1"
-                    f" AS BIGINT)"
-                ).alias(f"code{m}")
-                for m in range(8)
-            ],
-        ).localCheckpoint(eager=True)
-
-    def adc_top5(idx):
-        corpus = idx.select(
-            F.col("vec_id").alias("neighbor_id"),
-            *[F.col(f"code{m}") for m in range(8)],
-        )
-        qs = idx.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("query_id"),
-            *[F.col(f"dl{m}") for m in range(8)],
-        )
-        adc = None
-        for m in range(8):
-            term = F.element_at(
-                F.col(f"dl{m}"), (F.col(f"code{m}") + 1).cast("int")
-            )
-            adc = term if adc is None else adc + term
-        w = Window.partitionBy("query_id").orderBy(
-            F.asc("adc_dist"), F.asc("neighbor_id")
-        )
-        return (
-            corpus.join(
-                F.broadcast(qs), F.col("neighbor_id") != F.col("query_id")
-            )
-            .select(
-                "query_id", "neighbor_id", adc.cast("long").alias("adc_dist")
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 5)
-        )
-
     t0 = time.perf_counter()
-    idx = build_index()
-    top1 = sorted(tuple(r) for r in adc_top5(idx).collect())
+    codes = pq_trained_codes(qdf, books).localCheckpoint(eager=True)
+    assert codes.columns == ["vec_id"] + [f"code{m}" for m in range(8)]
+    lookups = pq_query_lookup(qdf.filter(F.col("vec_id") < 20), books)
+    top1 = sorted(tuple(r) for r in adc_topk(codes, lookups, k=5).collect())
     t_serve = time.perf_counter() - t0
     n = qdf.count()
     print(
@@ -1185,5 +1137,8 @@ def test_pq_trained_adc_at_500k_vectors(spark, big_vectors):
         f"index+serve {t_serve:.1f}s, {len(top1)} results"
     )
     assert len(top1) == 20 * 5
-    top2 = sorted(tuple(r) for r in adc_top5(build_index()).collect())
+    codes2 = pq_trained_codes(qdf, books).localCheckpoint(eager=True)
+    top2 = sorted(
+        tuple(r) for r in adc_topk(codes2, lookups, k=5).collect()
+    )
     assert top2 == top1
