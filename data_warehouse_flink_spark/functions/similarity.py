@@ -411,6 +411,7 @@ def knn_pq(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric-distance computation (ADC) over the
     PQ-encoded corpus.
@@ -430,7 +431,12 @@ def knn_pq(
 
     from data_warehouse_flink_spark.functions.pq_codebooks import M_SUBSPACES
 
-    enc = pq_encode(embeddings, id_col=id_col, vec_col=vec_col)
+    # `codes`: optionally pass the materialized pq_encode output (a session
+    # cache shared with knn_ivf_pq) — the corpus encode (explode + codebook
+    # join + 8-way struct-min groupBy) is the invocation's dominant stage.
+    enc = codes
+    if enc is None:
+        enc = pq_encode(embeddings, id_col=id_col, vec_col=vec_col)
     codes_long = enc.select(
         F.col(id_col).alias("neighbor_id"),
         F.explode(
@@ -531,6 +537,7 @@ def knn_ivf_pq(
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
     query_cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: ADC scan restricted to the query's coarse cell (nprobe=1) —
     the production ANN index layout (FAISS IVFPQ): the corpus is stored as
@@ -558,7 +565,11 @@ def knn_ivf_pq(
         assigned = frozen_ivf_assign(
             embeddings, id_col=id_col, vec_col=vec_col
         ).select(id_col, "cell").localCheckpoint(eager=True)
-    enc = pq_encode(embeddings, id_col=id_col, vec_col=vec_col)
+    # `codes`: same contract as knn_pq — a prebuilt pq_encode table skips
+    # the per-invocation corpus encode.
+    enc = codes
+    if enc is None:
+        enc = pq_encode(embeddings, id_col=id_col, vec_col=vec_col)
     codes_long = enc.join(assigned, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         "cell",

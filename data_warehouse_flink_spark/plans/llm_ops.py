@@ -2083,6 +2083,23 @@ def _knn_pq_oracle(k: int = 5) -> str:
     """
 
 
+def _pq_frozen_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ-encoded corpus under the FROZEN codebooks (pq_encode
+    output), materialized ONCE per (session, sf_dir) and shared by
+    knn_pq and knn_ivf_pq — the corpus encode was each invocation's
+    dominant stage and ran fresh per call in both gates (the
+    `_minhash_sigs` treatment applied to the last per-call corpus-sized
+    recompute in the ANN family)."""
+    from data_warehouse_flink_spark.functions.similarity import pq_encode
+
+    return _cached(
+        spark,
+        sf_dir,
+        "pq_codes_frozen",
+        lambda: pq_encode(_embs_wide(spark, sf_dir)),
+    )
+
+
 @register("knn_pq", oracle=_knn_pq_oracle())
 def knn_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors by product quantization + ADC scan.
@@ -2098,7 +2115,9 @@ def knn_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _embs_wide(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
-    return knn_pq(embs, queries, k=5)
+    return knn_pq(
+        embs, queries, k=5, codes=_pq_frozen_codes(spark, sf_dir)
+    )
 
 
 # ------------------------------ DSIR-style importance weights (resampling) ----
@@ -3243,7 +3262,12 @@ def knn_ivf_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("query_id", "cell"),
     )
     return knn_ivf_pq(
-        embs, queries, k=5, assigned=assigned, query_cells=qcells
+        embs,
+        queries,
+        k=5,
+        assigned=assigned,
+        query_cells=qcells,
+        codes=_pq_frozen_codes(spark, sf_dir),
     )
 
 
