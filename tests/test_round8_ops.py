@@ -402,3 +402,31 @@ def test_pq_trainer_improves_distortion_per_subspace(spark):
             ).collect()[0]["c"]
 
         assert cost(book) < cost(init), f"subspace {m}"
+
+
+def test_signature_width_mismatch_raises(spark):
+    """The signature-injection contract's negative arm: a cached table
+    whose width differs from the declared num_hashes must raise loudly
+    (the silent failure mode was NULL buckets colliding everything)."""
+    from data_warehouse_flink_spark.functions.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_dedup,
+        minhash_signatures,
+        word_ngrams,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import _docs
+
+    docs = _docs(spark, SF).limit(50)
+    grams = word_ngrams(docs, n=3).localCheckpoint(eager=True)
+    sigs32 = minhash_signatures(grams, 32).localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="width 32"):
+        minhash_lsh_dedup(docs, grams=grams, signatures=sigs32)
+    with pytest.raises(ValueError, match="width 32"):
+        incremental_minhash_dedup(
+            grams, is_batch=F.col("doc_id") % 2 == 0, signatures=sigs32
+        )
+    # the matching width passes through
+    sigs64 = minhash_signatures(grams, 64).localCheckpoint(eager=True)
+    assert (
+        minhash_lsh_dedup(docs, grams=grams, signatures=sigs64).count() >= 0
+    )
