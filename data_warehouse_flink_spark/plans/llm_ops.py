@@ -5215,3 +5215,122 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_knn_recall_report()
+
+
+# --------------------- in-engine BPE merge trainer (pair-count loop) ----
+_BPE_TRAIN_MERGES = 8
+# DuckDB spelling of tools/train_bpe.py's BASE_REPR: words char-spaced,
+# joined by the '|' boundary token merges never cross, flanked by spaces.
+_BPE_REPR_SQL = (
+    "' ' || array_to_string(list_transform(string_split(text, ' '), "
+    "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), '| ')"
+)
+
+
+def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_MERGES) -> str:
+    """Unrolled pair-count loop (Sennrich et al. 2016): per rank, count
+    adjacent non-boundary symbol pairs over the current corpus
+    representation, take the argmax (ties: lower left, then lower right
+    symbol — binary collation in both engines on this ASCII-ish data),
+    rewrite the corpus with the global non-overlapping
+    ``' a b ' -> ' ab '`` replacement (DuckDB replace == Spark replace),
+    repeat. The merge-application convention is EXACTLY the one the
+    frozen `functions/bpe_merges.py` table was trained with
+    (tools/train_bpe.py), which is what lets the sf0.001 pin assert
+    trained == MERGES[:n]."""
+    parts = [f"r0 AS (\n      SELECT {_BPE_REPR_SQL} AS r FROM documents\n    )"]
+    for t in range(n_merges):
+        parts.append(
+            f""", pc{t} AS (
+      SELECT t[i] AS a, t[i + 1] AS b, count(*) AS c
+      FROM (SELECT string_split(trim(r), ' ') AS t FROM r{t})
+      CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+      WHERE t[i] <> '|' AND t[i + 1] <> '|'
+      GROUP BY 1, 2
+    ), m{t} AS (
+      SELECT a, b, CAST(c AS BIGINT) AS c
+      FROM pc{t} ORDER BY c DESC, a, b LIMIT 1
+    ), r{t + 1} AS (
+      SELECT replace(r, ' ' || a || ' ' || b || ' ',
+                     ' ' || a || b || ' ') AS r
+      FROM r{t} CROSS JOIN m{t}
+    )"""
+        )
+    arms = "\n      UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, a AS lhs, b AS rhs, c AS cnt"
+        f" FROM m{t}"
+        for t in range(n_merges)
+    )
+    return f"""
+    WITH {"".join(parts)}
+    {arms}
+    """
+
+
+@register("corpus_bpe_train", oracle=_bpe_train_oracle())
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE merge-table training: the classic pair-counting loop
+    as distributed aggregations, hash-checked against the same loop
+    unrolled as DuckDB CTEs — the THIRD frozen-literal trainer closed
+    (IVF centroids and PQ codebooks got theirs earlier this round;
+    `functions/bpe_merges.py` is this loop's offline output via
+    tools/train_bpe.py). Output: the first 8 merges as
+    (rank, lhs, rhs, cnt).
+
+    Scale shape per rank: one pair-explode + high-reduction groupBy
+    (map-side combine; symbol-pair cardinality, not corpus size), a
+    1-ROW driver collect (the model), and a map-only corpus rewrite.
+    The rewritten representation is checkpointed per rank — at 100 TB
+    you train on a sample (the standard recipe, and exactly what the
+    offline tool does: sf0.001) while ENCODING at scale stays the
+    frozen-merge scan `doc_bpe_encode` proves.
+
+    Pinned at sf0.001: trained == frozen MERGES[:8] — the gate
+    reproduces the committed literals from the same corpus
+    (tests/test_round8_ops.py)."""
+    base = F.expr(
+        "concat(' ', array_join(transform(split(text, ' '), "
+        "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
+    )
+    repr_df = (
+        _docs(spark, sf_dir).select(base.alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    # the token array materializes ONCE per row before the transform —
+    # split() inside the lambda would re-tokenize the document per pair
+    # position, O(tokens²)/doc (the word_ngrams lesson; measured 458 s vs
+    # ~20 s for the full 8-rank loop at sf0.1)
+    pairs_expr = F.explode(
+        F.expr(
+            "transform(sequence(1, size(_t) - 1), "
+            "i -> struct(element_at(_t, i) AS a, "
+            "element_at(_t, i + 1) AS b))"
+        )
+    ).alias("p")
+    rows = []
+    for rank in range(_BPE_TRAIN_MERGES):
+        top = (
+            repr_df.select(F.split(F.trim(F.col("r")), " ").alias("_t"))
+            .select(pairs_expr)
+            .select("p.a", "p.b")
+            .filter((F.col("a") != "|") & (F.col("b") != "|"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # exactly ONE row per rank: the model
+        )
+        if not top:
+            break  # corpus exhausted (cannot happen at the shipped SFs)
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        rows.append((rank, a, b, c))
+        # literal Columns, not f-string SQL: symbols may contain quotes
+        repr_df = repr_df.select(
+            F.replace(
+                F.col("r"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            ).alias("r")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "rank BIGINT, lhs STRING, rhs STRING, cnt BIGINT"
+    )

