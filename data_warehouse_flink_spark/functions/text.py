@@ -260,3 +260,91 @@ def canonicalize_url(url: Column) -> Column:
         F.regexp_replace(F.lower(head), "://www\\.", "://"),
         F.regexp_replace(path, "/$", ""),
     )
+
+
+# Char-spaced BPE corpus representation: words char-spaced, joined by the
+# '|' word-boundary token merges never cross, flanked by single spaces.
+# The ONE Spark-side spelling shared by the in-engine trainer gate
+# (plans/llm_ops.py::corpus_bpe_train) and the offline merge-table tool
+# (tools/train_bpe.py) — the frozen-merge pin (trained == MERGES[:n]) is
+# only meaningful if both run the byte-identical loop. Engine-parity
+# caveat inherited from the doc_bpe_encode repr pair: Java regex '.'
+# excludes \r (and a few Unicode line separators) that RE2's '.' does
+# not — the shipped corpora contain neither.
+BPE_BASE_REPR = (
+    "concat(' ', array_join(transform(split(text, ' '), "
+    "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
+)
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> list[tuple[int, str, str, int]]:
+    """The classic BPE pair-counting loop (Sennrich et al. 2016) as
+    distributed aggregations: per rank, count adjacent non-boundary
+    symbol pairs, take the argmax (ties: lower left then lower right
+    symbol, binary collation), extend the merge list, repeat. Returns
+    [(rank, left, right, count)].
+
+    Scale shape per rank: one pair-explode + high-reduction groupBy
+    (symbol-pair cardinality, not corpus size) and a 1-ROW driver
+    collect — the model. The corpus rewrite applies as a chained
+    map-only replace expression, RE-materialized only every
+    `checkpoint_every` ranks. Cadence is a STORAGE policy, not a time
+    lever: an interleaved warm-JVM A/B at 1M docs measured per-rank /
+    every-4 / never-materialize all at ~28-31 s for 8 ranks (earlier
+    cross-session spreads of 60-246 s were JVM/codegen warmup) — but a
+    per-rank checkpoint pins a corpus-sized block per rank for the
+    session (9 blocks/invocation at n=8) where every-4 pins 2, so the
+    default bounds both the replace chain (≤3 per scan) and storage. Merge symbols ride
+    as literal Columns, never f-string SQL (symbols may contain
+    quotes). Documents shorter than two symbols are filtered before
+    the pair transform — sequence(1, 0) is the DESCENDING [1, 0] in
+    Spark and element_at(_t, 2) throws under ANSI mode (the Spark 4
+    default).
+    """
+    base = docs.select(
+        F.expr(
+            BPE_BASE_REPR
+            if text_col == "text"
+            else BPE_BASE_REPR.replace("split(text,", f"split({text_col},")
+        ).alias("r")
+    ).localCheckpoint(eager=True)
+    repr_col: Column = F.col("r")
+    pairs = F.explode(
+        F.expr(
+            "transform(sequence(1, size(_t) - 1), "
+            "i -> struct(element_at(_t, i) AS a, "
+            "element_at(_t, i + 1) AS b))"
+        )
+    ).alias("p")
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            base.select(F.split(F.trim(repr_col), " ").alias("_t"))
+            .filter(F.size("_t") >= 2)
+            .select(pairs)
+            .select("p.a", "p.b")
+            .filter((F.col("a") != "|") & (F.col("b") != "|"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # exactly ONE row per rank: the model
+        )
+        if not top:
+            break  # corpus exhausted to single symbols
+        a, b = top[0]["a"], top[0]["b"]
+        out.append((rank, a, b, int(top[0]["c"])))
+        repr_col = F.replace(
+            repr_col, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            base = base.select(repr_col.alias("r")).localCheckpoint(
+                eager=True
+            )
+            repr_col = F.col("r")
+    return out

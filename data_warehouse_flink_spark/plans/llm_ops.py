@@ -5288,49 +5288,14 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pinned at sf0.001: trained == frozen MERGES[:8] — the gate
     reproduces the committed literals from the same corpus
-    (tests/test_round8_ops.py)."""
-    base = F.expr(
-        "concat(' ', array_join(transform(split(text, ' '), "
-        "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
-    )
-    repr_df = (
-        _docs(spark, sf_dir).select(base.alias("r"))
-        .localCheckpoint(eager=True)
-    )
-    # the token array materializes ONCE per row before the transform —
-    # split() inside the lambda would re-tokenize the document per pair
-    # position, O(tokens²)/doc (the word_ngrams lesson; measured 458 s vs
-    # ~20 s for the full 8-rank loop at sf0.1)
-    pairs_expr = F.explode(
-        F.expr(
-            "transform(sequence(1, size(_t) - 1), "
-            "i -> struct(element_at(_t, i) AS a, "
-            "element_at(_t, i + 1) AS b))"
-        )
-    ).alias("p")
-    rows = []
-    for rank in range(_BPE_TRAIN_MERGES):
-        top = (
-            repr_df.select(F.split(F.trim(F.col("r")), " ").alias("_t"))
-            .select(pairs_expr)
-            .select("p.a", "p.b")
-            .filter((F.col("a") != "|") & (F.col("b") != "|"))
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("c"))
-            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()  # exactly ONE row per rank: the model
-        )
-        if not top:
-            break  # corpus exhausted (cannot happen at the shipped SFs)
-        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
-        rows.append((rank, a, b, c))
-        # literal Columns, not f-string SQL: symbols may contain quotes
-        repr_df = repr_df.select(
-            F.replace(
-                F.col("r"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-            ).alias("r")
-        ).localCheckpoint(eager=True)
+    (tests/test_round8_ops.py). The loop itself lives in
+    `functions/text.py::bpe_train_merges`, SHARED with the offline tool
+    (tools/train_bpe.py) so the two cannot drift; see its docstring for
+    the per-rank scale shape (no per-rank corpus materialization — a
+    chained map-only replace over one checkpointed base)."""
+    from data_warehouse_flink_spark.functions.text import bpe_train_merges
+
+    rows = bpe_train_merges(_docs(spark, sf_dir), _BPE_TRAIN_MERGES)
     return spark.createDataFrame(
         rows, "rank BIGINT, lhs STRING, rhs STRING, cnt BIGINT"
     )

@@ -445,3 +445,24 @@ def test_bpe_trainer_reproduces_frozen_merges(spark):
     assert [(r["lhs"], r["rhs"]) for r in rows] == MERGES[:8]
     assert [r["rank"] for r in rows] == list(range(8))
     assert all(r["cnt"] > 0 for r in rows)
+
+
+def test_bpe_trainer_survives_degenerate_docs(spark):
+    """Single-symbol and empty documents must be ignored, not crash: under
+    ANSI mode (the Spark 4 default) sequence(1, 0) is the DESCENDING
+    [1, 0] and element_at(_t, 2) throws — the guard filters docs shorter
+    than two symbols before the pair transform, matching the oracle's
+    empty generate_series(1, 0). The degenerate rows contribute no pairs,
+    so the trained merges equal the clean-corpus merges exactly."""
+    from data_warehouse_flink_spark.functions.text import bpe_train_merges
+
+    clean = spark.createDataFrame(
+        [("window order",), ("sort sort",)], "text string"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([("",), ("a",), (" ",)], "text string")
+    )
+    got_clean = bpe_train_merges(clean, 3)
+    got_dirty = bpe_train_merges(dirty, 3)
+    assert got_clean == got_dirty
+    assert len(got_clean) == 3

@@ -26,57 +26,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from data_warehouse_flink_spark.session import get_spark  # noqa: E402
 
-BASE_REPR = (
-    "concat(' ', array_join(transform(split(text, ' '), "
-    "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
-)
-
-
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     spark = get_spark("train-bpe")
-    from pyspark.sql import functions as F
-
     from data_warehouse_flink_spark.io import table
 
     docs = table(spark, sf_dir, "documents")
-    repr_df = docs.select(F.expr(BASE_REPR).alias("r")).localCheckpoint(
-        eager=True
-    )
 
-    merges: list[tuple[str, str]] = []
-    for rank in range(n_merges):
-        top = (
-            # token array materialized once per row — split() inside the
-            # lambda re-tokenizes per pair position, O(tokens²)/doc
-            # (measured 47x at sf0.1 on the registered gate twin)
-            repr_df.select(F.split(F.trim(F.col("r")), " ").alias("_t"))
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(_t) - 1),"
-                        " i -> struct(element_at(_t, i) AS a,"
-                        " element_at(_t, i + 1) AS b))"
-                    )
-                ).alias("p")
-            )
-            .select("p.a", "p.b")
-            .filter((F.col("a") != "|") & (F.col("b") != "|"))
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("c"))
-            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        repr_df = repr_df.select(
-            F.expr(f"replace(r, ' {a} {b} ', ' {a}{b} ')").alias("r")
-        ).localCheckpoint(eager=True)
-        print(f"rank {rank}: ({a!r}, {b!r}) count={top[0]['c']}")
+    from data_warehouse_flink_spark.functions.text import bpe_train_merges
+
+    rows = bpe_train_merges(docs, n_merges)
+    merges = [(a, b) for _, a, b, _ in rows]
+    for rank, a, b, c in rows:
+        print(f"rank {rank}: ({a!r}, {b!r}) count={c}")
 
     out = Path(__file__).resolve().parents[1] / (
         "data_warehouse_flink_spark/functions/bpe_merges.py"
