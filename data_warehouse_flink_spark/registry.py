@@ -69,28 +69,30 @@ def load_all() -> None:
 
 # The driver grades a fixed-size prefix of the registry (50 entries in every
 # round so far, in ``queries()`` iteration order), so iteration order decides
-# which queries get oracle evidence each round. Priority for round 8:
+# which queries get oracle evidence each round. Priority for round 9
+# (VERDICT r8 directives #1 and #2):
 # (1) the 22 SURVEY §2 gate queries — stay in every round's prefix;
-# (2) first-evidence entries: the four `_fast`-twin contracts (NOTES r8
-#     candidate #3 — the rows-only invariant pins promoted to
-#     driver-gradable single-row contracts, same shape as the r6
-#     approximation contracts; takes the weaker rows-only check category
-#     to zero) and the ANN recall audit (`knn_recall_report` — the
-#     VERDICT r6 #6 recall-gate pattern extended to the last approximation
-#     family without measured recall) and `corpus_shuffle_shards` (the
-#     deterministic global shuffle -> exact global position -> fixed-size
-#     training shards step, built on the distributed two-phase numbering
-#     in operators/layout.py::global_row_number);
+# (2) first-evidence entries FIRST (the documented rule: first-evidence
+#     goes ahead of reconfirmations): the seven round-8-continuation
+#     queries that landed after the r8 prefix froze and therefore carry
+#     only local 3-SF parity evidence — the k-means trainer family
+#     (embedding_kmeans_train / embedding_kmeans_assign / knn_ivf_trained),
+#     the incremental near-dedup path (doc_minhash_incremental), the PQ
+#     trainer + trained-ADC serving (embedding_pq_train / knn_pq_trained),
+#     and the BPE merge trainer (corpus_bpe_train). Hash-green rows here
+#     take cumulative driver evidence to 169/169 oracle-bearing.
 # (3) periodic-reconfirmation cadence (rule since r7: after first-evidence
 #     entries, fill the prefix with the queries holding the OLDEST driver
 #     hash evidence, ties broken by registration order, so no query's
-#     evidence age is unbounded). This round: the r3-evidence cohort
-#     (first 22 of 24 — last driver-graded in CORRECTNESS_r03;
-#     `purchase_asof_click` and `error_rate_spikes` yield their slots to
-#     the recall audit and the shard planner under the
-#     first-evidence-goes-ahead rule and lead the round-9 queue).
-# 22 + 6 + 22 = 50 exactly. Next up (round 9): purchase_asof_click,
-# error_rate_spikes, then the r4 cohort (28).
+#     evidence age is unbounded). This round: the two remaining r3-evidence
+#     queries (error_rate_spikes, purchase_asof_click — they yielded their
+#     r8 slots to first-evidence entries) then the first 19 of the r4
+#     cohort of 28 in registration order.
+# 22 + 7 + 2 + 19 = 50 exactly. Next up (round 10): the r4 tail
+# (events_grouping_sets, user_tier_scd2, events_compaction_plan,
+# events_column_stats, event_value_histogram_quantiles,
+# orders_integrity_checks, sql_priority_counts, sql_nation_customer_stats,
+# sql_lineitem_by_quantity_band), then the r5 cohort (28).
 _GRADING_PRIORITY = (
     # -- §2 gates (reference_jobs registration order) --
     "page_view",
@@ -115,42 +117,44 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- first-evidence: the four production-tier contracts, the ANN
-    # recall audit, and the shard planner (r8 new) --
-    "doc_span_dedup_fast_contract",
-    "doc_exact_substring_dedup_fast_contract",
-    "doc_importance_weights_fast_contract",
-    "doc_minhash_lsh_fast_contract",
-    "knn_recall_report",
-    "corpus_shuffle_shards",
-    # -- oldest-evidence reconfirmation: the full r3 cohort (evidence
-    # CORRECTNESS_r03; registration order) --
-    "doc_dup_clusters",  # r3
-    "doc_tfidf",  # r3
-    "doc_stratified_sample",  # r3
-    "streaming_distinct_pairs",  # r3
-    "doc_pack_sequences",  # r3
-    "embedding_label_centroids",  # r3
-    "doc_repetition_score",  # r3
-    "doc_pii_redact",  # r3
-    "doc_contamination",  # r3
-    "corpus_mixture_weights",  # r3
-    "events_rollup",  # r3
-    "events_cube",  # r3
-    "event_value_percentiles",  # r3
-    "viewers_never_purchased",  # r3
-    "user_running_value",  # r3
-    "windowed_value_sum",  # r3
-    "pattern_error_next_error",  # r3
-    "pattern_click_followed_by_purchase",  # r3
-    "user_value_outliers",  # r3
-    "conversion_funnel",  # r3
-    "hourly_counts_gapfilled",  # r3
-    "weekly_cohort_retention",  # r3
+    # -- first-evidence: the seven round-8-continuation trainer /
+    # incremental queries (registration order; never driver-graded) --
+    "embedding_kmeans_train",
+    "embedding_kmeans_assign",
+    "knn_ivf_trained",
+    "doc_minhash_incremental",
+    "embedding_pq_train",
+    "knn_pq_trained",
+    "corpus_bpe_train",
+    # -- oldest-evidence reconfirmation: the r3 remainder then the first
+    # 19 of the r4 cohort (evidence CORRECTNESS_r03/r04; registration
+    # order) --
+    "error_rate_spikes",  # r3
+    "purchase_asof_click",  # r3
+    "streaming_user_sessions",  # r4
+    "doc_minhash_lsh",  # r4
+    "doc_simhash",  # r4
+    "knn_lsh",  # r4
+    "streaming_knn",  # r4
+    "multimodal_features",  # r4
+    "multimodal_frames",  # r4
+    "doc_rolling_fingerprint",  # r4
+    "knn_ivf",  # r4
+    "streaming_near_dedup",  # r4
+    "doc_dedup_keep_best",  # r4
+    "doc_semantic_dedup_scores",  # r4
+    "knn_pq",  # r4
+    "doc_importance_weights",  # r4
+    "doc_bpe_encode",  # r4
+    "embedding_sq8",  # r4
+    "knn_rrf",  # r4
+    "doc_hash_embedding",  # r4
+    "events_pivot",  # r4
 )
-# Rotated OUT of the prefix this round: the r1/r2 cohorts and the two
-# contract graduates (all hash-green in CORRECTNESS_r07). Evidence ages
-# after this round's grading: r4 cohort (28, next up), then r5/r6/r7.
+# Rotated OUT of the prefix this round: the r3 cohort of 22 (all
+# hash-green in CORRECTNESS_r08) and the six r8 first-evidence entries
+# (contracts / recall audit / shard planner, hash-green r8). Evidence
+# ages after this round's grading: r4 tail (9), then r5 (28) / r6 / r7.
 # The local parity suite still re-verifies every registered oracle each
 # session; the driver prefix is the independent re-proof channel.
 
