@@ -313,11 +313,45 @@ def main() -> None:
     # and letting it rewrite the `latest` alias instead just moves the
     # divergence there. Keyed on the RESOLVED sf_dir, not env presence:
     # an explicit SPARK_GRAFT_SF_DIR=<default> is still a default run.
+    is_default_sf = os.path.realpath(sf_dir) == os.path.realpath(DEFAULT_SF_DIR)
+
+    # Common-subset ratio vs the PREVIOUS round's sidecar (VERDICT r8 #7):
+    # value_adjusted can mislead when the canary itself drifts (the r8
+    # 57.30-vs-64.79 episode), so the record also carries the per-query
+    # common-subset comparison the judge otherwise recomputes by hand:
+    # sum(this run) / sum(prev sidecar) over the queries present in both.
+    # Only emitted on a default-SF run (the prev sidecar is an sf0.1
+    # record; a cross-SF ratio would be meaningless).
+    if is_default_sf and rounds:
+        prev_path = os.path.join(REPO_ROOT, f"BENCH_QUERIES_r{max(rounds):02d}.json")
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh).get("queries", {})
+            common = sorted(set(prev) & set(timings))
+            prev_sum = sum(prev[n] for n in common)
+            if common and prev_sum > 0:
+                payload["common_subset_ratio_vs_prev"] = round(
+                    sum(timings[n] for n in common) / prev_sum, 4
+                )
+                payload["common_subset_n"] = len(common)
+                sidecar.update(payload)
+        except (OSError, ValueError):
+            pass  # a missing/corrupt prior sidecar must not kill the record
+
     names = (
         [f"BENCH_QUERIES_{tag}.json", "BENCH_QUERIES_latest.json"]
-        if os.path.realpath(sf_dir) == os.path.realpath(DEFAULT_SF_DIR)
+        if is_default_sf
         else []
     )
+    if not names:
+        # Mirror the concurrent-JVM warning style (ADVICE r8): say why no
+        # record was persisted instead of silently writing nothing.
+        print(
+            f"NOTE: off-default SF run ({sf_dir}) — tracked sidecars "
+            "(BENCH_QUERIES_*.json) not written; only the JSON line below "
+            "records this run",
+            file=sys.stderr,
+        )
     for name in names:
         with open(os.path.join(REPO_ROOT, name), "w") as fh:
             json.dump(sidecar, fh, indent=1, sort_keys=True)
