@@ -313,15 +313,23 @@ def verify_jaccard_on_candidates(
 
 def _check_signature_width(signatures: DataFrame, num_hashes: int) -> None:
     """Raise if a caller-supplied signature table's width differs from the
-    declared num_hashes the banding math will use. One first() on what is
-    always a session-cached (localCheckpointed) table — a millisecond
-    probe that turns a silent n² degeneration into a loud error."""
-    row = signatures.select(F.size("signature").alias("w")).first()
-    if row is not None and row["w"] != num_hashes:
+    declared num_hashes the banding math will use — on ANY row, not just
+    the first (a ragged table from a bad union/cache would pass a first()
+    probe whenever its first row happened to match). One min/max aggregate
+    on what is always a session-cached (localCheckpointed) table — a small
+    single job that turns a silent NULL-bucket degeneration into a loud
+    error."""
+    row = signatures.agg(
+        F.min(F.size("signature")).alias("lo"),
+        F.max(F.size("signature")).alias("hi"),
+    ).first()
+    if row is None or row["lo"] is None:
+        return  # empty table: nothing to band, nothing to mis-band
+    if row["lo"] != num_hashes or row["hi"] != num_hashes:
         raise ValueError(
-            f"signatures table has width {row['w']} but num_hashes="
-            f"{num_hashes}; banding would read past the array (NULL"
-            f" buckets) or ignore part of the signature"
+            f"signatures table has widths in [{row['lo']}, {row['hi']}] "
+            f"but num_hashes={num_hashes}; banding would read past the "
+            f"array (NULL buckets) or ignore part of the signature"
         )
 
 

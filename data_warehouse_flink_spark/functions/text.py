@@ -271,10 +271,11 @@ def canonicalize_url(url: Column) -> Column:
 # caveat inherited from the doc_bpe_encode repr pair: Java regex '.'
 # excludes \r (and a few Unicode line separators) that RE2's '.' does
 # not — the shipped corpora contain neither.
-BPE_BASE_REPR = (
-    "concat(' ', array_join(transform(split(text, ' '), "
+BPE_BASE_REPR_TEMPLATE = (
+    "concat(' ', array_join(transform(split({col}, ' '), "
     "w -> regexp_replace(w, '(.)', '$1 ')), '| '))"
 )
+BPE_BASE_REPR = BPE_BASE_REPR_TEMPLATE.format(col="text")
 
 
 def bpe_train_merges(
@@ -305,13 +306,22 @@ def bpe_train_merges(
     the pair transform — sequence(1, 0) is the DESCENDING [1, 0] in
     Spark and element_at(_t, 2) throws under ANSI mode (the Spark 4
     default).
+
+    SEMANTICS CAVEAT (deliberate, shared by all three engines): pair
+    counting sees every ADJACENT occurrence, but the space-delimited
+    replace merges only NON-OVERLAPPING occurrences left-to-right —
+    in `` a b a b `` the second ``a b`` loses its leading space to the
+    first merge and survives the rank, so the same (a, b) pair can win
+    the argmax at more than one rank and the returned list may contain
+    repeated (left, right) rows at distinct ranks. This deviates from
+    canonical Sennrich BPE (which would re-count after an exhaustive
+    merge) but is applied IDENTICALLY by the Spark loop, the DuckDB
+    oracle CTEs, and tools/train_bpe.py, so the frozen-merge pin and
+    cross-engine parity are exact. Callers consuming the merge list as
+    a vocabulary should de-duplicate (left, right) keys.
     """
     base = docs.select(
-        F.expr(
-            BPE_BASE_REPR
-            if text_col == "text"
-            else BPE_BASE_REPR.replace("split(text,", f"split({text_col},")
-        ).alias("r")
+        F.expr(BPE_BASE_REPR_TEMPLATE.format(col=text_col)).alias("r")
     ).localCheckpoint(eager=True)
     repr_col: Column = F.col("r")
     pairs = F.explode(

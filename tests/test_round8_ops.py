@@ -419,12 +419,22 @@ def test_signature_width_mismatch_raises(spark):
     docs = _docs(spark, SF).limit(50)
     grams = word_ngrams(docs, n=3).localCheckpoint(eager=True)
     sigs32 = minhash_signatures(grams, 32).localCheckpoint(eager=True)
-    with pytest.raises(ValueError, match="width 32"):
+    with pytest.raises(ValueError, match=r"widths in \[32, 32\]"):
         minhash_lsh_dedup(docs, grams=grams, signatures=sigs32)
-    with pytest.raises(ValueError, match="width 32"):
+    with pytest.raises(ValueError, match=r"widths in \[32, 32\]"):
         incremental_minhash_dedup(
             grams, is_batch=F.col("doc_id") % 2 == 0, signatures=sigs32
         )
+    # a RAGGED table (bad union: one 64-wide row first, the rest 32) must
+    # also raise even though a first()-row probe would pass it (ADVICE r8)
+    sigs64_head = minhash_signatures(grams, 64)
+    ragged = (
+        sigs64_head.limit(1)
+        .unionByName(sigs32)
+        .localCheckpoint(eager=True)
+    )
+    with pytest.raises(ValueError, match=r"widths in \[32, 64\]"):
+        minhash_lsh_dedup(docs, grams=grams, signatures=ragged)
     # the matching width passes through
     sigs64 = minhash_signatures(grams, 64).localCheckpoint(eager=True)
     assert (
