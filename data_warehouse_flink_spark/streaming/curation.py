@@ -95,50 +95,34 @@ def near_dedup_stream(
     one more partitioned dataset; nothing pre-join reaches the driver.
     """
     from data_warehouse_flink_spark.functions.dedup import (
-        band_keys,
-        minhash_signatures,
-        word_ngrams,
+        incremental_dedup_batch,
     )
-
-    rows_per_band = num_hashes // bands
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint(eager=True)
-        grams = word_ngrams(batch, ngram).localCheckpoint(eager=True)
-        sigs = minhash_signatures(grams, num_hashes, gram_hash=gram_hash)
-        keys = band_keys(sigs, bands, rows_per_band).localCheckpoint(
-            eager=True
+        ledger = (
+            spark.read.parquet(state_path)
+            if _table_exists(spark, state_path)
+            else None
         )
-        has_state = _table_exists(spark, state_path)
-        if has_state:
-            ledger = spark.read.parquet(state_path)
-            dup_of_state = (
-                keys.join(ledger, on=["band", "bucket"], how="left_semi")
-                .select("doc_id")
-                .distinct()
-            )
-            clean = keys.join(dup_of_state, on="doc_id", how="left_anti")
-        else:
-            clean = keys
-        owners = clean.groupBy("band", "bucket").agg(
-            F.min("doc_id").alias("owner")
+        # one shared admission kernel with the batch ingest step — the
+        # sequential-batches == streaming-replay equivalence is by
+        # construction, pinned in tests/test_round9_ops.py
+        admitted, admitted_keys = incremental_dedup_batch(
+            batch_df,
+            ledger,
+            ngram=ngram,
+            num_hashes=num_hashes,
+            bands=bands,
+            gram_hash=gram_hash,
         )
-        dup_in_batch = (
-            clean.join(owners, on=["band", "bucket"])
-            .filter(F.col("doc_id") > F.col("owner"))
-            .select("doc_id")
-            .distinct()
-        )
-        dropped = dup_in_batch if not has_state else dup_of_state.unionByName(
-            dup_in_batch
-        )
-        admitted = batch.join(
-            dropped, on="doc_id", how="left_anti"
-        ).localCheckpoint(eager=True)
-        admitted_keys = keys.join(dropped, on="doc_id", how="left_anti")
+        # materialize BEFORE appending to state_path: both outputs' lineage
+        # lazily reads the ledger parquet, and the append below would feed
+        # this batch's own keys back into an unmaterialized plan
+        admitted = admitted.localCheckpoint(eager=True)
+        admitted_keys = admitted_keys.localCheckpoint(eager=True)
         (
             admitted_keys.repartition("band")
             .write.mode("append")
