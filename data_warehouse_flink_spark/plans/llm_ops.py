@@ -4480,7 +4480,8 @@ def _register_knn_recall_report() -> None:
     tier_oracles = {
         t: _REGISTRY[f"knn_{t}"].oracle
         for t in (
-            "lsh", "ivf", "pq", "ivf_pq", "rrf", "ivf_trained", "pq_trained"
+            "lsh", "ivf", "pq", "ivf_pq", "rrf",
+            "ivf_trained", "ivf_trained_sampled", "pq_trained",
         )
     }
     brute_o = _REGISTRY["knn_bruteforce"].oracle
@@ -4508,8 +4509,9 @@ def _register_knn_recall_report() -> None:
         cosine top-5 — the acceptance report an embedding-retrieval
         deployment reads before picking its tier. One row per tier
         (lsh, ivf, pq, ivf_pq, rrf, plus the in-engine-trained
-        ivf_trained and pq_trained, so frozen and trained quantizers
-        are measured side by side for BOTH index families); n_possible
+        ivf_trained / pq_trained and the sample-fit ivf_trained_sampled,
+        so frozen vs trained vs sampled-fit quantizers are measured side
+        by side); n_possible
         is the brute-force hit count so the ratio is exact integer
         arithmetic.
 
@@ -4537,6 +4539,7 @@ def _register_knn_recall_report() -> None:
             "ivf_pq": knn_ivf_pq_query,
             "rrf": knn_rrf_query,
             "ivf_trained": knn_ivf_trained,
+            "ivf_trained_sampled": knn_ivf_trained_sampled,
             "pq_trained": knn_pq_trained,
         }
         out = None
@@ -4651,6 +4654,7 @@ def _kmeans_ctes(
     scale: int | None = None,
     prefix: str = "",
     vec_sql: str = "embedding",
+    where_sql: str = "",
 ) -> str:
     """Unrolled-Lloyd CTE prefix: quantize → long format → init centroids
     (the k smallest vec_ids, cell index in id order) → per iteration
@@ -4664,7 +4668,11 @@ def _kmeans_ctes(
     two sides drift and surface only as a mystery parity mismatch.
     `prefix` namespaces every CTE so several chains (one per PQ subspace)
     can share one WITH clause; `vec_sql` is the DuckDB expression for the
-    vector to quantize (a list slice for subspace training)."""
+    vector to quantize (a list slice for subspace training); `where_sql`
+    restricts the TRAINING SET (init + every iteration) to the rows
+    matching the predicate — the sampled-fit path; empty means
+    full-corpus fit and leaves the generated SQL byte-identical to the
+    pre-sampling spelling."""
     if scale is None:
         from data_warehouse_flink_spark.functions.clustering import (
             QUANT_SCALE,
@@ -4672,13 +4680,14 @@ def _kmeans_ctes(
 
         scale = QUANT_SCALE
     P = prefix
+    where = f"\n      WHERE {where_sql}" if where_sql else ""
     parts = [
         f"""{P}qv AS MATERIALIZED (
       SELECT vec_id,
              list_transform({vec_sql},
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))
                AS q
-      FROM embeddings
+      FROM embeddings{where}
     ), {P}ql AS MATERIALIZED (
       SELECT vec_id, i AS dim, q[i + 1] AS v
       FROM {P}qv CROSS JOIN (SELECT unnest(range({dim})) AS i) s
@@ -4735,7 +4744,7 @@ def _kmeans_qdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMEANS_MODELS: dict[tuple[str, str], list[list[int]]] = {}
+_KMEANS_MODELS: dict[tuple, list[list[int]]] = {}
 
 
 def _kmeans_model(spark: SparkSession, sf_dir: str) -> list[list[int]]:
@@ -4889,6 +4898,141 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         embs.filter(F.col("vec_id") < 20),
         k=5,
         assigned=_kmeans_ivf_assigned(spark, sf_dir),
+    )
+
+
+# --------------------- sampled-fit k-means: the 100 TB training reality -----
+# At corpus scale nobody runs Lloyd's over every vector: the quantizer is
+# fit on a deterministic sample and SERVED on the full corpus (the Bloom
+# sizing discussion in the reference's 实时流量统计.md is the same
+# pattern — approximate structures sized from samples). One predicate
+# string is the single source of truth for both engines: Spark filters
+# the quantized table with F.expr of this text, the oracle embeds it in
+# the training CTEs' WHERE. md5 (not xxhash64) because the sample must
+# hash identically in DuckDB; ~1/2 of vec_ids match.
+_KMEANS_SAMPLE_SQL = (
+    "substr(md5(CAST(vec_id AS STRING)), 1, 1) "
+    "IN ('0', '1', '2', '3', '4', '5', '6', '7')"
+)
+
+
+def _kmeans_sampled_model(
+    spark: SparkSession, sf_dir: str
+) -> list[list[int]]:
+    """Centroids fit on the md5 hash-sample only — same Lloyd kernel,
+    quarter the training scans' input at a 1/2 sample rate (linearly less
+    at production rates like 1/1000). Cached per (session, sf_dir) beside
+    the full-fit model."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        kmeans_quantized_train,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "sampled")
+    model = _KMEANS_MODELS.get(key)
+    if model is None:
+        model = kmeans_quantized_train(
+            _kmeans_qdf(spark, sf_dir).filter(F.expr(_KMEANS_SAMPLE_SQL)),
+            k=_KMEANS_K,
+            iters=_KMEANS_ITERS,
+        )
+        _KMEANS_MODELS[key] = model
+    return model
+
+
+def _knn_ivf_sampled_oracle() -> str:
+    """Trained-IVF serving oracle with the training chain restricted to
+    the hash-sample: `t`-prefixed CTEs fit the centroids on the sample,
+    then a full-corpus assignment block (fqv/fql/fd/fa — the same
+    integer argmin the in-chain a{t} CTEs run, but over every vector)
+    feeds the unchanged cell-restricted cosine top-5."""
+    from data_warehouse_flink_spark.functions.clustering import QUANT_SCALE
+
+    it = _KMEANS_ITERS
+    return f"""
+    WITH {_kmeans_ctes(prefix="t", where_sql=_KMEANS_SAMPLE_SQL)}, fqv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_SCALE}.0) AS BIGINT))
+               AS q
+      FROM embeddings
+    ), fql AS MATERIALIZED (
+      SELECT vec_id, i AS dim, q[i + 1] AS v
+      FROM fqv CROSS JOIN (SELECT unnest(range({_KMEANS_DIM})) AS i) s
+    ), fd AS (
+      SELECT l.vec_id, c.cell, SUM((l.v - c.v) * (l.v - c.v)) AS dist
+      FROM fql l JOIN tc{it} c ON l.dim = c.dim
+      GROUP BY 1, 2
+    ), fa AS (
+      SELECT vec_id, cell FROM fd
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell) = 1
+    ), v AS (
+      SELECT e.vec_id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+             a.cell
+      FROM embeddings e JOIN fa a ON a.vec_id = e.vec_id
+    ), b AS (
+      SELECT vec_id, vecd, cell,
+             sqrt(list_sum(list_transform(vecd, x -> x * x))) AS norm
+      FROM v
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+                     i -> q.vecd[i] * c.vecd[i])) / (q.norm * c.norm), 6)
+               AS cosine
+      FROM b q JOIN b c ON q.cell = c.cell
+       AND q.vec_id < 20 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+             AS BIGINT) AS rn
+    FROM pairs
+    QUALIFY rn <= 5
+    """
+
+
+def _kmeans_ivf_sampled_assigned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-corpus IVF index under the SAMPLE-fit centroids — training
+    read the sample, serving scans everything (the asymmetry that makes
+    quantizer training affordable at 100 TB)."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        assign_quantized_cells,
+    )
+    from data_warehouse_flink_spark.functions.similarity import with_norm
+
+    def _build() -> DataFrame:
+        cells = assign_quantized_cells(
+            _kmeans_qdf(spark, sf_dir), _kmeans_sampled_model(spark, sf_dir)
+        ).select("vec_id", "cell")
+        return (
+            with_norm(_embs_wide(spark, sf_dir))
+            .select("vec_id", "vecd", "norm")
+            .join(cells, "vec_id")
+        )
+
+    return _cached(spark, sf_dir, "kmeans_ivf_sampled_assigned", _build)
+
+
+@register("knn_ivf_trained_sampled", oracle=_knn_ivf_sampled_oracle())
+def knn_ivf_trained_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index whose centroids were fit on a
+    deterministic md5 hash-SAMPLE of the corpus and served over all of it
+    (VERDICT r8 #4) — the production shape at 100 TB, where full-fit
+    Lloyd's is the thing you cannot afford. Same serving kernel as
+    `knn_ivf_trained`; the recall audit (`knn_recall_report`) carries a
+    row for this tier so sampled-fit vs full-fit recall is MEASURED, not
+    assumed."""
+    from data_warehouse_flink_spark.functions.similarity import knn_ivf
+
+    embs = _embs_wide(spark, sf_dir)
+    return knn_ivf(
+        embs,
+        embs.filter(F.col("vec_id") < 20),
+        k=5,
+        assigned=_kmeans_ivf_sampled_assigned(spark, sf_dir),
     )
 
 

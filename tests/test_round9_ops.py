@@ -101,3 +101,52 @@ def test_incremental_dedup_batch_equals_streaming_twin(spark, tmp_path):
         .count()
     )
     assert bl.exceptAll(sl).isEmpty() and sl.exceptAll(bl).isEmpty()
+
+
+def test_sampled_kmeans_fit_is_a_real_sample(spark):
+    """The sampled-fit quantizer pins (VERDICT r8 #4): the md5 hash-sample
+    is non-vacuous (strictly between 0 and all rows), the sampled model is
+    deterministic across invocations, and the recall report carries the
+    ivf_trained_sampled row alongside the full-fit tier."""
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _KMEANS_SAMPLE_SQL,
+        _kmeans_model,
+        _kmeans_qdf,
+        _kmeans_sampled_model,
+    )
+
+    qdf = _kmeans_qdf(spark, SF)
+    n_all = qdf.count()
+    n_sample = qdf.filter(F.expr(_KMEANS_SAMPLE_SQL)).count()
+    assert 0 < n_sample < n_all
+
+    m1 = _kmeans_sampled_model(spark, SF)
+    # bypass the session cache for the determinism re-run
+    from data_warehouse_flink_spark.functions.clustering import (
+        kmeans_quantized_train,
+    )
+
+    m2 = kmeans_quantized_train(
+        qdf.filter(F.expr(_KMEANS_SAMPLE_SQL)), k=8, iters=3
+    )
+    assert m1 == m2
+    # trained on different data than the full fit: models must differ
+    # (equality would mean the sample filter silently no-opped)
+    assert m1 != _kmeans_model(spark, SF)
+
+
+def test_recall_report_has_sampled_tier(spark):
+    from data_warehouse_flink_spark.registry import _REGISTRY, load_all
+
+    load_all()
+    rows = (
+        _REGISTRY["knn_recall_report"]
+        .spark_fn(spark, SF)
+        .select("tier", "recall_ppm")
+        .collect()
+    )
+    by_tier = {r["tier"]: r["recall_ppm"] for r in rows}
+    assert len(by_tier) == 8
+    assert "ivf_trained_sampled" in by_tier
+    # both trained tiers produce a nonzero measured recall at this SF
+    assert by_tier["ivf_trained"] > 0 and by_tier["ivf_trained_sampled"] > 0
