@@ -319,6 +319,59 @@ def bpe_train_merges(
     oracle CTEs, and tools/train_bpe.py, so the frozen-merge pin and
     cross-engine parity are exact. Callers consuming the merge list as
     a vocabulary should de-duplicate (left, right) keys.
+
+    OPERATING RANGE: this sequential form re-scans the corpus once per
+    RANK — right for vocabulary bootstraps and the oracle gate (n ≤ a
+    few dozen), wrong for a real 32k-merge vocabulary (32k sequential
+    scans). For volume training use `bpe_train_merges_batched`, which
+    amortizes one corpus count over up to `batch_size` merges per scan
+    (this function IS its batch_size=1 path).
+    """
+    return bpe_train_merges_batched(
+        docs,
+        n_merges,
+        text_col=text_col,
+        batch_size=1,
+        checkpoint_every=checkpoint_every,
+    )
+
+
+def bpe_train_merges_batched(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    batch_size: int = 8,
+    checkpoint_every: int = 4,
+) -> list[tuple[int, str, str, int]]:
+    """Batched BPE training (VERDICT r8 #3): per EPOCH, count all
+    adjacent pairs once, then greedily accept up to `batch_size`
+    non-conflicting merges from the count-ordered candidates and apply
+    them in one chained map-only rewrite — n_merges/batch_size corpus
+    scans instead of n_merges. The standard scaling move for real
+    (32k-entry) vocabularies, where one-scan-per-rank is untenable.
+
+    A candidate (c, d) CONFLICTS with an epoch's already-accepted
+    merges when it shares a symbol with one of them (its pre-epoch
+    count would be stale — merging (a, b) changes only counts of pairs
+    touching a or b) or when c or d equals an accepted merge's
+    concatenation (the rewrite for (a, b) creates new ``ab`` tokens
+    that a later `` ab d `` replace in the same chain would also
+    merge, diverging from count order). Accepted merges are therefore
+    pairwise symbol-disjoint, so their pre-epoch counts are EXACT
+    post-merge counts and in-epoch order is immaterial; conflicting
+    candidates simply wait for the next epoch's recount. With
+    batch_size=1 every epoch accepts exactly the global argmax — the
+    sequential Sennrich loop, byte-identical (the frozen-MERGES pin and
+    the DuckDB oracle CTEs grade that path).
+
+    Model collects stay bounded: one ≤(4·batch_size+8)-row collect per
+    epoch (1 row when batch_size=1). `checkpoint_every` counts ACCEPTED
+    MERGES since the last materialization, exactly as in the sequential
+    form — counting epochs instead let the un-checkpointed replace
+    chain grow past a dozen chained string rewrites per count scan and
+    measured SLOWER than sequential at 1M docs (SCALING.md round 9).
+    Overlapping-replace caveat inherited unchanged from
+    `bpe_train_merges`.
     """
     base = docs.select(
         F.expr(BPE_BASE_REPR_TEMPLATE.format(col=text_col)).alias("r")
@@ -331,8 +384,10 @@ def bpe_train_merges(
             "element_at(_t, i + 1) AS b))"
         )
     ).alias("p")
+    cand_cap = 1 if batch_size == 1 else 4 * batch_size + 8
     out: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
+    pending = 0  # replaces applied since the last materialization
+    while len(out) < n_merges:
         top = (
             base.select(F.split(F.trim(repr_col), " ").alias("_t"))
             .filter(F.size("_t") >= 2)
@@ -342,19 +397,34 @@ def bpe_train_merges(
             .groupBy("a", "b")
             .agg(F.count("*").alias("c"))
             .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()  # exactly ONE row per rank: the model
+            .limit(cand_cap)
+            .collect()  # bounded: the epoch's candidate model rows
         )
         if not top:
             break  # corpus exhausted to single symbols
-        a, b = top[0]["a"], top[0]["b"]
-        out.append((rank, a, b, int(top[0]["c"])))
-        repr_col = F.replace(
-            repr_col, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-        )
-        if (rank + 1) % checkpoint_every == 0:
-            base = base.select(repr_col.alias("r")).localCheckpoint(
-                eager=True
+        used: set[str] = set()
+        formed: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for row in top:
+            if len(out) + len(accepted) >= n_merges:
+                break
+            a, b = row["a"], row["b"]
+            if a in used or b in used or a in formed or b in formed:
+                continue  # stale count or chained-rewrite hazard: recount
+            accepted.append((a, b, int(row["c"])))
+            used.update((a, b))
+            formed.add(a + b)
+        # first candidate always accepts, so progress is guaranteed
+        for a, b, c in accepted:
+            out.append((len(out), a, b, c))
+            repr_col = F.replace(
+                repr_col, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
             )
-            repr_col = F.col("r")
+            pending += 1
+            if pending >= checkpoint_every:
+                base = base.select(repr_col.alias("r")).localCheckpoint(
+                    eager=True
+                )
+                repr_col = F.col("r")
+                pending = 0
     return out

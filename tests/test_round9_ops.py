@@ -135,6 +135,71 @@ def test_sampled_kmeans_fit_is_a_real_sample(spark):
     assert m1 != _kmeans_model(spark, SF)
 
 
+def test_bpe_batched_m1_equals_sequential(spark):
+    """bpe_train_merges is the batch_size=1 path of the batched trainer;
+    this pins that the two PUBLIC entry points stay byte-equal on the
+    real corpus (the frozen-MERGES pin in test_round8_ops already grades
+    the sequential path against the offline table)."""
+    from data_warehouse_flink_spark.functions.text import (
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import _docs
+
+    docs = _docs(spark, SF).select("text").localCheckpoint(eager=True)
+    seq = bpe_train_merges(docs, 6)
+    m1 = bpe_train_merges_batched(docs, 6, batch_size=1)
+    assert seq == m1 and len(seq) == 6
+
+
+def test_bpe_batched_conflict_and_disjoint_semantics(spark):
+    """Designed corpora for the epoch-greedy rules: disjoint top pairs
+    merge in one epoch with exact counts; a shared-symbol runner-up is
+    deferred to the recount, reproducing the sequential result."""
+    from data_warehouse_flink_spark.functions.text import (
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+
+    # disjoint top pairs — one epoch takes all three, pre-epoch counts
+    # are exact post-merge counts
+    docs = spark.createDataFrame(
+        [("ax by",), ("ax by",), ("ax cz",)], "text string"
+    )
+    # char-spaced: 'a x' appears 3×, 'b y' 2×, 'c z' 1× — all disjoint
+    got = bpe_train_merges_batched(docs, 3, batch_size=3)
+    seq = bpe_train_merges(docs, 3)
+    assert got == seq
+    assert got[0][1:3] == ("a", "x") and got[0][3] == 3
+    assert got[1][1:3] == ("b", "y") and got[1][3] == 2
+
+    # conflict: 'a b' 3×, 'b c' 2× share b — batched must defer (b,c),
+    # and after merging (a,b) the 'b c' adjacency is GONE in 'a b c'
+    # docs, so both trainers converge to the same next merge
+    conflict = spark.createDataFrame(
+        [("ab abc",), ("ab abc",), ("abc x",)], "text string"
+    )
+    got_c = bpe_train_merges_batched(conflict, 2, batch_size=2)
+    seq_c = bpe_train_merges(conflict, 2)
+    assert got_c == seq_c
+    assert got_c[0][1:3] == ("a", "b")
+    assert got_c[0][3] >= got_c[1][3]
+
+
+def test_bpe_batched_deterministic(spark):
+    from data_warehouse_flink_spark.functions.text import (
+        bpe_train_merges_batched,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import _docs
+
+    docs = _docs(spark, SF).select("text").localCheckpoint(eager=True)
+    r1 = bpe_train_merges_batched(docs, 8, batch_size=4)
+    r2 = bpe_train_merges_batched(docs, 8, batch_size=4)
+    assert r1 == r2 and len(r1) == 8
+    assert [r[0] for r in r1] == list(range(8))
+    assert all(r[3] > 0 for r in r1)
+
+
 def test_recall_report_has_sampled_tier(spark):
     from data_warehouse_flink_spark.registry import _REGISTRY, load_all
 
