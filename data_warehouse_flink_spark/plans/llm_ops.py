@@ -4481,7 +4481,8 @@ def _register_knn_recall_report() -> None:
         t: _REGISTRY[f"knn_{t}"].oracle
         for t in (
             "lsh", "ivf", "pq", "ivf_pq", "rrf",
-            "ivf_trained", "ivf_trained_sampled", "pq_trained",
+            "ivf_trained", "ivf_trained_sampled",
+            "pq_trained", "pq_trained_sampled",
         )
     }
     brute_o = _REGISTRY["knn_bruteforce"].oracle
@@ -4508,10 +4509,11 @@ def _register_knn_recall_report() -> None:
         """Recall@5 (exact ppm) of every ANN tier against the brute-force
         cosine top-5 — the acceptance report an embedding-retrieval
         deployment reads before picking its tier. One row per tier
-        (lsh, ivf, pq, ivf_pq, rrf, plus the in-engine-trained
-        ivf_trained / pq_trained and the sample-fit ivf_trained_sampled,
-        so frozen vs trained vs sampled-fit quantizers are measured side
-        by side); n_possible
+        (lsh, ivf, pq, ivf_pq, rrf, the in-engine-trained ivf_trained /
+        pq_trained, and the sample-fit ivf_trained_sampled /
+        pq_trained_sampled, so frozen vs full-fit vs sampled-fit
+        quantizers are measured side by side for BOTH index families);
+        n_possible
         is the brute-force hit count so the ratio is exact integer
         arithmetic.
 
@@ -4541,6 +4543,7 @@ def _register_knn_recall_report() -> None:
             "ivf_trained": knn_ivf_trained,
             "ivf_trained_sampled": knn_ivf_trained_sampled,
             "pq_trained": knn_pq_trained,
+            "pq_trained_sampled": knn_pq_trained_sampled,
         }
         out = None
         n_possible = brute.agg(F.count("*").alias("n_possible"))
@@ -5127,7 +5130,7 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle runs M prefixed CTE chains in one WITH clause.
 
 _PQ_TRAIN_M = 8
-_PQ_MODELS: dict[tuple[str, str], list[list[list[int]]]] = {}
+_PQ_MODELS: dict[tuple, list[list[list[int]]]] = {}
 _PQ_TRAIN_SUB_DIM = 8
 _PQ_TRAIN_K = 16
 _PQ_TRAIN_ITERS = 2
@@ -5352,6 +5355,154 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return adc_topk(
         _pq_trained_codes(spark, sf_dir),
+        lookups,
+        k=5,
+        m_subspaces=_PQ_TRAIN_M,
+    )
+
+
+# --------------------- sampled-fit PQ: codebooks from the hash-sample ----
+def _pq_sampled_model(
+    spark: SparkSession, sf_dir: str
+) -> list[list[list[int]]]:
+    """PQ codebooks fit on the md5 hash-sample only (the
+    `_kmeans_sampled_model` asymmetry applied to the other quantizer
+    family): per-subspace Lloyd runs read the sampled slice, encoding
+    and ADC serving scan the full corpus."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        kmeans_quantized_train,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "sampled")
+    model = _PQ_MODELS.get(key)
+    if model is None:
+        model = [
+            kmeans_quantized_train(
+                _pq_sub_qdf(spark, sf_dir, m).filter(
+                    F.expr(_KMEANS_SAMPLE_SQL)
+                ),
+                k=_PQ_TRAIN_K,
+                iters=_PQ_TRAIN_ITERS,
+            )
+            for m in range(_PQ_TRAIN_M)
+        ]
+        _PQ_MODELS[key] = model
+    return model
+
+
+def _knn_pq_sampled_oracle(k: int = 5) -> str:
+    """ADC search under SAMPLE-fit codebooks: the training chains carry
+    the hash-sample WHERE, so their in-chain assignment/distance CTEs
+    cover only the sample — a full-corpus quantized long table (gqv/gql)
+    plus per-subspace full assignment (g{m}a) and distance (g{m}d)
+    blocks rebuild the encoding and the query lookup tables over EVERY
+    vector (queries need not be in the sample)."""
+    from data_warehouse_flink_spark.functions.clustering import QUANT_SCALE
+
+    M, T, SD = _PQ_TRAIN_M, _PQ_TRAIN_ITERS, _PQ_TRAIN_SUB_DIM
+    chains = ", ".join(
+        _kmeans_ctes(
+            k=_PQ_TRAIN_K,
+            dim=SD,
+            iters=T,
+            prefix=f"s{m}_",
+            vec_sql=f"embedding[{m * SD + 1}:{(m + 1) * SD}]",
+            where_sql=_KMEANS_SAMPLE_SQL,
+        )
+        for m in range(M)
+    )
+    full = f"""gqv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_SCALE}.0) AS BIGINT))
+               AS q
+      FROM embeddings
+    ), gql AS MATERIALIZED (
+      SELECT vec_id, i AS dim, q[i + 1] AS v
+      FROM gqv CROSS JOIN (SELECT unnest(range({M * SD})) AS i) s
+    )"""
+    blocks = ", ".join(
+        f"""g{m}d AS (
+      SELECT l.vec_id, c.cell, SUM((l.v - c.v) * (l.v - c.v)) AS dist
+      FROM gql l JOIN s{m}_c{T} c ON c.dim = l.dim - {m * SD}
+      WHERE l.dim >= {m * SD} AND l.dim < {(m + 1) * SD}
+      GROUP BY 1, 2
+    ), g{m}a AS (
+      SELECT vec_id, cell FROM g{m}d
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell) = 1
+    )"""
+        for m in range(M)
+    )
+    enc_joins = " ".join(
+        f"JOIN g{m}a a{m} ON a{m}.vec_id = a0.vec_id" for m in range(1, M)
+    )
+    enc_cols = ", ".join(f"a{m}.cell AS c{m}" for m in range(M))
+    d_joins = " ".join(
+        f"JOIN g{m}d d{m} ON d{m}.vec_id = q.vec_id"
+        f" AND d{m}.cell = e.c{m}"
+        for m in range(M)
+    )
+    adc = " + ".join(f"d{m}.dist" for m in range(M))
+    return f"""
+    WITH {chains}, {full}, {blocks}, enc AS (
+      SELECT a0.vec_id, {enc_cols}
+      FROM g0a a0 {enc_joins}
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST({adc} AS BIGINT) AS adc_dist
+      FROM enc q JOIN enc e ON q.vec_id < 20 AND e.vec_id <> q.vec_id
+      {d_joins}
+    )
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+             AS BIGINT) AS rn
+    FROM pairs
+    QUALIFY rn <= {k}
+    """
+
+
+def _pq_sampled_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code0..code7) for the FULL corpus under the sample-fit
+    codebooks, session-cached — same scan shape as `_pq_trained_codes`,
+    different model."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        pq_trained_codes,
+    )
+
+    return _cached(
+        spark,
+        sf_dir,
+        "pq_sampled_codes",
+        lambda: pq_trained_codes(
+            _kmeans_qdf(spark, sf_dir),
+            _pq_sampled_model(spark, sf_dir),
+            sub_dim=_PQ_TRAIN_SUB_DIM,
+        ),
+    )
+
+
+@register("knn_pq_trained_sampled", oracle=_knn_pq_sampled_oracle())
+def knn_pq_trained_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 under PQ codebooks fit on the deterministic md5
+    hash-sample and served over the full corpus — the PQ half of the
+    VERDICT r8 #4 sampled-training directive (`knn_ivf_trained_sampled`
+    is the coarse-quantizer half). Same integer-exact serving kernel as
+    `knn_pq_trained`; the recall audit measures this tier beside the
+    full-fit and frozen PQ rows."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        adc_topk,
+        pq_query_lookup,
+    )
+
+    lookups = pq_query_lookup(
+        _kmeans_qdf(spark, sf_dir).filter(F.col("vec_id") < 20),
+        _pq_sampled_model(spark, sf_dir),
+        sub_dim=_PQ_TRAIN_SUB_DIM,
+    )
+    return adc_topk(
+        _pq_sampled_codes(spark, sf_dir),
         lookups,
         k=5,
         m_subspaces=_PQ_TRAIN_M,

@@ -79,10 +79,11 @@ def load_all() -> None:
 #     (embedding_kmeans_train / embedding_kmeans_assign / knn_ivf_trained),
 #     the incremental near-dedup path (doc_minhash_incremental), the PQ
 #     trainer + trained-ADC serving (embedding_pq_train / knn_pq_trained),
-#     and the BPE merge trainer (corpus_bpe_train) — plus the round-9
-#     sampled-fit serving gate (knn_ivf_trained_sampled, VERDICT r8 #4).
-#     Hash-green rows here take cumulative driver evidence to every
-#     oracle-bearing query except the r4 tail entry that yielded its slot.
+#     and the BPE merge trainer (corpus_bpe_train) — plus the two round-9
+#     sampled-fit serving gates (knn_ivf_trained_sampled and
+#     knn_pq_trained_sampled, VERDICT r8 #4). Hash-green rows here take
+#     cumulative driver evidence to every oracle-bearing query except the
+#     two r4 tail entries that yielded their slots.
 # (3) periodic-reconfirmation cadence (rule since r7: after first-evidence
 #     entries, fill the prefix with the queries holding the OLDEST driver
 #     hash evidence, ties broken by registration order, so no query's
@@ -90,9 +91,9 @@ def load_all() -> None:
 #     queries (error_rate_spikes, purchase_asof_click — they yielded their
 #     r8 slots to first-evidence entries) then the first 19 of the r4
 #     cohort of 28 in registration order.
-# 22 + 8 + 2 + 18 = 50 exactly. Next up (round 10): the r4 tail
-# (events_pivot, events_grouping_sets, user_tier_scd2,
-# events_compaction_plan, events_column_stats,
+# 22 + 9 + 2 + 17 = 50 exactly. Next up (round 10): the r4 tail
+# (doc_hash_embedding, events_pivot, events_grouping_sets,
+# user_tier_scd2, events_compaction_plan, events_column_stats,
 # event_value_histogram_quantiles, orders_integrity_checks,
 # sql_priority_counts, sql_nation_customer_stats,
 # sql_lineitem_by_quantity_band), then the r5 cohort (28).
@@ -130,6 +131,7 @@ _GRADING_PRIORITY = (
     "knn_pq_trained",
     "corpus_bpe_train",
     "knn_ivf_trained_sampled",
+    "knn_pq_trained_sampled",
     # -- oldest-evidence reconfirmation: the r3 remainder then the first
     # 19 of the r4 cohort (evidence CORRECTNESS_r03/r04; registration
     # order) --
@@ -152,7 +154,6 @@ _GRADING_PRIORITY = (
     "doc_bpe_encode",  # r4
     "embedding_sq8",  # r4
     "knn_rrf",  # r4
-    "doc_hash_embedding",  # r4
 )
 # Rotated OUT of the prefix this round: the r3 cohort of 22 (all
 # hash-green in CORRECTNESS_r08) and the six r8 first-evidence entries

@@ -134,6 +134,14 @@ def test_sampled_kmeans_fit_is_a_real_sample(spark):
     # (equality would mean the sample filter silently no-opped)
     assert m1 != _kmeans_model(spark, SF)
 
+    # same non-vacuity for the PQ family's sampled codebooks
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _pq_sampled_model,
+        _pq_train_model,
+    )
+
+    assert _pq_sampled_model(spark, SF) != _pq_train_model(spark, SF)
+
 
 def test_bpe_batched_m1_equals_sequential(spark):
     """bpe_train_merges is the batch_size=1 path of the batched trainer;
@@ -211,7 +219,9 @@ def test_recall_report_has_sampled_tier(spark):
         .collect()
     )
     by_tier = {r["tier"]: r["recall_ppm"] for r in rows}
-    assert len(by_tier) == 8
+    assert len(by_tier) == 9
     assert "ivf_trained_sampled" in by_tier
-    # both trained tiers produce a nonzero measured recall at this SF
+    assert "pq_trained_sampled" in by_tier
+    # every trained/sampled tier produces a nonzero measured recall
     assert by_tier["ivf_trained"] > 0 and by_tier["ivf_trained_sampled"] > 0
+    assert by_tier["pq_trained"] > 0 and by_tier["pq_trained_sampled"] > 0
