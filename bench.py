@@ -335,8 +335,11 @@ def main() -> None:
                 )
                 payload["common_subset_n"] = len(common)
                 sidecar.update(payload)
-        except (OSError, ValueError):
-            pass  # a missing/corrupt prior sidecar must not kill the record
+        except Exception:
+            # a missing/corrupt/odd-shaped prior sidecar must not kill the
+            # record (json.load succeeding does not bound the shapes:
+            # string timings or a list-typed "queries" raise TypeError)
+            pass
 
     names = (
         [f"BENCH_QUERIES_{tag}.json", "BENCH_QUERIES_latest.json"]

@@ -322,9 +322,20 @@ def _check_signature_width(signatures: DataFrame, num_hashes: int) -> None:
     row = signatures.agg(
         F.min(F.size("signature")).alias("lo"),
         F.max(F.size("signature")).alias("hi"),
+        F.count("*").alias("n_rows"),
+        F.count("signature").alias("n_sigs"),
     ).first()
-    if row is None or row["lo"] is None:
+    if row is None or row["n_rows"] == 0:
         return  # empty table: nothing to band, nothing to mis-band
+    if row["n_sigs"] != row["n_rows"]:
+        # min/max over size() skip NULLs, so NULL signature rows (outer
+        # join, schema-mismatched union) need their own arm — they would
+        # band into NULL buckets and collide with each other
+        raise ValueError(
+            f"signatures table has {row['n_rows'] - row['n_sigs']} NULL "
+            f"signature rows (of {row['n_rows']}); banding would emit "
+            f"NULL buckets"
+        )
     if row["lo"] != num_hashes or row["hi"] != num_hashes:
         raise ValueError(
             f"signatures table has widths in [{row['lo']}, {row['hi']}] "

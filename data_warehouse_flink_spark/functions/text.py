@@ -406,7 +406,10 @@ def bpe_train_merges_batched(
         formed: set[str] = set()
         accepted: list[tuple[str, str, int]] = []
         for row in top:
-            if len(out) + len(accepted) >= n_merges:
+            if (
+                len(accepted) >= batch_size
+                or len(out) + len(accepted) >= n_merges
+            ):
                 break
             a, b = row["a"], row["b"]
             if a in used or b in used or a in formed or b in formed:

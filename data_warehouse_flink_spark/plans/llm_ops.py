@@ -4650,6 +4650,40 @@ _KMEANS_ITERS = 3
 _KMEANS_DIM = 64
 
 
+def _quant_long_ctes(
+    prefix: str = "",
+    dim: int = _KMEANS_DIM,
+    scale: int | None = None,
+    vec_sql: str = "embedding",
+    where_sql: str = "",
+) -> str:
+    """The ONE DuckDB spelling of the quantize → long-format step:
+    {prefix}qv (vec_id, q = FLOOR(DOUBLE(x)·scale) per dim) and
+    {prefix}ql (vec_id, dim, v). Shared by the Lloyd training chains
+    (`_kmeans_ctes`) and the sampled-fit oracles' full-corpus
+    assignment blocks — a second hand-copied spelling of the FLOOR
+    quantization is exactly the drift `_kmeans_ctes`' scale-constant
+    rule exists to prevent."""
+    if scale is None:
+        from data_warehouse_flink_spark.functions.clustering import (
+            QUANT_SCALE,
+        )
+
+        scale = QUANT_SCALE
+    P = prefix
+    where = f"\n      WHERE {where_sql}" if where_sql else ""
+    return f"""{P}qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform({vec_sql},
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))
+               AS q
+      FROM embeddings{where}
+    ), {P}ql AS MATERIALIZED (
+      SELECT vec_id, i AS dim, q[i + 1] AS v
+      FROM {P}qv CROSS JOIN (SELECT unnest(range({dim})) AS i) s
+    )"""
+
+
 def _kmeans_ctes(
     k: int = _KMEANS_K,
     dim: int = _KMEANS_DIM,
@@ -4676,30 +4710,21 @@ def _kmeans_ctes(
     matching the predicate — the sampled-fit path; empty means
     full-corpus fit and leaves the generated SQL byte-identical to the
     pre-sampling spelling."""
-    if scale is None:
-        from data_warehouse_flink_spark.functions.clustering import (
-            QUANT_SCALE,
-        )
-
-        scale = QUANT_SCALE
     P = prefix
-    where = f"\n      WHERE {where_sql}" if where_sql else ""
     parts = [
-        f"""{P}qv AS MATERIALIZED (
-      SELECT vec_id,
-             list_transform({vec_sql},
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))
-               AS q
-      FROM embeddings{where}
-    ), {P}ql AS MATERIALIZED (
-      SELECT vec_id, i AS dim, q[i + 1] AS v
-      FROM {P}qv CROSS JOIN (SELECT unnest(range({dim})) AS i) s
-    ), {P}c0 AS (
+        _quant_long_ctes(
+            prefix=prefix,
+            dim=dim,
+            scale=scale,
+            vec_sql=vec_sql,
+            where_sql=where_sql,
+        ),
+        f""", {P}c0 AS (
       SELECT r.cell, l.dim, l.v
       FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
             FROM {P}qv QUALIFY cell < {k}) r
       JOIN {P}ql l ON l.vec_id = r.vec_id
-    )"""
+    )""",
     ]
     for t in range(iters + 1):
         parts.append(
@@ -4750,19 +4775,29 @@ def _kmeans_qdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_MODELS: dict[tuple, list[list[int]]] = {}
 
 
-def _kmeans_model(spark: SparkSession, sf_dir: str) -> list[list[int]]:
-    """The trained centroid matrix, once per (session, sf_dir). The model
-    is k·(dim+1) integers — what Lloyd's materializes on the driver by
-    construction; the data never leaves the executors."""
+def _kmeans_model(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> list[list[int]]:
+    """The trained centroid matrix, once per (session, sf_dir, fit). The
+    model is k·(dim+1) integers — what Lloyd's materializes on the driver
+    by construction; the data never leaves the executors. `sampled=True`
+    fits on the md5 hash-sample (`_KMEANS_SAMPLE_SQL`) instead of the
+    full corpus — one implementation for both tiers so the fit recipe
+    cannot drift between them."""
     from data_warehouse_flink_spark.functions.clustering import (
         kmeans_quantized_train,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir) + (
+        ("sampled",) if sampled else ()
+    )
     model = _KMEANS_MODELS.get(key)
     if model is None:
+        qdf = _kmeans_qdf(spark, sf_dir)
+        if sampled:
+            qdf = qdf.filter(F.expr(_KMEANS_SAMPLE_SQL))
         model = kmeans_quantized_train(
-            _kmeans_qdf(spark, sf_dir), k=_KMEANS_K, iters=_KMEANS_ITERS
+            qdf, k=_KMEANS_K, iters=_KMEANS_ITERS
         )
         _KMEANS_MODELS[key] = model
     return model
@@ -4836,12 +4871,17 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_IVF_TRAINED_ORACLE = f"""
-    WITH {_kmeans_ctes()}, v AS (
+def _ivf_cosine_tail(assign_cte: str) -> str:
+    """The ONE spelling of the trained-IVF serving tail: full-precision
+    vectors joined to a (vec_id, cell) assignment CTE, cell-restricted
+    cosine pairs, rounded, top-5 with neighbor-id tie-break. Shared by
+    the full-fit (`a{iters}` in-chain assignment) and sampled-fit
+    (full-corpus `fa` block) oracles."""
+    return f""", v AS (
       SELECT e.vec_id,
              list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vecd,
              a.cell
-      FROM embeddings e JOIN a{_KMEANS_ITERS} a ON a.vec_id = e.vec_id
+      FROM embeddings e JOIN {assign_cte} a ON a.vec_id = e.vec_id
     ), b AS (
       SELECT vec_id, vecd, cell,
              sqrt(list_sum(list_transform(vecd, x -> x * x))) AS norm
@@ -4863,11 +4903,19 @@ _KNN_IVF_TRAINED_ORACLE = f"""
     """
 
 
-def _kmeans_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, vecd, norm, cell) IVF index under the TRAINED centroids,
-    session-cached — the trained twin of `_ivf_assigned` (same schema, so
-    `knn_ivf` serves either). Cells come from the integer-quantized
-    assignment; vectors/norms stay full-precision for the cosine rerank."""
+_KNN_IVF_TRAINED_ORACLE = f"""
+    WITH {_kmeans_ctes()}{_ivf_cosine_tail(f"a{_KMEANS_ITERS}")}"""
+
+
+def _kmeans_ivf_assigned(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> DataFrame:
+    """(vec_id, vecd, norm, cell) full-corpus IVF index under the
+    TRAINED centroids (full-fit, or the hash-sample fit with
+    `sampled=True`), session-cached — the trained twin of `_ivf_assigned`
+    (same schema, so `knn_ivf` serves either). Cells come from the
+    integer-quantized assignment; vectors/norms stay full-precision for
+    the cosine rerank."""
     from data_warehouse_flink_spark.functions.clustering import (
         assign_quantized_cells,
     )
@@ -4875,7 +4923,8 @@ def _kmeans_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         cells = assign_quantized_cells(
-            _kmeans_qdf(spark, sf_dir), _kmeans_model(spark, sf_dir)
+            _kmeans_qdf(spark, sf_dir),
+            _kmeans_model(spark, sf_dir, sampled=sampled),
         ).select("vec_id", "cell")
         return (
             with_norm(_embs_wide(spark, sf_dir))
@@ -4883,7 +4932,8 @@ def _kmeans_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(cells, "vec_id")
         )
 
-    return _cached(spark, sf_dir, "kmeans_ivf_assigned", _build)
+    name = "kmeans_ivf_sampled_assigned" if sampled else "kmeans_ivf_assigned"
+    return _cached(spark, sf_dir, name, _build)
 
 
 @register("knn_ivf_trained", oracle=_KNN_IVF_TRAINED_ORACLE)
@@ -4923,45 +4973,22 @@ def _kmeans_sampled_model(
     spark: SparkSession, sf_dir: str
 ) -> list[list[int]]:
     """Centroids fit on the md5 hash-sample only — same Lloyd kernel,
-    quarter the training scans' input at a 1/2 sample rate (linearly less
-    at production rates like 1/1000). Cached per (session, sf_dir) beside
-    the full-fit model."""
-    from data_warehouse_flink_spark.functions.clustering import (
-        kmeans_quantized_train,
-    )
-
-    key = (spark.sparkContext.applicationId, sf_dir, "sampled")
-    model = _KMEANS_MODELS.get(key)
-    if model is None:
-        model = kmeans_quantized_train(
-            _kmeans_qdf(spark, sf_dir).filter(F.expr(_KMEANS_SAMPLE_SQL)),
-            k=_KMEANS_K,
-            iters=_KMEANS_ITERS,
-        )
-        _KMEANS_MODELS[key] = model
-    return model
+    half the training scans' input at the 1/2 sample rate (linearly less
+    at production rates like 1/1000). One implementation with the
+    full-fit model (`_kmeans_model(sampled=True)`)."""
+    return _kmeans_model(spark, sf_dir, sampled=True)
 
 
 def _knn_ivf_sampled_oracle() -> str:
     """Trained-IVF serving oracle with the training chain restricted to
     the hash-sample: `t`-prefixed CTEs fit the centroids on the sample,
-    then a full-corpus assignment block (fqv/fql/fd/fa — the same
-    integer argmin the in-chain a{t} CTEs run, but over every vector)
-    feeds the unchanged cell-restricted cosine top-5."""
-    from data_warehouse_flink_spark.functions.clustering import QUANT_SCALE
-
+    then a full-corpus assignment block (fqv/fql via the shared
+    `_quant_long_ctes` spelling, fd/fa — the same integer argmin the
+    in-chain a{t} CTEs run, but over every vector) feeds the shared
+    `_ivf_cosine_tail` top-5."""
     it = _KMEANS_ITERS
     return f"""
-    WITH {_kmeans_ctes(prefix="t", where_sql=_KMEANS_SAMPLE_SQL)}, fqv AS MATERIALIZED (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_SCALE}.0) AS BIGINT))
-               AS q
-      FROM embeddings
-    ), fql AS MATERIALIZED (
-      SELECT vec_id, i AS dim, q[i + 1] AS v
-      FROM fqv CROSS JOIN (SELECT unnest(range({_KMEANS_DIM})) AS i) s
-    ), fd AS (
+    WITH {_kmeans_ctes(prefix="t", where_sql=_KMEANS_SAMPLE_SQL)}, {_quant_long_ctes(prefix="f")}, fd AS (
       SELECT l.vec_id, c.cell, SUM((l.v - c.v) * (l.v - c.v)) AS dist
       FROM fql l JOIN tc{it} c ON l.dim = c.dim
       GROUP BY 1, 2
@@ -4969,30 +4996,7 @@ def _knn_ivf_sampled_oracle() -> str:
       SELECT vec_id, cell FROM fd
       QUALIFY row_number() OVER (PARTITION BY vec_id
                                  ORDER BY dist, cell) = 1
-    ), v AS (
-      SELECT e.vec_id,
-             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vecd,
-             a.cell
-      FROM embeddings e JOIN fa a ON a.vec_id = e.vec_id
-    ), b AS (
-      SELECT vec_id, vecd, cell,
-             sqrt(list_sum(list_transform(vecd, x -> x * x))) AS norm
-      FROM v
-    ), pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
-                     i -> q.vecd[i] * c.vecd[i])) / (q.norm * c.norm), 6)
-               AS cosine
-      FROM b q JOIN b c ON q.cell = c.cell
-       AND q.vec_id < 20 AND c.vec_id <> q.vec_id
-    )
-    SELECT query_id, neighbor_id, cosine,
-           CAST(row_number() OVER (
-             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
-             AS BIGINT) AS rn
-    FROM pairs
-    QUALIFY rn <= 5
-    """
+    ){_ivf_cosine_tail("fa")}"""
 
 
 def _kmeans_ivf_sampled_assigned(
@@ -5000,23 +5004,9 @@ def _kmeans_ivf_sampled_assigned(
 ) -> DataFrame:
     """Full-corpus IVF index under the SAMPLE-fit centroids — training
     read the sample, serving scans everything (the asymmetry that makes
-    quantizer training affordable at 100 TB)."""
-    from data_warehouse_flink_spark.functions.clustering import (
-        assign_quantized_cells,
-    )
-    from data_warehouse_flink_spark.functions.similarity import with_norm
-
-    def _build() -> DataFrame:
-        cells = assign_quantized_cells(
-            _kmeans_qdf(spark, sf_dir), _kmeans_sampled_model(spark, sf_dir)
-        ).select("vec_id", "cell")
-        return (
-            with_norm(_embs_wide(spark, sf_dir))
-            .select("vec_id", "vecd", "norm")
-            .join(cells, "vec_id")
-        )
-
-    return _cached(spark, sf_dir, "kmeans_ivf_sampled_assigned", _build)
+    quantizer training affordable at 100 TB). One implementation with
+    the full-fit index (`_kmeans_ivf_assigned(sampled=True)`)."""
+    return _kmeans_ivf_assigned(spark, sf_dir, sampled=True)
 
 
 @register("knn_ivf_trained_sampled", oracle=_knn_ivf_sampled_oracle())
@@ -5149,9 +5139,12 @@ def _pq_sub_qdf(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
 
 
 def _pq_train_model(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, sampled: bool = False
 ) -> list[list[list[int]]]:
-    """[subspace][code][dim] trained codebooks, once per (session, sf_dir).
+    """[subspace][code][dim] trained codebooks, once per
+    (session, sf_dir, fit). `sampled=True` fits each subspace on the md5
+    hash-sample (`_KMEANS_SAMPLE_SQL`) — one implementation for both
+    tiers so the fit recipe cannot drift.
 
     The M subproblems are independent: here they train sequentially off
     the one cached quantized table (each iteration a map-only scan of a
@@ -5162,12 +5155,18 @@ def _pq_train_model(
         kmeans_quantized_train,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir) + (
+        ("sampled",) if sampled else ()
+    )
     model = _PQ_MODELS.get(key)
     if model is None:
         model = [
             kmeans_quantized_train(
-                _pq_sub_qdf(spark, sf_dir, m),
+                _pq_sub_qdf(spark, sf_dir, m).filter(
+                    F.expr(_KMEANS_SAMPLE_SQL)
+                )
+                if sampled
+                else _pq_sub_qdf(spark, sf_dir, m),
                 k=_PQ_TRAIN_K,
                 iters=_PQ_TRAIN_ITERS,
             )
@@ -5258,43 +5257,28 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------- trained-PQ serving: integer-exact ADC scan ----
-def _knn_pq_trained_oracle(k: int = 5) -> str:
-    """Generated oracle for ADC search under the TRAINED codebooks: the
-    training chains' final-assignment CTEs ARE the encoding (p{m}_a2 =
-    each vector's nearest code per subspace) and their distance CTEs
-    (p{m}_d2) ARE the ADC lookup tables, so the oracle derives the
-    codebooks it serves — nothing is frozen at generation time. All
-    arithmetic stays in the integer quantized space (exact; no rounding
-    discipline needed, unlike the double-space frozen-PQ oracle)."""
-    M, T = _PQ_TRAIN_M, _PQ_TRAIN_ITERS
-    chains = ", ".join(
-        _kmeans_ctes(
-            k=_PQ_TRAIN_K,
-            dim=_PQ_TRAIN_SUB_DIM,
-            iters=T,
-            prefix=f"p{m}_",
-            vec_sql=(
-                f"embedding[{m * _PQ_TRAIN_SUB_DIM + 1}:"
-                f"{(m + 1) * _PQ_TRAIN_SUB_DIM}]"
-            ),
-        )
-        for m in range(M)
-    )
+def _adc_tail(a_name, d_name, k: int = 5) -> str:
+    """The ONE spelling of the ADC serving tail: per-subspace encodings
+    joined into (vec_id, c0..c{M-1}), query-anchored lookup joins, exact
+    BIGINT distance sum, top-k with neighbor-id tie-break. `a_name(m)` /
+    `d_name(m)` name each subspace's assignment / distance CTE — the
+    full-fit oracle passes the in-chain p{m}_a/d names, the sampled-fit
+    oracle its full-corpus g{m}a/g{m}d blocks."""
+    M = _PQ_TRAIN_M
     enc_joins = " ".join(
-        f"JOIN p{m}_a{T} a{m} ON a{m}.vec_id = a0.vec_id"
+        f"JOIN {a_name(m)} a{m} ON a{m}.vec_id = a0.vec_id"
         for m in range(1, M)
     )
     enc_cols = ", ".join(f"a{m}.cell AS c{m}" for m in range(M))
     d_joins = " ".join(
-        f"JOIN p{m}_d{T} d{m} ON d{m}.vec_id = q.vec_id"
+        f"JOIN {d_name(m)} d{m} ON d{m}.vec_id = q.vec_id"
         f" AND d{m}.cell = e.c{m}"
         for m in range(M)
     )
     adc = " + ".join(f"d{m}.dist" for m in range(M))
-    return f"""
-    WITH {chains}, enc AS (
+    return f""", enc AS (
       SELECT a0.vec_id, {enc_cols}
-      FROM p0_a{T} a0 {enc_joins}
+      FROM {a_name(0)} a0 {enc_joins}
     ), pairs AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
              CAST({adc} AS BIGINT) AS adc_dist
@@ -5310,13 +5294,45 @@ def _knn_pq_trained_oracle(k: int = 5) -> str:
     """
 
 
-def _pq_trained_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, code0..code7) under the trained codebooks, session-cached
-    — the compressed corpus and ONLY the compressed corpus: the 8×16
-    ADC lookup arrays are query-side (`pq_query_lookup`, computed in a
-    tiny separate projection for the 20 query rows), so the checkpoint
-    never materializes per-corpus-vector lookup tables the serving scan
-    would not read."""
+def _knn_pq_trained_oracle(k: int = 5) -> str:
+    """Generated oracle for ADC search under the TRAINED codebooks: the
+    training chains' final-assignment CTEs ARE the encoding (p{m}_a2 =
+    each vector's nearest code per subspace) and their distance CTEs
+    (p{m}_d2) ARE the ADC lookup tables, so the oracle derives the
+    codebooks it serves — nothing is frozen at generation time. All
+    arithmetic stays in the integer quantized space (exact; no rounding
+    discipline needed, unlike the double-space frozen-PQ oracle)."""
+    T = _PQ_TRAIN_ITERS
+    chains = ", ".join(
+        _kmeans_ctes(
+            k=_PQ_TRAIN_K,
+            dim=_PQ_TRAIN_SUB_DIM,
+            iters=T,
+            prefix=f"p{m}_",
+            vec_sql=(
+                f"embedding[{m * _PQ_TRAIN_SUB_DIM + 1}:"
+                f"{(m + 1) * _PQ_TRAIN_SUB_DIM}]"
+            ),
+        )
+        for m in range(_PQ_TRAIN_M)
+    )
+    tail = _adc_tail(
+        lambda m: f"p{m}_a{T}", lambda m: f"p{m}_d{T}", k=k
+    )
+    return f"""
+    WITH {chains}{tail}"""
+
+
+def _pq_trained_codes(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> DataFrame:
+    """(vec_id, code0..code7) for the FULL corpus under the trained
+    codebooks (full-fit, or the hash-sample fit with `sampled=True`),
+    session-cached — the compressed corpus and ONLY the compressed
+    corpus: the 8×16 ADC lookup arrays are query-side
+    (`pq_query_lookup`, computed in a tiny separate projection for the
+    20 query rows), so the checkpoint never materializes
+    per-corpus-vector lookup tables the serving scan would not read."""
     from data_warehouse_flink_spark.functions.clustering import (
         pq_trained_codes,
     )
@@ -5324,10 +5340,10 @@ def _pq_trained_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(
         spark,
         sf_dir,
-        "pq_trained_codes",
+        "pq_sampled_codes" if sampled else "pq_trained_codes",
         lambda: pq_trained_codes(
             _kmeans_qdf(spark, sf_dir),
-            _pq_train_model(spark, sf_dir),
+            _pq_train_model(spark, sf_dir, sampled=sampled),
             sub_dim=_PQ_TRAIN_SUB_DIM,
         ),
     )
@@ -5368,26 +5384,9 @@ def _pq_sampled_model(
     """PQ codebooks fit on the md5 hash-sample only (the
     `_kmeans_sampled_model` asymmetry applied to the other quantizer
     family): per-subspace Lloyd runs read the sampled slice, encoding
-    and ADC serving scan the full corpus."""
-    from data_warehouse_flink_spark.functions.clustering import (
-        kmeans_quantized_train,
-    )
-
-    key = (spark.sparkContext.applicationId, sf_dir, "sampled")
-    model = _PQ_MODELS.get(key)
-    if model is None:
-        model = [
-            kmeans_quantized_train(
-                _pq_sub_qdf(spark, sf_dir, m).filter(
-                    F.expr(_KMEANS_SAMPLE_SQL)
-                ),
-                k=_PQ_TRAIN_K,
-                iters=_PQ_TRAIN_ITERS,
-            )
-            for m in range(_PQ_TRAIN_M)
-        ]
-        _PQ_MODELS[key] = model
-    return model
+    and ADC serving scan the full corpus. One implementation with the
+    full-fit trainer (`_pq_train_model(sampled=True)`)."""
+    return _pq_train_model(spark, sf_dir, sampled=True)
 
 
 def _knn_pq_sampled_oracle(k: int = 5) -> str:
@@ -5396,9 +5395,9 @@ def _knn_pq_sampled_oracle(k: int = 5) -> str:
     cover only the sample — a full-corpus quantized long table (gqv/gql)
     plus per-subspace full assignment (g{m}a) and distance (g{m}d)
     blocks rebuild the encoding and the query lookup tables over EVERY
-    vector (queries need not be in the sample)."""
-    from data_warehouse_flink_spark.functions.clustering import QUANT_SCALE
-
+    vector (queries need not be in the sample). Quantization spelling
+    from `_quant_long_ctes`, serving tail from `_adc_tail` — one copy
+    of each."""
     M, T, SD = _PQ_TRAIN_M, _PQ_TRAIN_ITERS, _PQ_TRAIN_SUB_DIM
     chains = ", ".join(
         _kmeans_ctes(
@@ -5411,16 +5410,7 @@ def _knn_pq_sampled_oracle(k: int = 5) -> str:
         )
         for m in range(M)
     )
-    full = f"""gqv AS MATERIALIZED (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_SCALE}.0) AS BIGINT))
-               AS q
-      FROM embeddings
-    ), gql AS MATERIALIZED (
-      SELECT vec_id, i AS dim, q[i + 1] AS v
-      FROM gqv CROSS JOIN (SELECT unnest(range({M * SD})) AS i) s
-    )"""
+    full = _quant_long_ctes(prefix="g", dim=M * SD)
     blocks = ", ".join(
         f"""g{m}d AS (
       SELECT l.vec_id, c.cell, SUM((l.v - c.v) * (l.v - c.v)) AS dist
@@ -5434,53 +5424,16 @@ def _knn_pq_sampled_oracle(k: int = 5) -> str:
     )"""
         for m in range(M)
     )
-    enc_joins = " ".join(
-        f"JOIN g{m}a a{m} ON a{m}.vec_id = a0.vec_id" for m in range(1, M)
-    )
-    enc_cols = ", ".join(f"a{m}.cell AS c{m}" for m in range(M))
-    d_joins = " ".join(
-        f"JOIN g{m}d d{m} ON d{m}.vec_id = q.vec_id"
-        f" AND d{m}.cell = e.c{m}"
-        for m in range(M)
-    )
-    adc = " + ".join(f"d{m}.dist" for m in range(M))
+    tail = _adc_tail(lambda m: f"g{m}a", lambda m: f"g{m}d", k=k)
     return f"""
-    WITH {chains}, {full}, {blocks}, enc AS (
-      SELECT a0.vec_id, {enc_cols}
-      FROM g0a a0 {enc_joins}
-    ), pairs AS (
-      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-             CAST({adc} AS BIGINT) AS adc_dist
-      FROM enc q JOIN enc e ON q.vec_id < 20 AND e.vec_id <> q.vec_id
-      {d_joins}
-    )
-    SELECT query_id, neighbor_id, adc_dist,
-           CAST(row_number() OVER (
-             PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
-             AS BIGINT) AS rn
-    FROM pairs
-    QUALIFY rn <= {k}
-    """
+    WITH {chains}, {full}, {blocks}{tail}"""
 
 
 def _pq_sampled_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, code0..code7) for the FULL corpus under the sample-fit
-    codebooks, session-cached — same scan shape as `_pq_trained_codes`,
-    different model."""
-    from data_warehouse_flink_spark.functions.clustering import (
-        pq_trained_codes,
-    )
-
-    return _cached(
-        spark,
-        sf_dir,
-        "pq_sampled_codes",
-        lambda: pq_trained_codes(
-            _kmeans_qdf(spark, sf_dir),
-            _pq_sampled_model(spark, sf_dir),
-            sub_dim=_PQ_TRAIN_SUB_DIM,
-        ),
-    )
+    codebooks — `_pq_trained_codes(sampled=True)`, one scan shape for
+    both models."""
+    return _pq_trained_codes(spark, sf_dir, sampled=True)
 
 
 @register("knn_pq_trained_sampled", oracle=_knn_pq_sampled_oracle())

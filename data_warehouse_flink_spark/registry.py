@@ -89,8 +89,9 @@ def load_all() -> None:
 #     hash evidence, ties broken by registration order, so no query's
 #     evidence age is unbounded). This round: the two remaining r3-evidence
 #     queries (error_rate_spikes, purchase_asof_click — they yielded their
-#     r8 slots to first-evidence entries) then the first 19 of the r4
-#     cohort of 28 in registration order.
+#     r8 slots to first-evidence entries) then the first 17 of the r4
+#     cohort of 28 in registration order (two more r4 entries yielded
+#     to the round-9 sampled-fit first-evidence gates).
 # 22 + 9 + 2 + 17 = 50 exactly. Next up (round 10): the r4 tail
 # (doc_hash_embedding, events_pivot, events_grouping_sets,
 # user_tier_scd2, events_compaction_plan, events_column_stats,
@@ -158,7 +159,7 @@ _GRADING_PRIORITY = (
 # Rotated OUT of the prefix this round: the r3 cohort of 22 (all
 # hash-green in CORRECTNESS_r08) and the six r8 first-evidence entries
 # (contracts / recall audit / shard planner, hash-green r8). Evidence
-# ages after this round's grading: r4 tail (9), then r5 (28) / r6 / r7.
+# ages after this round's grading: r4 tail (11), then r5 (28) / r6 / r7.
 # The local parity suite still re-verifies every registered oracle each
 # session; the driver prefix is the independent re-proof channel.
 

@@ -435,6 +435,16 @@ def test_signature_width_mismatch_raises(spark):
     )
     with pytest.raises(ValueError, match=r"widths in \[32, 64\]"):
         minhash_lsh_dedup(docs, grams=grams, signatures=ragged)
+    # NULL signature rows (outer-join artifact) must raise too — min/max
+    # over size() skip NULLs, so they need the dedicated count arm
+    with_null = (
+        sigs64_head.limit(1)
+        .select("doc_id", F.lit(None).cast("array<bigint>").alias("signature"))
+        .unionByName(sigs64_head)
+        .localCheckpoint(eager=True)
+    )
+    with pytest.raises(ValueError, match="NULL signature rows"):
+        minhash_lsh_dedup(docs, grams=grams, signatures=with_null)
     # the matching width passes through
     sigs64 = minhash_signatures(grams, 64).localCheckpoint(eager=True)
     assert (
