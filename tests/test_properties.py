@@ -495,3 +495,63 @@ def test_kmeans_quantized_train_matches_python_reference(spark, vecs, parts):
                 new.append(cents[c])
         cents = new
     assert got == cents
+
+
+KEYS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),   # doc_id
+        st.integers(min_value=0, max_value=3),    # band
+        st.integers(min_value=0, max_value=5),    # bucket
+    ),
+    min_size=1,
+    max_size=40,
+)
+LEDGERS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # band
+        st.integers(min_value=0, max_value=5),    # bucket
+    ),
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=KEYS, ledger=LEDGERS)
+def test_lsh_admit_batch_matches_python(spark, keys, ledger):
+    """The round-9 shared admission kernel vs the set-logic reference:
+    drop docs sharing any (band, bucket) with the ledger, then among the
+    survivors keep only docs that are bucket-minimal in every one of
+    their buckets. The same reference the streaming ledger-simulation
+    test uses, here property-driven over random key tables."""
+    from data_warehouse_flink_spark.functions.dedup import lsh_admit_batch
+
+    kdf = spark.createDataFrame(
+        keys, "doc_id long, band int, bucket int"
+    ).distinct()
+    ldf = (
+        spark.createDataFrame(ledger, "band int, bucket int").distinct()
+        if ledger
+        else None
+    )
+    got = {
+        r["doc_id"] for r in lsh_admit_batch(kdf, ldf).collect()
+    }
+
+    buckets: dict[int, set] = {}
+    for d, band, bucket in keys:
+        buckets.setdefault(d, set()).add((band, bucket))
+    lset = set(ledger)
+    clean = [d for d in buckets if not (buckets[d] & lset)]
+    expected = {
+        d
+        for d in clean
+        if all(
+            d <= min(e for e in clean if k in buckets[e])
+            for k in buckets[d]
+        )
+    }
+    assert got == expected
