@@ -163,6 +163,125 @@ def kmeans_quantized_train(
     return centroids
 
 
+def _sub_dist_sql(sub_sql: str, book: list[list[int]]) -> list[str]:
+    """BIGINT squared-L2 expressions from a sliced quantized vector
+    expression to each codeword of one subspace's book."""
+    return [
+        (
+            f"aggregate(zip_with({sub_sql}, "
+            f"array({','.join(f'{v}L' for v in cw)}), "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+            f"(acc, v) -> acc + v)"
+        )
+        for cw in book
+    ]
+
+
+def pq_lloyd_iteration_sums(
+    qdf: DataFrame,
+    books: list[list[list[int]]],
+    sub_dim: int = 8,
+) -> DataFrame:
+    """ONE Lloyd update stage for ALL M subspaces in one corpus scan:
+    (m, cell, n, s0..s{sub_dim-1}) — per-(subspace, codeword) population
+    and per-dimension sums under the given codebooks.
+
+    Each row explodes into M (m, slice) structs — total bytes equal the
+    original row, so the explode is a repack, not a blowup — the
+    nearest cell is computed per exploded row from the ALREADY-SLICED
+    array behind a lazily-evaluated CASE over m (higher-order
+    `aggregate` expressions are interpreted, with no common-
+    subexpression elimination: slicing inside every codeword distance
+    re-sliced q 128× per row and measured 2× SLOWER than the
+    sequential path at 500k — slice once, then the per-row work equals
+    one subspace chain's), and one groupBy(m, cell) with M·k groups
+    aggregates everything. This is the fusion the sequential
+    per-subspace path (`kmeans_quantized_train` per slice) costs M
+    scans per iteration to avoid; at corpus scale the scan count is the
+    whole bill. Codewords ride as literals: the pre-shuffle stage stays
+    map-only, and map-side combine reduces each partition to ≤M·k rows
+    before the (tiny) exchange."""
+    slices = ", ".join(
+        f"struct(CAST({m} AS BIGINT) AS m, "
+        f"slice(q, {m * sub_dim + 1}, {sub_dim}) AS sub)"
+        for m in range(len(books))
+    )
+    arms = " ".join(
+        "WHEN {m} THEN array_min(array({structs})).cell".format(
+            m=m,
+            structs=", ".join(
+                f"struct({d} AS dist, CAST({c} AS BIGINT) AS cell)"
+                for c, d in enumerate(_sub_dist_sql("sub", book))
+            ),
+        )
+        for m, book in enumerate(books)
+    )
+    exploded = qdf.select(
+        F.explode(F.expr(f"array({slices})")).alias("e")
+    ).select(F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
+    with_cell = exploded.select(
+        "m",
+        F.expr(f"CASE m {arms} END").alias("cell"),
+        "sub",
+    )
+    return with_cell.groupBy("m", "cell").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col("sub")[d]).alias(f"s{d}") for d in range(sub_dim)],
+    )
+
+
+def pq_kmeans_fused_train(
+    qdf: DataFrame,
+    m_subspaces: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """All M per-subspace Lloyd runs fused into one scan per iteration —
+    the production shape `kmeans_quantized_train`-per-slice documents but
+    costs M scans per iteration to get. Bit-identical to the sequential
+    path (pinned in tests/test_round9_ops.py): same init (the k smallest
+    ids' slices — the per-subspace init rows are the SAME rows, so one
+    k-row collect covers every subspace), same integer argmin with
+    lower-cell ties, same FLOOR(s/n) update with empty-cell
+    carry-forward. Driver materializes M·k·(sub_dim+1) ints per
+    iteration — the model."""
+    init_rows = qdf.orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(init_rows)}")
+    books = [
+        [
+            list(r["q"])[m * sub_dim : (m + 1) * sub_dim]
+            for r in init_rows
+        ]
+        for m in range(m_subspaces)
+    ]
+    for _ in range(iters):
+        sums = pq_lloyd_iteration_sums(qdf, books, sub_dim)
+        by_key = {
+            (int(r["m"]), int(r["cell"])): r for r in sums.collect()
+        }  # ≤ M·k rows: the model
+        books = [
+            [
+                (
+                    [
+                        _floor_mean(
+                            int(by_key[(m, c)][f"s{d}"]),
+                            int(by_key[(m, c)]["n"]),
+                        )
+                        for d in range(sub_dim)
+                    ]
+                    if (m, c) in by_key
+                    else books[m][c]  # empty cell: carry forward
+                )
+                for c in range(k)
+            ]
+            for m in range(m_subspaces)
+        ]
+    return books
+
+
 def _adc_dist_exprs(
     books: list[list[list[int]]], sub_dim: int
 ) -> list[str]:

@@ -5146,13 +5146,14 @@ def _pq_train_model(
     hash-sample (`_KMEANS_SAMPLE_SQL`) — one implementation for both
     tiers so the fit recipe cannot drift.
 
-    The M subproblems are independent: here they train sequentially off
-    the one cached quantized table (each iteration a map-only scan of a
-    2000-row slice locally); a production run fuses them into one scan
-    per iteration (tag rows with m, one groupBy(m, cell)) or trains on a
-    sample — either way per-iteration cost stays one corpus pass."""
+    The M subproblems are independent and FUSED: each iteration is one
+    corpus scan (per-row explode into M (m, cell, slice) structs — a
+    repack, not a blowup — feeding one M·k-group partial agg; plan
+    guarded to a single Exchange). Bit-identical to the sequential
+    per-subspace path (pinned in tests/test_round9_ops.py), which is
+    why the DuckDB oracle stays the unrolled per-subspace CTE chains."""
     from data_warehouse_flink_spark.functions.clustering import (
-        kmeans_quantized_train,
+        pq_kmeans_fused_train,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir) + (
@@ -5160,18 +5161,16 @@ def _pq_train_model(
     )
     model = _PQ_MODELS.get(key)
     if model is None:
-        model = [
-            kmeans_quantized_train(
-                _pq_sub_qdf(spark, sf_dir, m).filter(
-                    F.expr(_KMEANS_SAMPLE_SQL)
-                )
-                if sampled
-                else _pq_sub_qdf(spark, sf_dir, m),
-                k=_PQ_TRAIN_K,
-                iters=_PQ_TRAIN_ITERS,
-            )
-            for m in range(_PQ_TRAIN_M)
-        ]
+        qdf = _kmeans_qdf(spark, sf_dir)
+        if sampled:
+            qdf = qdf.filter(F.expr(_KMEANS_SAMPLE_SQL))
+        model = pq_kmeans_fused_train(
+            qdf,
+            m_subspaces=_PQ_TRAIN_M,
+            sub_dim=_PQ_TRAIN_SUB_DIM,
+            k=_PQ_TRAIN_K,
+            iters=_PQ_TRAIN_ITERS,
+        )
         _PQ_MODELS[key] = model
     return model
 

@@ -208,6 +208,65 @@ def test_bpe_batched_deterministic(spark):
     assert all(r[3] > 0 for r in r1)
 
 
+def test_pq_fused_train_equals_sequential(spark):
+    """The fused one-scan-per-iteration PQ trainer is bit-identical to
+    the sequential per-subspace path on both the full corpus and the
+    hash-sample — the equivalence that lets `_pq_train_model` run the
+    fused plan while the oracle stays the unrolled per-subspace CTEs."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        kmeans_quantized_train,
+        pq_kmeans_fused_train,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _KMEANS_SAMPLE_SQL,
+        _kmeans_qdf,
+        _pq_sub_qdf,
+    )
+
+    qdf = _kmeans_qdf(spark, SF)
+    for pred in (None, _KMEANS_SAMPLE_SQL):
+        base = qdf.filter(F.expr(pred)) if pred else qdf
+        fused = pq_kmeans_fused_train(
+            base, m_subspaces=8, sub_dim=8, k=16, iters=2
+        )
+        seq = [
+            kmeans_quantized_train(
+                (
+                    _pq_sub_qdf(spark, SF, m).filter(F.expr(pred))
+                    if pred
+                    else _pq_sub_qdf(spark, SF, m)
+                ),
+                k=16,
+                iters=2,
+            )
+            for m in range(8)
+        ]
+        assert fused == seq, f"pred={pred}"
+
+
+def test_pq_fused_iteration_plan_is_one_exchange(spark):
+    """The fused update stage's scale contract: map-only explode (book
+    literals, no join) feeding exactly ONE Exchange (the M·k-group
+    partial agg)."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        pq_lloyd_iteration_sums,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        _kmeans_qdf,
+        _pq_train_model,
+    )
+
+    books = _pq_train_model(spark, SF)
+    plan = (
+        pq_lloyd_iteration_sums(_kmeans_qdf(spark, SF), books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_recall_report_has_sampled_tier(spark):
     from data_warehouse_flink_spark.registry import _REGISTRY, load_all
 

@@ -1166,6 +1166,20 @@ def test_pq_trained_adc_at_500k_vectors(spark, big_vectors):
         for m in range(8)
     ]
     t_train = time.perf_counter() - t0
+    # fused one-scan-per-iteration path (what the gate now runs): must be
+    # bit-identical and is the scan-count win at volume
+    from data_warehouse_flink_spark.functions.clustering import (
+        pq_kmeans_fused_train,
+    )
+
+    t0 = time.perf_counter()
+    fused = pq_kmeans_fused_train(qdf, 8, 8, k=16, iters=2)
+    t_fused = time.perf_counter() - t0
+    assert fused == books
+    print(
+        f"pq train at 500k: sequential-8-subspace {t_train:.1f}s, "
+        f"fused {t_fused:.1f}s"
+    )
 
     t0 = time.perf_counter()
     codes = pq_trained_codes(qdf, books).localCheckpoint(eager=True)
