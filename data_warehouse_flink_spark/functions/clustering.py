@@ -66,28 +66,25 @@ def quantize_embeddings(
     )
 
 
-def _dist_exprs(centroids: list[list[int]]) -> list[str]:
-    """One BIGINT squared-L2 SQL expression per centroid literal."""
-    return [
-        (
-            f"aggregate(zip_with(q, array({','.join(f'{v}L' for v in c)}), "
-            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
-            f"(acc, v) -> acc + v)"
-        )
-        for c in centroids
-    ]
-
-
-def _best_cell(centroids: list[list[int]]):
-    """struct(dist, cell) of the nearest centroid — integer squared L2,
-    ties to the lower cell id. A pure literal expression: any projection
-    using it stays map-only."""
-    dists = _dist_exprs(centroids)
+def _best_cell_sql(centroids: list[list[int]], vec_sql: str = "q") -> str:
+    """SQL text of struct(dist, cell) of the nearest centroid to the
+    vector expression `vec_sql` — integer squared L2, ties to the lower
+    cell id. THE one spelling of the argmin idiom: `_best_cell` wraps it
+    as a Column, the fused trainer's CASE arms embed it per subspace —
+    a second literal copy of the tie-break rule would let the
+    fused/sequential bit-identity pins drift."""
+    dists = _sub_dist_sql(vec_sql, centroids)
     structs = ", ".join(
         f"struct({d} AS dist, CAST({c} AS BIGINT) AS cell)"
         for c, d in enumerate(dists)
     )
-    return F.expr(f"array_min(array({structs}))")
+    return f"array_min(array({structs}))"
+
+
+def _best_cell(centroids: list[list[int]], vec_sql: str = "q"):
+    """`_best_cell_sql` as a Column. A pure literal expression: any
+    projection using it stays map-only."""
+    return F.expr(_best_cell_sql(centroids, vec_sql))
 
 
 def assign_quantized_cells(
@@ -207,13 +204,7 @@ def pq_lloyd_iteration_sums(
         for m in range(len(books))
     )
     arms = " ".join(
-        "WHEN {m} THEN array_min(array({structs})).cell".format(
-            m=m,
-            structs=", ".join(
-                f"struct({d} AS dist, CAST({c} AS BIGINT) AS cell)"
-                for c, d in enumerate(_sub_dist_sql("sub", book))
-            ),
-        )
+        f"WHEN {m} THEN {_best_cell_sql(book, 'sub')}.cell"
         for m, book in enumerate(books)
     )
     exploded = qdf.select(
@@ -250,6 +241,14 @@ def pq_kmeans_fused_train(
     init_rows = qdf.orderBy(id_col).limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(init_rows)}")
+    dim = len(init_rows[0]["q"])
+    if dim < m_subspaces * sub_dim:
+        # slicing past the array would silently yield empty codewords and
+        # an all-cell-0 model; fail loudly instead
+        raise ValueError(
+            f"vectors have {dim} dims but m_subspaces*sub_dim="
+            f"{m_subspaces * sub_dim}"
+        )
     books = [
         [
             list(r["q"])[m * sub_dim : (m + 1) * sub_dim]
@@ -282,23 +281,34 @@ def pq_kmeans_fused_train(
     return books
 
 
+def _bind_slice(m: int, sub_dim: int, body_sql: str) -> str:
+    """Evaluate `body_sql` (which references the lambda variable `_sub`)
+    with `_sub` bound ONCE to the m-th slice of q, via a single-element
+    transform. Interpreted higher-order expressions get no common-
+    subexpression elimination, so an inline slice(q, …) inside the 16
+    codeword-distance aggregates re-slices per reference — measured 2×
+    slower on the fused trainer (SCALING.md round-9); a lambda variable
+    is a materialized value."""
+    return (
+        f"element_at(transform(array(slice(q, {m * sub_dim + 1}, "
+        f"{sub_dim})), _sub -> {body_sql}), 1)"
+    )
+
+
 def _adc_dist_exprs(
     books: list[list[list[int]]], sub_dim: int
 ) -> list[str]:
     """Per-subspace SQL for the 16 exact integer distances from a sliced
-    quantized vector `q` to subspace m's codewords."""
-    out = []
-    for m, book in enumerate(books):
-        sub = f"slice(q, {m * sub_dim + 1}, {sub_dim})"
-        dists = ", ".join(
-            f"aggregate(zip_with({sub}, "
-            f"array({','.join(f'{v}L' for v in cw)}), "
-            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
-            f"(acc, v) -> acc + v)"
-            for cw in book
+    quantized vector `q` to subspace m's codewords — the slice is bound
+    once per row (`_bind_slice`), not re-evaluated per codeword."""
+    return [
+        _bind_slice(
+            m,
+            sub_dim,
+            f"array({', '.join(_sub_dist_sql('_sub', book))})",
         )
-        out.append(f"array({dists})")
-    return out
+        for m, book in enumerate(books)
+    ]
 
 
 def pq_trained_codes(
@@ -309,14 +319,17 @@ def pq_trained_codes(
 ) -> DataFrame:
     """(id, code0..code{M-1}) under trained codebooks — the compressed
     corpus representation (M small ints per vector; the floats stay in
-    storage). Map-only: codewords ride as literals; the argmin is
-    array_position of the min (first index = lower code, matching the
-    training tie-break)."""
+    storage). Map-only: codewords ride as literals; the argmin is the
+    shared `_best_cell_sql` struct-min (lower code on ties, matching the
+    training tie-break), computed in ONE pass over the codebook with the
+    slice lambda-bound once — the double `array_position(dl,
+    array_min(dl))` evaluation of the dl expression was 2× the needed
+    per-row work on the interpreted path."""
     codes = [
         F.expr(
-            f"CAST(array_position({dl}, array_min({dl})) - 1 AS BIGINT)"
+            _bind_slice(m, sub_dim, f"{_best_cell_sql(book, '_sub')}.cell")
         ).alias(f"code{m}")
-        for m, dl in enumerate(_adc_dist_exprs(books, sub_dim))
+        for m, book in enumerate(books)
     ]
     return qdf.select(id_col, *codes)
 
