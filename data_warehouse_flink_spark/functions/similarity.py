@@ -239,17 +239,18 @@ def frozen_ivf_assign(
     from data_warehouse_flink_spark.functions.ivf_centroids import CENTROIDS
 
     tmp = with_norm(embeddings, vec_col)
-    dists = ", ".join(
-        f"round(aggregate(zip_with(vecd, "
+    structs = ", ".join(
+        f"struct(round(aggregate(zip_with(vecd, "
         f"array({','.join(repr(v) for v in c)}), "
         f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), "
-        f"(acc, v) -> acc + v), 6)"
-        for c in CENTROIDS
+        f"(acc, v) -> acc + v), 6) AS dist, {i} AS cell)"
+        for i, c in enumerate(CENTROIDS)
     )
-    cell = F.expr(
-        f"CAST(array_position(array({dists}), "
-        f"array_min(array({dists}))) - 1 AS INT)"
-    )
+    # single-pass struct-min (lower cell on equal rounded distance) ==
+    # the previous array_position(dists, array_min(dists)) first-index
+    # form, which evaluated the whole interpreted distance array TWICE
+    # per row (the pq_trained_codes lesson, SCALING.md round-9)
+    cell = F.expr(f"CAST(array_min(array({structs})).cell AS INT)")
     return tmp.select(id_col, "vecd", "norm", cell.alias("cell"))
 
 
