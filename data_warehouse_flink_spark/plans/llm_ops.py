@@ -5474,7 +5474,9 @@ _BPE_REPR_SQL = (
 )
 
 
-def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_MERGES) -> str:
+def _bpe_train_oracle(
+    n_merges: int = _BPE_TRAIN_MERGES, text_sql: str = "text"
+) -> str:
     """Unrolled pair-count loop (Sennrich et al. 2016): per rank, count
     adjacent non-boundary symbol pairs over the current corpus
     representation, take the argmax (ties: lower left, then lower right
@@ -5484,8 +5486,17 @@ def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_MERGES) -> str:
     repeat. The merge-application convention is EXACTLY the one the
     frozen `functions/bpe_merges.py` table was trained with
     (tools/train_bpe.py), which is what lets the sf0.001 pin assert
-    trained == MERGES[:n]."""
-    parts = [f"r0 AS (\n      SELECT {_BPE_REPR_SQL} AS r FROM documents\n    )"]
+    trained == MERGES[:n].
+
+    `text_sql` substitutes another text expression over the documents
+    table for the raw `text` column — the batched gate trains on its
+    designed fixture corpus (`_BPE_BATCH_FIXTURE_SQL`); the default
+    leaves the generated SQL byte-identical to the pre-parameter
+    spelling that graded `corpus_bpe_train`."""
+    repr_sql = _BPE_REPR_SQL.replace(
+        "string_split(text", f"string_split({text_sql}"
+    )
+    parts = [f"r0 AS (\n      SELECT {repr_sql} AS r FROM documents\n    )"]
     for t in range(n_merges):
         parts.append(
             f""", pc{t} AS (
@@ -5543,6 +5554,61 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_flink_spark.functions.text import bpe_train_merges
 
     rows = bpe_train_merges(_docs(spark, sf_dir), _BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        rows, "rank BIGINT, lhs STRING, rhs STRING, cnt BIGINT"
+    )
+
+
+# One engine-portable spelling (the _KMEANS_SAMPLE_SQL discipline) of the
+# batched gate's designed fixture corpus: 8 two-character words over 16
+# DISTINCT characters, word picked by doc_id % 8, repeated 1 + doc_id % 3
+# times. Every countable pair is therefore one of 8 pairwise
+# symbol-DISJOINT merges (cross-word adjacencies always touch the '|'
+# boundary token), so the greedy epoch accept can never defer a
+# candidate and batched(batch_size=4) provably equals the sequential
+# Sennrich loop the oracle CTEs unroll — counts of disjoint pairs are
+# invariant under each other's merges. Parity of the expression itself
+# (trim/repeat/CASE/%/|| behave identically in Spark SQL and DuckDB) is
+# pinned in tests/test_round10_ops.py.
+_BPE_BATCH_FIXTURE_SQL = (
+    "trim(repeat(CASE CAST(doc_id % 8 AS INT) "
+    "WHEN 0 THEN 'ax' WHEN 1 THEN 'by' WHEN 2 THEN 'cz' WHEN 3 THEN 'dw' "
+    "WHEN 4 THEN 'ev' WHEN 5 THEN 'fu' WHEN 6 THEN 'gs' WHEN 7 THEN 'hr' "
+    "END || ' ', CAST(1 + doc_id % 3 AS INT)))"
+)
+
+
+@register(
+    "corpus_bpe_train_batched",
+    oracle=_bpe_train_oracle(text_sql=_BPE_BATCH_FIXTURE_SQL),
+)
+def corpus_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHED BPE trainer under the driver's hash gate (VERDICT r9
+    #3): `bpe_train_merges_batched` at batch_size=4 — two epochs, greedy
+    multi-accept, chained map-only rewrites, mid-run checkpoint — over a
+    designed disjoint-head corpus derived deterministically from the
+    documents table (`_BPE_BATCH_FIXTURE_SQL`, one spelling shared
+    verbatim by the Spark fixture projection and the oracle's r0 CTE).
+    Disjoint heads make batched == sequential BY CONSTRUCTION, so the
+    oracle stays the same unrolled merge-CTE chain that grades
+    `corpus_bpe_train`; conflict-deferral semantics on adversarial
+    corpora are library-pinned in tests/test_round9_ops.py. Output
+    schema matches the sequential gate: (rank, lhs, rhs, cnt).
+
+    Scale shape: n_merges/batch_size corpus count-scans instead of
+    n_merges (the 32 k-vocabulary operating range — SCALING.md round 9
+    measured 3.4× at 1 M docs / 16 merges), each scan one pair-explode +
+    high-reduction groupBy with a ≤(4·batch+8)-row candidate collect."""
+    from data_warehouse_flink_spark.functions.text import (
+        bpe_train_merges_batched,
+    )
+
+    designed = _docs(spark, sf_dir).select(
+        F.expr(_BPE_BATCH_FIXTURE_SQL).alias("text")
+    )
+    rows = bpe_train_merges_batched(
+        designed, _BPE_TRAIN_MERGES, batch_size=4
+    )
     return spark.createDataFrame(
         rows, "rank BIGINT, lhs STRING, rhs STRING, cnt BIGINT"
     )

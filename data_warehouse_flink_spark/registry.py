@@ -69,35 +69,28 @@ def load_all() -> None:
 
 # The driver grades a fixed-size prefix of the registry (50 entries in every
 # round so far, in ``queries()`` iteration order), so iteration order decides
-# which queries get oracle evidence each round. Priority for round 9
-# (VERDICT r8 directives #1 and #2):
+# which queries get oracle evidence each round. Priority for round 10
+# (VERDICT r9 directives #1 and #3):
 # (1) the 22 SURVEY §2 gate queries — stay in every round's prefix;
-# (2) first-evidence entries FIRST (the documented rule: first-evidence
-#     goes ahead of reconfirmations): the seven round-8-continuation
-#     queries that landed after the r8 prefix froze and therefore carry
-#     only local 3-SF parity evidence — the k-means trainer family
-#     (embedding_kmeans_train / embedding_kmeans_assign / knn_ivf_trained),
-#     the incremental near-dedup path (doc_minhash_incremental), the PQ
-#     trainer + trained-ADC serving (embedding_pq_train / knn_pq_trained),
-#     and the BPE merge trainer (corpus_bpe_train) — plus the two round-9
-#     sampled-fit serving gates (knn_ivf_trained_sampled and
-#     knn_pq_trained_sampled, VERDICT r8 #4). Hash-green rows here take
-#     cumulative driver evidence to every oracle-bearing query except the
-#     two r4 tail entries that yielded their slots.
+# (2) first-evidence entries FIRST (the documented rule since r8:
+#     first-evidence goes ahead of reconfirmations): this round only
+#     `corpus_bpe_train_batched` (VERDICT r9 #3 — the batch_size=4 path
+#     under its own hash gate; the sequential path graded r9).
 # (3) periodic-reconfirmation cadence (rule since r7: after first-evidence
 #     entries, fill the prefix with the queries holding the OLDEST driver
 #     hash evidence, ties broken by registration order, so no query's
-#     evidence age is unbounded). This round: the two remaining r3-evidence
-#     queries (error_rate_spikes, purchase_asof_click — they yielded their
-#     r8 slots to first-evidence entries) then the first 17 of the r4
-#     cohort of 28 in registration order (two more r4 entries yielded
-#     to the round-9 sampled-fit first-evidence gates).
-# 22 + 9 + 2 + 17 = 50 exactly. Next up (round 10): the r4 tail
-# (doc_hash_embedding, events_pivot, events_grouping_sets,
-# user_tier_scd2, events_compaction_plan, events_column_stats,
-# event_value_histogram_quantiles, orders_integrity_checks,
-# sql_priority_counts, sql_nation_customer_stats,
-# sql_lineitem_by_quantity_band), then the r5 cohort (28).
+#     evidence age is unbounded). This round: the full r4-evidence tail of
+#     11, then the first 16 of the r5 cohort of 28 in registration order
+#     (VERDICT r9 #1 budgeted 17, but its own #3 requires the
+#     first-evidence gate a slot and the documented rule puts
+#     first-evidence ahead — the 17th, events_zorder_layout's successor
+#     streaming_value_histogram_quantiles, leads the r11 tail instead).
+# 22 + 1 + 11 + 16 = 50 exactly. Next up (round 11): the r5 remainder
+# (streaming_value_histogram_quantiles, events_key_skew_profile,
+# events_k_anonymity, user_cdc_snapshot, streaming_user_cdc_snapshot,
+# events_props_json, events_backfill_plan, events_sessionize_gap_stats,
+# events_rollup_incremental, streaming_sessionize_gap_stats,
+# events_dq_anomaly, streaming_dq_anomaly — 12), then the r6 cohort.
 _GRADING_PRIORITY = (
     # -- §2 gates (reference_jobs registration order) --
     "page_view",
@@ -122,44 +115,44 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- first-evidence: the seven round-8-continuation trainer /
-    # incremental queries (registration order; never driver-graded) --
-    "embedding_kmeans_train",
-    "embedding_kmeans_assign",
-    "knn_ivf_trained",
-    "doc_minhash_incremental",
-    "embedding_pq_train",
-    "knn_pq_trained",
-    "corpus_bpe_train",
-    "knn_ivf_trained_sampled",
-    "knn_pq_trained_sampled",
-    # -- oldest-evidence reconfirmation: the r3 remainder then the first
-    # 19 of the r4 cohort (evidence CORRECTNESS_r03/r04; registration
-    # order) --
-    "error_rate_spikes",  # r3
-    "purchase_asof_click",  # r3
-    "streaming_user_sessions",  # r4
-    "doc_minhash_lsh",  # r4
-    "doc_simhash",  # r4
-    "knn_lsh",  # r4
-    "streaming_knn",  # r4
-    "multimodal_features",  # r4
-    "multimodal_frames",  # r4
-    "doc_rolling_fingerprint",  # r4
-    "knn_ivf",  # r4
-    "streaming_near_dedup",  # r4
-    "doc_dedup_keep_best",  # r4
-    "doc_semantic_dedup_scores",  # r4
-    "knn_pq",  # r4
-    "doc_importance_weights",  # r4
-    "doc_bpe_encode",  # r4
-    "embedding_sq8",  # r4
-    "knn_rrf",  # r4
+    # -- first-evidence: the round-10 batched-BPE gate (never graded) --
+    "corpus_bpe_train_batched",
+    # -- oldest-evidence reconfirmation: the r4 tail of 11, then the
+    # first 16 of the r5 cohort (evidence CORRECTNESS_r04/r05;
+    # registration order) --
+    "doc_hash_embedding",  # r4
+    "events_pivot",  # r4
+    "events_grouping_sets",  # r4
+    "user_tier_scd2",  # r4
+    "events_compaction_plan",  # r4
+    "events_column_stats",  # r4
+    "event_value_histogram_quantiles",  # r4
+    "orders_integrity_checks",  # r4
+    "sql_priority_counts",  # r4
+    "sql_nation_customer_stats",  # r4
+    "sql_lineitem_by_quantity_band",  # r4
+    "doc_span_dedup",  # r5
+    "doc_quality_classifier",  # r5
+    "token_count_min_sketch",  # r5
+    "doc_text_knn",  # r5
+    "corpus_curation_v2",  # r5
+    "doc_dedup_sweep",  # r5
+    "doc_url_dedup",  # r5
+    "doc_weighted_sample",  # r5
+    "doc_perplexity_bucket",  # r5
+    "knn_ivf_pq",  # r5
+    "doc_exact_substring_dedup",  # r5
+    "doc_tokenizer_fertility",  # r5
+    "corpus_token_budget_plan",  # r5
+    "doc_lsh_recall_report",  # r5
+    "events_tier_point_in_time",  # r5
+    "events_zorder_layout",  # r5
 )
-# Rotated OUT of the prefix this round: the r3 cohort of 22 (all
-# hash-green in CORRECTNESS_r08) and the six r8 first-evidence entries
-# (contracts / recall audit / shard planner, hash-green r8). Evidence
-# ages after this round's grading: r4 tail (11), then r5 (28) / r6 / r7.
+# Rotated OUT of the prefix this round: the nine r9 first-evidence
+# entries (trainers + sampled fits, all hash-green r9), the two r3-aged
+# queries and the 17 r4-cohort entries regraded r9. Evidence ages after
+# this round's grading: r5 remainder (12), then r6 (26) / r7 (28) /
+# r8 (28) / r9 (50 incl. the 22 gates regraded every round).
 # The local parity suite still re-verifies every registered oracle each
 # session; the driver prefix is the independent re-proof channel.
 
