@@ -317,9 +317,14 @@ def main() -> None:
                 ratio = round(sum(timings[n] for n in common) / prev_sum, 4)
                 payload["common_subset_ratio_vs_prev"] = ratio
                 payload["common_subset_n"] = len(common)
+                verdict = (
+                    "faster" if ratio < 1
+                    else "even" if ratio == 1
+                    else "slower"
+                )
                 payload["vs_prev"] = (
-                    f"{'faster' if ratio < 1 else 'slower'} vs prev on "
-                    f"common subset ({ratio:.4f}x, {len(common)} queries)"
+                    f"{verdict} vs prev on common subset "
+                    f"({ratio:.4f}x, {len(common)} queries)"
                 )
         except (OSError, ValueError, TypeError, KeyError) as exc:
             # a missing/corrupt/odd-shaped prior sidecar must not kill the

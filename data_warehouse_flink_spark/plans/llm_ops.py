@@ -4971,7 +4971,11 @@ def _md5_sample_sql(denom: int, id_sql: str = "CAST(vec_id AS STRING)") -> str:
     byte-for-byte (pinned in tests/test_round10_ops.py) — the graded
     sampled-fit oracles embed that constant, this generator exists for
     the sample-RATE sweep (VERDICT r9 #2), where the production knob is
-    exactly this prefix set."""
+    exactly this prefix set. Only powers of two divide a hex-prefix
+    space — anything else would loop forever looking for a length, so
+    it raises instead."""
+    if denom < 1 or denom & (denom - 1):
+        raise ValueError(f"denom must be a power of two, got {denom}")
     length = 1
     while (16 ** length) % denom != 0:
         length += 1

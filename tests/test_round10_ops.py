@@ -139,3 +139,16 @@ def test_sampled_fit_operating_point(spark):
     assert (ivf64 is None) == (sn < _KMEANS_K)
     sn, pq64 = by[("pq_trained_sampled", 64)]
     assert (pq64 is None) == (sn < _PQ_TRAIN_K)
+
+
+def test_md5_sample_sql_rejects_non_power_of_two():
+    """A non-power-of-two denominator can never divide a hex-prefix
+    space — the generator must raise, not search lengths forever."""
+    import pytest
+
+    from data_warehouse_flink_spark.plans.llm_ops import _md5_sample_sql
+
+    for bad in (0, -2, 3, 6, 100):
+        with pytest.raises(ValueError):
+            _md5_sample_sql(bad)
+    assert _md5_sample_sql(8).count("'") == 4  # 2 prefixes of 1 hex char
