@@ -555,3 +555,92 @@ def test_lsh_admit_batch_matches_python(spark, keys, ledger):
         )
     }
     assert got == expected
+
+
+ADMIT_KEYS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # doc_id
+        st.integers(min_value=0, max_value=1),  # band
+        st.integers(min_value=0, max_value=2),  # bucket
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t,
+)
+
+
+def _ref_admit(keys, ledger_buckets):
+    """Pure-Python reference of lsh_admit_batch's documented first-seen
+    semantics: drop on any ledger bucket collision, then keep the
+    min-id doc per bucket among the remaining batch docs."""
+    by_doc: dict = {}
+    for d, b, k in keys:
+        by_doc.setdefault(d, set()).add((b, k))
+    dropped = {d for d, ks in by_doc.items() if ks & ledger_buckets}
+    clean = {d: ks for d, ks in by_doc.items() if d not in dropped}
+    owner: dict = {}
+    for d, ks in clean.items():
+        for bk in ks:
+            owner[bk] = min(owner.get(bk, d), d)
+    dropped |= {
+        d for d, ks in clean.items() if any(owner[bk] < d for bk in ks)
+    }
+    return set(by_doc) - dropped
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=ADMIT_KEYS)
+def test_lsh_admit_batch_matches_python_reference(spark, keys):
+    """The admission kernel vs its first-seen reference, run as a
+    two-batch SEQUENCE (even ids first, odd second — interleaved ids
+    stress the cross-batch policy: first-seen wins, which is NOT the
+    global min when a component's min arrives late). Also asserts the
+    kernel's structural invariant: no two admitted docs ever share a
+    (band, bucket). Randomized buckets produce the transitive-drop
+    shapes (a doc dropped by a doc that was itself dropped) that
+    hand-written fixtures under-sample."""
+    from data_warehouse_flink_spark.functions.dedup import lsh_admit_batch
+
+    schema = "doc_id long, band int, bucket long"
+    batches = [
+        [t for t in keys if t[0] % 2 == 0],
+        [t for t in keys if t[0] % 2 == 1],
+    ]
+
+    # pure-Python sequential reference
+    ledger_ref: set = set()
+    admitted_ref: set = set()
+    for batch in batches:
+        adm = _ref_admit(batch, ledger_ref)
+        admitted_ref |= adm
+        ledger_ref |= {(b, k) for d, b, k in batch if d in adm}
+
+    # the kernel, same sequence, ledger persisted between batches
+    ledger_df = None
+    admitted = set()
+    for batch in batches:
+        if not batch:
+            continue
+        kdf = spark.createDataFrame(batch, schema)
+        adm_ids = {
+            r.doc_id for r in lsh_admit_batch(kdf, ledger_df).collect()
+        }
+        admitted |= adm_ids
+        new_keys = kdf.filter(F.col("doc_id").isin(list(adm_ids) or [-1]))
+        ledger_df = (
+            new_keys
+            if ledger_df is None
+            else ledger_df.unionByName(new_keys)
+        )
+
+    assert admitted == admitted_ref
+    # structural invariant: one admitted doc per bucket, globally
+    per_bucket: dict = {}
+    for d, b, k in keys:
+        if d in admitted:
+            per_bucket.setdefault((b, k), set()).add(d)
+    assert all(len(ds) <= 1 for ds in per_bucket.values())
