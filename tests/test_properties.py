@@ -644,3 +644,95 @@ def test_lsh_admit_batch_matches_python_reference(spark, keys):
         if d in admitted:
             per_bucket.setdefault((b, k), set()).add(d)
     assert all(len(ds) <= 1 for ds in per_bucket.values())
+
+
+BPE_DOCS = st.lists(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=4),
+        min_size=1,
+        max_size=5,
+    ).map(lambda ws: " ".join(ws)),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _bpe_repr(text):
+    """BPE_BASE_REPR_TEMPLATE in pure Python: words char-spaced with a
+    trailing space each, joined by the '|' boundary token, leading
+    space."""
+    return " " + "| ".join(
+        "".join(c + " " for c in w) for w in text.split(" ")
+    )
+
+
+def _ref_bpe(texts, n_merges, batch_size):
+    """Pure-Python twin of bpe_train_merges_batched: per epoch count
+    adjacent non-boundary pairs over the current representations, order
+    by (count desc, left, right) capped at the engine's candidate cap,
+    greedily accept up to batch_size symbol-disjoint merges (skipping
+    formed-concat hazards), apply each with the same non-overlapping
+    ' a b ' -> ' ab ' string replace."""
+    reprs = [_bpe_repr(t) for t in texts]
+    cand_cap = 1 if batch_size == 1 else 4 * batch_size + 8
+    out = []
+    while len(out) < n_merges:
+        counts: dict = {}
+        for r in reprs:
+            t = r.strip().split(" ")
+            for i in range(len(t) - 1):
+                if t[i] != "|" and t[i + 1] != "|":
+                    counts[(t[i], t[i + 1])] = counts.get(
+                        (t[i], t[i + 1]), 0
+                    ) + 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = top[:cand_cap]
+        if not top:
+            break
+        used: set = set()
+        formed: set = set()
+        accepted = []
+        for (a, b), c in top:
+            if (
+                len(accepted) >= batch_size
+                or len(out) + len(accepted) >= n_merges
+            ):
+                break
+            if a in used or b in used or a in formed or b in formed:
+                continue
+            accepted.append((a, b, c))
+            used.update((a, b))
+            formed.add(a + b)
+        for a, b, c in accepted:
+            out.append((len(out), a, b, c))
+            reprs = [
+                r.replace(f" {a} {b} ", f" {a}{b} ") for r in reprs
+            ]
+    return out
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=BPE_DOCS)
+def test_bpe_trainers_match_python_reference(spark, texts):
+    """Both BPE training paths vs an independent pure-Python twin on
+    randomized tiny corpora — a third implementation beside the Spark
+    loop and the DuckDB oracle CTEs, cheap enough to randomize. Random
+    'ab'-alphabet words produce exactly the adversarial shapes the
+    designed fixtures enumerate by hand: overlapping pair occurrences
+    (the non-overlapping-replace caveat), repeated winning pairs across
+    ranks, and conflict-heavy epoch heads."""
+    from data_warehouse_flink_spark.functions.text import (
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    n = 3
+    assert bpe_train_merges(docs, n) == _ref_bpe(texts, n, batch_size=1)
+    assert bpe_train_merges_batched(
+        docs, n, batch_size=2
+    ) == _ref_bpe(texts, n, batch_size=2)
