@@ -69,28 +69,25 @@ def load_all() -> None:
 
 # The driver grades a fixed-size prefix of the registry (50 entries in every
 # round so far, in ``queries()`` iteration order), so iteration order decides
-# which queries get oracle evidence each round. Priority for round 10
-# (VERDICT r9 directives #1 and #3):
+# which queries get oracle evidence each round. Priority for round 11
+# (VERDICT r10 directive #1):
 # (1) the 22 SURVEY §2 gate queries — stay in every round's prefix;
-# (2) first-evidence entries FIRST (the documented rule since r8:
-#     first-evidence goes ahead of reconfirmations): this round only
-#     `corpus_bpe_train_batched` (VERDICT r9 #3 — the batch_size=4 path
-#     under its own hash gate; the sequential path graded r9).
+# (2) first-evidence entries FIRST (the documented rule since r8):
+#     none this round — the registry is frozen at 176 (VERDICT r10 #5)
+#     and round 11 adds no registered queries.
 # (3) periodic-reconfirmation cadence (rule since r7: after first-evidence
 #     entries, fill the prefix with the queries holding the OLDEST driver
 #     hash evidence, ties broken by registration order, so no query's
-#     evidence age is unbounded). This round: the full r4-evidence tail of
-#     11, then the first 16 of the r5 cohort of 28 in registration order
-#     (VERDICT r9 #1 budgeted 17, but its own #3 requires the
-#     first-evidence gate a slot and the documented rule puts
-#     first-evidence ahead — the 17th, events_zorder_layout's successor
-#     streaming_value_histogram_quantiles, leads the r11 tail instead).
-# 22 + 1 + 11 + 16 = 50 exactly. Next up (round 11): the r5 remainder
-# (streaming_value_histogram_quantiles, events_key_skew_profile,
-# events_k_anonymity, user_cdc_snapshot, streaming_user_cdc_snapshot,
-# events_props_json, events_backfill_plan, events_sessionize_gap_stats,
-# events_rollup_incremental, streaming_sessionize_gap_stats,
-# events_dq_anomaly, streaming_dq_anomaly — 12), then the r6 cohort.
+#     evidence age is unbounded). This round: the full r5-evidence
+#     remainder of 12, then the first 16 of the r6 cohort of 28 in
+#     registration order — exactly the plan VERDICT r10 #1 names.
+# 22 + 0 + 12 + 16 = 50 exactly. Next up (round 12): the r6 remainder
+# (embedding_standardize, doc_ngram_novelty, doc_length_histogram,
+# streaming_rollup_incremental, events_late_arrival_profile,
+# streaming_user_tier_scd2, events_quarantine, user_churn_training_set,
+# events_weekday_hour_heatmap, orders_customer_mart,
+# streaming_weekday_hour_heatmap, sql_top_customer_per_nation — 12),
+# then the r7 cohort head.
 _GRADING_PRIORITY = (
     # -- §2 gates (reference_jobs registration order) --
     "page_view",
@@ -115,44 +112,44 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- first-evidence: the round-10 batched-BPE gate (never graded) --
-    "corpus_bpe_train_batched",
-    # -- oldest-evidence reconfirmation: the r4 tail of 11, then the
-    # first 16 of the r5 cohort (evidence CORRECTNESS_r04/r05;
+    # -- oldest-evidence reconfirmation: the r5 remainder of 12, then the
+    # first 16 of the r6 cohort (evidence CORRECTNESS_r05/r06;
     # registration order) --
-    "doc_hash_embedding",  # r4
-    "events_pivot",  # r4
-    "events_grouping_sets",  # r4
-    "user_tier_scd2",  # r4
-    "events_compaction_plan",  # r4
-    "events_column_stats",  # r4
-    "event_value_histogram_quantiles",  # r4
-    "orders_integrity_checks",  # r4
-    "sql_priority_counts",  # r4
-    "sql_nation_customer_stats",  # r4
-    "sql_lineitem_by_quantity_band",  # r4
-    "doc_span_dedup",  # r5
-    "doc_quality_classifier",  # r5
-    "token_count_min_sketch",  # r5
-    "doc_text_knn",  # r5
-    "corpus_curation_v2",  # r5
-    "doc_dedup_sweep",  # r5
-    "doc_url_dedup",  # r5
-    "doc_weighted_sample",  # r5
-    "doc_perplexity_bucket",  # r5
-    "knn_ivf_pq",  # r5
-    "doc_exact_substring_dedup",  # r5
-    "doc_tokenizer_fertility",  # r5
-    "corpus_token_budget_plan",  # r5
-    "doc_lsh_recall_report",  # r5
-    "events_tier_point_in_time",  # r5
-    "events_zorder_layout",  # r5
+    "streaming_value_histogram_quantiles",  # r5
+    "events_key_skew_profile",  # r5
+    "events_k_anonymity",  # r5
+    "user_cdc_snapshot",  # r5
+    "streaming_user_cdc_snapshot",  # r5
+    "events_props_json",  # r5
+    "events_backfill_plan",  # r5
+    "events_sessionize_gap_stats",  # r5
+    "events_rollup_incremental",  # r5
+    "streaming_sessionize_gap_stats",  # r5
+    "events_dq_anomaly",  # r5
+    "streaming_dq_anomaly",  # r5
+    "login_fail_triple_cep",  # r6
+    "tpch_q1",  # r6
+    "tpch_q3",  # r6
+    "tpch_q18",  # r6
+    "tpch_q7",  # r6
+    "tpch_q8",  # r6
+    "tpch_q2",  # r6
+    "tpch_q9",  # r6
+    "tpch_q11",  # r6
+    "tpch_q21",  # r6
+    "doc_span_dedup_fast",  # r6
+    "doc_exact_substring_dedup_fast",  # r6
+    "doc_exact_substring_dedup_50",  # r6
+    "corpus_mixture_resample",  # r6
+    "multimodal_shard_plan",  # r6
+    "corpus_ccnet_funnel",  # r6
 )
-# Rotated OUT of the prefix this round: the nine r9 first-evidence
-# entries (trainers + sampled fits, all hash-green r9), the two r3-aged
-# queries and the 17 r4-cohort entries regraded r9. Evidence ages after
-# this round's grading: r5 remainder (12), then r6 (26) / r7 (28) /
-# r8 (28) / r9 (50 incl. the 22 gates regraded every round).
+# Rotated OUT of the prefix this round: corpus_bpe_train_batched (r10
+# first-evidence, hash-green), the r4 tail of 11 and the first 16 of the
+# r5 cohort (all regraded r10). Evidence ages after this round's
+# grading: r6 remainder (12), then r7 (28) / r8 (28) / r9 (28) /
+# r10 (22 non-gate entries regraded r10; the 22 gates regrade every
+# round).
 # The local parity suite still re-verifies every registered oracle each
 # session; the driver prefix is the independent re-proof channel.
 
