@@ -5540,6 +5540,14 @@ def sampled_fit_recall_sweep(
             .localCheckpoint(eager=True)
         )
     n_possible = brute.count()
+    if n_possible == 0:
+        # no query ids below n_queries (or an empty passed-in brute
+        # frame): every recall would divide by zero — misconfiguration,
+        # not a measurable sweep point
+        raise ValueError(
+            f"no brute-force ground truth: 0 rows for the first "
+            f"{n_queries} query ids — check vec_id coverage of `embs`"
+        )
 
     def hits(top: DataFrame) -> int:
         return (
@@ -5558,7 +5566,18 @@ def sampled_fit_recall_sweep(
             # the checkpoint write
             sample = sample.localCheckpoint(eager=True)
         sample_n = sample.count()
-        try:
+        # Inadmissibility is checked EXPLICITLY (sample smaller than the
+        # codebook k) rather than by catching the trainers' ValueError:
+        # the trainers also raise ValueError for misconfiguration (e.g.
+        # pq_kmeans_fused_train's dim-vs-m_subspaces*sub_dim guard), and
+        # those must fail the sweep loudly, not be reported as an
+        # inadmissible rate.
+        if sample_n < _KMEANS_K:
+            ivf_row = (
+                "ivf_trained_sampled", denom, sample_n,
+                None, n_possible, None,
+            )
+        else:
             cents = kmeans_quantized_train(
                 sample, k=_KMEANS_K, iters=_KMEANS_ITERS
             )
@@ -5571,13 +5590,13 @@ def sampled_fit_recall_sweep(
                 "ivf_trained_sampled", denom, sample_n,
                 n_hits, n_possible, n_hits * 1_000_000 // n_possible,
             )
-        except ValueError:  # sample smaller than k: inadmissible rate
-            ivf_row = (
-                "ivf_trained_sampled", denom, sample_n,
+        rows.append(ivf_row)
+        if sample_n < _PQ_TRAIN_K:
+            pq_row = (
+                "pq_trained_sampled", denom, sample_n,
                 None, n_possible, None,
             )
-        rows.append(ivf_row)
-        try:
+        else:
             books = pq_kmeans_fused_train(
                 sample,
                 m_subspaces=_PQ_TRAIN_M,
@@ -5598,13 +5617,85 @@ def sampled_fit_recall_sweep(
                 "pq_trained_sampled", denom, sample_n,
                 n_hits, n_possible, n_hits * 1_000_000 // n_possible,
             )
-        except ValueError:
-            pq_row = (
-                "pq_trained_sampled", denom, sample_n,
-                None, n_possible, None,
-            )
         rows.append(pq_row)
     return rows
+
+
+# SCALING.md's minimum-admissible rules as data (round-10 sweep):
+# family -> (size_floor_rows, recall_floor_ppm). IVF is sample-rate
+# robust, so its binding constraint is absolute sample size with margin
+# over the existential floor (128·k). PQ overfits sample noise long
+# before the existential floor, so it gets BOTH a per-book size floor
+# (16·k) and a mandatory measured-recall acceptance at the candidate
+# rate. The recall floors are the pinned operating-point values
+# (tests/test_round10_ops.py): IVF ≥ 250k, PQ ≥ 80k ppm.
+_SAMPLED_FIT_FLOORS: dict[str, tuple[int, int]] = {
+    "ivf": (128 * _KMEANS_K, 250_000),
+    "pq": (16 * _PQ_TRAIN_K, 80_000),
+}
+
+
+def sampled_fit_admissible(
+    embs: DataFrame,
+    denom: int,
+    family: str,
+    floor_ppm: int | None = None,
+    size_floor: int | None = None,
+    k: int = 5,
+    n_queries: int = 20,
+    brute: DataFrame | None = None,
+) -> dict:
+    """Executable pre-serve acceptance gate for a sampled-fit quantizer
+    (VERDICT r10 #2): is fitting `family` ("ivf" | "pq") on a 1/`denom`
+    md5 hash-sample of `embs` admissible for serving? Wraps
+    `sampled_fit_recall_sweep` at the single candidate rate and grades
+    the result against SCALING.md's stated minimum-admissible rules
+    (`_SAMPLED_FIT_FLOORS`): the family's absolute sample-size floor AND
+    a measured recall@k floor at that exact rate — the "run
+    `knn_recall_report` at the candidate rate before serving" rule as a
+    callable check instead of prose.
+
+    `floor_ppm` / `size_floor` override the SCALING.md defaults (e.g.
+    small-SF harness corpora sit below the production size floors by
+    construction); production callers should leave both at None.
+
+    Returns a verdict dict: {family, denom, sample_n, recall_ppm,
+    size_floor, floor_ppm, admissible, reason}. `reason` is "" when
+    admissible, else the first failed criterion ("sample below
+    existential floor (k)", "sample below size floor", "recall below
+    floor"). Cost: one sampled fit + one full-corpus serve + the brute
+    baseline (pass `brute` to amortize it across calls) — exactly what
+    the rule demands you measure before trusting the rate."""
+    if family not in _SAMPLED_FIT_FLOORS:
+        raise ValueError(f"unknown family {family!r}: want 'ivf' or 'pq'")
+    default_size, default_ppm = _SAMPLED_FIT_FLOORS[family]
+    size_floor = default_size if size_floor is None else size_floor
+    floor_ppm = default_ppm if floor_ppm is None else floor_ppm
+    rows = sampled_fit_recall_sweep(
+        embs, denominators=(denom,), k=k, n_queries=n_queries, brute=brute
+    )
+    tier = f"{family}_trained_sampled"
+    (_t, _d, sample_n, _hits, _possible, recall_ppm) = next(
+        r for r in rows if r[0] == tier
+    )
+    if recall_ppm is None:
+        reason = "sample below existential floor (k)"
+    elif sample_n < size_floor:
+        reason = "sample below size floor"
+    elif recall_ppm < floor_ppm:
+        reason = "recall below floor"
+    else:
+        reason = ""
+    return {
+        "family": family,
+        "denom": denom,
+        "sample_n": sample_n,
+        "recall_ppm": recall_ppm,
+        "size_floor": size_floor,
+        "floor_ppm": floor_ppm,
+        "admissible": reason == "",
+        "reason": reason,
+    }
 
 
 # --------------------- in-engine BPE merge trainer (pair-count loop) ----
@@ -5639,6 +5730,15 @@ def _bpe_train_oracle(
     repr_sql = _BPE_REPR_SQL.replace(
         "string_split(text", f"string_split({text_sql}"
     )
+    # If _BPE_REPR_SQL's spelling ever drifts, the replace() silently
+    # no-ops and a non-default text_sql would train the oracle on raw
+    # `text` while the Spark side trains on the fixture corpus — assert
+    # the substitution actually happened.
+    if text_sql != "text":
+        assert repr_sql != _BPE_REPR_SQL, (
+            "text_sql substitution no-oped: _BPE_REPR_SQL no longer "
+            "contains 'string_split(text'"
+        )
     parts = [f"r0 AS (\n      SELECT {repr_sql} AS r FROM documents\n    )"]
     for t in range(n_merges):
         parts.append(

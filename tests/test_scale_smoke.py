@@ -1204,6 +1204,47 @@ def test_pq_trained_adc_at_500k_vectors(spark, big_vectors):
     assert top2 == top1
 
 
+def test_sampled_fit_admissible_at_500k_vectors(spark, big_vectors):
+    """The callable acceptance gate with PRODUCTION floors at volume
+    (VERDICT r10 #2): the r10 sweep measured IVF ~340k ppm at 1/16
+    (comfortably admissible) and PQ ~40k ppm at 1/2 on this
+    structure-less corpus (the documented PQ failure mode: recall
+    collapses long before the 249k-row sample nears any size floor).
+    `sampled_fit_admissible` must reproduce BOTH verdicts from its
+    SCALING.md defaults — this is the pre-serve check the prose rule
+    became. Deterministic: md5 sample, integer Lloyd, fixed tie-breaks."""
+    import time
+
+    from data_warehouse_flink_spark.functions.similarity import (
+        knn_bruteforce,
+    )
+    from data_warehouse_flink_spark.plans.llm_ops import (
+        sampled_fit_admissible,
+    )
+
+    queries = big_vectors.filter(F.col("vec_id") < 20)
+    brute = (
+        knn_bruteforce(big_vectors, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    ivf = sampled_fit_admissible(big_vectors, 16, "ivf", brute=brute)
+    pq = sampled_fit_admissible(big_vectors, 2, "pq", brute=brute)
+    dt = time.perf_counter() - t0
+    print(
+        f"acceptance gate at 500k ({dt:.1f}s): ivf@1/16 "
+        f"{ivf['recall_ppm']}ppm admissible={ivf['admissible']}, pq@1/2 "
+        f"{pq['recall_ppm']}ppm admissible={pq['admissible']} "
+        f"({pq['reason']})"
+    )
+    assert ivf["admissible"] and ivf["recall_ppm"] >= 250_000
+    assert not pq["admissible"] and pq["reason"] == "recall below floor"
+    # size was never the binding constraint — RECALL failed the serve
+    assert pq["sample_n"] >= pq["size_floor"]
+    assert pq["recall_ppm"] is not None and pq["recall_ppm"] < 80_000
+
+
 def test_bpe_trainer_at_1m_docs(spark, big_docs):
     """The pair-counting loop at 1M docs: each rank explodes ~120M
     adjacent-pair rows that map-side combine down to symbol-pair
