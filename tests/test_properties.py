@@ -736,3 +736,109 @@ def test_bpe_trainers_match_python_reference(spark, texts):
     assert bpe_train_merges_batched(
         docs, n, batch_size=2
     ) == _ref_bpe(texts, n, batch_size=2)
+
+
+DSIR_DOCS = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "ab", ""]),
+            min_size=0,
+            max_size=6,
+        ),
+        st.sampled_from(["en", "de"]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_dsir(docs):
+    """Pure-Python DSIR twin (md5 bucket path): per doc, grams are the
+    single-space-split tokens plus adjacent space-joined bigrams (split
+    keeps empty tokens — 'a  b' yields ['a', '', 'b'], exactly Spark's
+    split(text, ' ')); bucket = first 7 md5 hex chars as an int mod
+    _DSIR_BUCKETS; lr_micro rounds HALF-AWAY-FROM-ZERO in the decimal
+    domain (BigDecimal HALF_UP == decimal.ROUND_HALF_UP on the exact
+    binary double, the registry's cross-engine rounding convention)."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from data_warehouse_flink_spark.plans.llm_ops import _DSIR_BUCKETS
+
+    b = _DSIR_BUCKETS
+    grams = []  # (doc_id, is_t, bucket)
+    for doc_id, (words, lang) in enumerate(docs):
+        toks = " ".join(words).split(" ")
+        gs = list(toks)
+        if len(toks) >= 2:
+            gs += [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+        for g in gs:
+            bucket = int(hashlib.md5(g.encode()).hexdigest()[:7], 16) % b
+            grams.append((doc_id, lang == "en", bucket))
+    rawn, tgtn = len(grams), sum(1 for _, t, _ in grams if t)
+    bstats: dict[int, list[int]] = {}
+    for _, is_t, bucket in grams:
+        s = bstats.setdefault(bucket, [0, 0])
+        s[0] += 1
+        s[1] += int(is_t)
+    lr = {
+        bucket: int(
+            Decimal(
+                math.log(
+                    ((tgtc + 1) / (tgtn + b)) / ((rawc + 1) / (rawn + b))
+                )
+                * 1_000_000.0
+            ).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+        for bucket, (rawc, tgtc) in bstats.items()
+    }
+    weights = {}
+    for doc_id, _, bucket in grams:
+        n, w = weights.get(doc_id, (0, 0))
+        weights[doc_id] = (n + 1, w + lr[bucket])
+    return grams, weights
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=DSIR_DOCS)
+def test_dsir_weights_match_python_reference(spark, docs, monkeypatch):
+    """The DSIR importance-weight pipeline (gate md5 path) vs an
+    independent pure-Python twin — a third implementation beside the
+    Spark plan and the DuckDB oracle, randomized over the shapes the
+    fixed sf tables can't vary: empty tokens from repeated spaces,
+    single-token docs (no bigrams), all-target and no-target corpora
+    (the +1/+B smoothing arms), and multi-gram bucket collisions at
+    B=1024. Checked at both observable layers so a failure localizes:
+    the gram/bucket table (integer-only), then the final (n_grams,
+    weight_micro, keep) rows including the half-up micro rounding —
+    the per-bucket stats in between are a pure function of the gram
+    table in both implementations."""
+    from data_warehouse_flink_spark.plans import llm_ops
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(words), lang) for i, (words, lang) in enumerate(docs)],
+        "doc_id long, text string, lang string",
+    )
+    monkeypatch.setattr(llm_ops, "_docs", lambda s, d: frame)
+
+    ref_grams, ref_weights = _ref_dsir(docs)
+
+    got_grams = sorted(
+        (r["doc_id"], r["is_t"], r["bucket"])
+        for r in llm_ops._dsir_grams(spark, "unused", "md5").collect()
+    )
+    assert got_grams == sorted(ref_grams)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight_micro"], r["keep"])
+        for r in llm_ops._dsir_weights(spark, "unused", "md5").collect()
+    }
+    want = {
+        doc_id: (n, w, w > 0) for doc_id, (n, w) in ref_weights.items()
+    }
+    assert got == want
