@@ -842,3 +842,106 @@ def test_dsir_weights_match_python_reference(spark, docs, monkeypatch):
         doc_id: (n, w, w > 0) for doc_id, (n, w) in ref_weights.items()
     }
     assert got == want
+
+
+SCD2_ROW = st.tuples(
+    st.integers(min_value=0, max_value=3),                    # key
+    st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # f1
+    st.one_of(st.none(), st.sampled_from(["x", "y"])),        # f2
+)
+SCD2_BATCH = st.lists(SCD2_ROW, min_size=1, max_size=4, unique_by=lambda r: r[0])
+SCD2_SEQ = st.tuples(SCD2_BATCH, st.lists(SCD2_BATCH, min_size=1, max_size=3))
+
+
+def _ref_scd2(snapshot, batches):
+    """Pure-Python SCD2 twin: per key a version list; an update row is a
+    change iff its attr tuple differs from the key's current version
+    (NULLs compared as values — None == None, None != x, matching the
+    to_json ignoreNullFields=false hash); changes close the current row
+    at the batch ts and append a new current version; identical rows
+    are no-ops (idempotent replay)."""
+    hist = {}  # key -> list of [f1, f2, from, to, is_current]
+    for k, f1, f2 in snapshot:
+        hist[k] = [[f1, f2, 100, None, True]]
+    for i, batch in enumerate(batches):
+        ts = 200 + 100 * i
+        for k, f1, f2 in batch:
+            versions = hist.setdefault(k, [])
+            cur = next((v for v in versions if v[4]), None)
+            if cur is not None and (cur[0], cur[1]) == (f1, f2):
+                continue
+            if cur is not None:
+                cur[3], cur[4] = ts, False
+            versions.append([f1, f2, ts, None, True])
+    return sorted(
+        (
+            (k, v[0], v[1], v[2], v[3], v[4])
+            for k, versions in hist.items()
+            for v in versions
+        ),
+        key=_none_safe,
+    )
+
+
+def _none_safe(t):
+    """Sort key for tuples with NULLs: None sorts before any value of the
+    position's type, without ever comparing None to a non-None."""
+    return tuple((v is not None, v) for v in t)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seq=SCD2_SEQ)
+def test_scd2_apply_matches_python_reference(spark, seq):
+    """scd2_init + a random batch sequence through scd2_apply vs the
+    pure-Python version-list twin — a second independent implementation
+    of the MERGE-emulation kernel the SCD2 gates (and the streaming
+    foreachBatch twin) build on. Randomization covers what the fixed
+    gate corpus can't: NULL attrs flipping to values and back, new keys
+    arriving mid-sequence, identical-row replays (must be no-ops), and
+    multi-version keys. Replaying the LAST batch once more is asserted
+    to change nothing (idempotency, the operator's documented
+    contract)."""
+    from data_warehouse_flink_spark.operators.scd2 import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    snapshot, batches = seq
+    schema = "id long, f1 int, f2 string"
+    hist = scd2_init(
+        spark.createDataFrame(snapshot, schema), "id", ["f1", "f2"], ts_us=100
+    )
+    for i, batch in enumerate(batches):
+        hist = scd2_apply(
+            hist,
+            spark.createDataFrame(batch, schema),
+            "id",
+            ["f1", "f2"],
+            ts_us=200 + 100 * i,
+        )
+    hist = hist.localCheckpoint(eager=True)  # bound the lineage chain
+
+    def rows(df):
+        return sorted(
+            (
+                (r["id"], r["f1"], r["f2"], r["valid_from_us"],
+                 r["valid_to_us"], r["is_current"])
+                for r in df.collect()
+            ),
+            key=_none_safe,
+        )
+
+    assert rows(hist) == _ref_scd2(snapshot, batches)
+
+    replay = scd2_apply(
+        hist,
+        spark.createDataFrame(batches[-1], schema),
+        "id",
+        ["f1", "f2"],
+        ts_us=200 + 100 * len(batches),
+    )
+    assert rows(replay) == rows(hist)
