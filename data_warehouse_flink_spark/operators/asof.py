@@ -30,10 +30,20 @@ def asof_join(
     (NULL when no prior right row exists or it is older than `tolerance_sec`).
     Right rows are deduplicated to one per (key, ts) (max of each payload
     col) so ties are deterministic.
+
+    Matched-ROW semantics (DuckDB ASOF JOIN's, which the gate oracle
+    runs): asof_ts and every asof_<col> come from the SAME — the latest
+    at-or-before — right row, so a NULL payload on the matched row stays
+    NULL. The carried window value is therefore ONE struct of the whole
+    right row (non-NULL for every right row, even an all-NULL payload);
+    per-column last(ignorenulls) would resurrect an OLDER row's non-NULL
+    payload under a NULL-payload match and could even mix columns across
+    different right rows (caught by the as-of property twin,
+    tests/test_properties.py).
     """
     # the union plan injects these working columns; a left frame already
     # using one of the names would be silently corrupted, so fail loudly
-    reserved = {"_tag", "_rts", "_asof_ts", "asof_ts"} | {
+    reserved = {"_tag", "_rts", "_m", "asof_ts"} | {
         f"asof_{c}" for c in right_cols
     } | {f"_r_{c}" for c in right_cols}
     clashes = reserved.intersection(left.columns)
@@ -41,6 +51,11 @@ def asof_join(
         raise ValueError(
             f"asof_join: left columns collide with reserved names: "
             f"{sorted(clashes)}; rename them before joining"
+        )
+    if "_asof_match_ts" in right_cols:
+        raise ValueError(
+            "asof_join: '_asof_match_ts' is the match struct's ts field; "
+            "rename the right column before joining"
         )
     r_dedup = right.groupBy(
         F.col(key), F.col(right_ts).alias("_rts")
@@ -82,34 +97,25 @@ def asof_join(
         .orderBy(F.asc("_rts"), F.asc("_tag"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        *l_cols,
-        "_tag",
-        "_rts",
-        F.last(F.when(F.col("_tag") == 0, F.col("_rts")), ignorenulls=True)
-        .over(w)
-        .alias("_asof_ts"),
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True)
-            .over(w)
-            .alias(f"asof_{c}")
-            for c in right_cols
-        ],
-    )
+    match = F.last(
+        F.when(
+            F.col("_tag") == 0,
+            F.struct(
+                F.col("_rts").alias("_asof_match_ts"),
+                *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    carried = unioned.select(*l_cols, "_tag", "_rts", match.alias("_m"))
     out = carried.filter(F.col("_tag") == 1)
+    match_ts = F.col("_m").getField("_asof_match_ts")
     if tolerance_sec is not None:
         horizon = F.unix_micros(F.col("_rts")) - tolerance_sec * 1_000_000
-        within = F.unix_micros(F.col("_asof_ts")) >= horizon
-        out = out.select(
-            *l_cols,
-            F.when(within, F.col("_asof_ts")).alias("_asof_ts"),
-            *[
-                F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
-                for c in right_cols
-            ],
-        )
+        within = F.unix_micros(match_ts) >= horizon
+        out = out.withColumn("_m", F.when(within, F.col("_m")))
     return out.select(
         *l_cols,
-        F.col("_asof_ts").alias("asof_ts"),
-        *[F.col(f"asof_{c}") for c in right_cols],
+        match_ts.alias("asof_ts"),
+        *[F.col("_m").getField(c).alias(f"asof_{c}") for c in right_cols],
     )

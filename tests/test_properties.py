@@ -945,3 +945,95 @@ def test_scd2_apply_matches_python_reference(spark, seq):
         ts_us=200 + 100 * len(batches),
     )
     assert rows(replay) == rows(hist)
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=6),  # ts (epoch sec)
+    ),
+    min_size=1,
+    max_size=12,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=6),  # ts (epoch sec)
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),  # v
+    ),
+    max_size=12,
+)
+
+
+def _ref_asof(left, right, tol):
+    """Pure-Python as-of twin: dedup right to one row per (key, ts) with
+    max(v) ignoring NULLs (all-NULL stays NULL), then per left row take
+    the greatest right ts <= left ts (inclusive), NULLed out when older
+    than the tolerance."""
+    dedup: dict[tuple, int | None] = {}
+    for k, ts, v in right:
+        cur = dedup.get((k, ts))
+        dedup[(k, ts)] = v if cur is None else (cur if v is None else max(cur, v))
+    out = []
+    for k, ts in left:
+        prior = [rts for (rk, rts) in dedup if rk == k and rts <= ts]
+        if prior:
+            rts = max(prior)
+            if tol is not None and rts < ts - tol:
+                out.append((k, ts, None, None))
+            else:
+                out.append((k, ts, rts, dedup[(k, rts)]))
+        else:
+            out.append((k, ts, None, None))
+    return sorted(out, key=_none_safe)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=ASOF_LEFT,
+    right=ASOF_RIGHT,
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+)
+def test_asof_join_matches_python_reference(spark, left, right, tol):
+    """The union-scan as-of join vs a brute-force pure-Python twin on
+    random key/ts grids — pins the inclusive at-equal-ts match (right
+    sorts before left at the same instant), the per-(key, ts) right
+    dedup with NULL-ignoring max (all-NULL payload stays NULL but the
+    MATCH itself still happens: asof_ts set, asof_v NULL), no-prior-row
+    NULLs, duplicate left rows, and the tolerance cutoff arm."""
+    from data_warehouse_flink_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(left, "k long, e long").withColumn(
+        "ts", F.timestamp_seconds(F.col("e"))
+    )
+    rdf = spark.createDataFrame(
+        right, "k long, re long, v int"
+    ).withColumn("rts", F.timestamp_seconds(F.col("re")))
+
+    got = sorted(
+        (
+            (
+                r["k"],
+                r["e"],
+                None if r["asof_ts"] is None else int(r["asof_ts"].timestamp()),
+                r["asof_v"],
+            )
+            for r in asof_join(
+                ldf.select("k", "e", "ts"),
+                rdf.select("k", "rts", F.col("v").alias("v")),
+                "k",
+                "ts",
+                "rts",
+                ["v"],
+                tolerance_sec=tol,
+            )
+            .withColumnRenamed("asof_v", "asof_v")
+            .collect()
+        ),
+        key=_none_safe,
+    )
+    assert got == _ref_asof(left, right, tol)
