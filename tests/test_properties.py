@@ -1037,3 +1037,106 @@ def test_asof_join_matches_python_reference(spark, left, right, tol):
         key=_none_safe,
     )
     assert got == _ref_asof(left, right, tol)
+
+
+CEP_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=9),   # ts (epoch sec)
+        st.sampled_from(["f", "s", "o"]),        # event type
+    ),
+    min_size=1,
+    max_size=16,
+    unique_by=lambda r: (r[0], r[1]),  # strict mode sorts by ts per key
+)
+CEP_STRICT = st.sampled_from(
+    [("f", "f"), ("f", "f", "s"), ("f", "s", "f"), ("f", "f", "f")]
+)
+CEP_WITHIN = st.integers(min_value=1, max_value=3)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=CEP_EVENTS, steps=CEP_STRICT, within=CEP_WITHIN)
+def test_cep_strict_detect_matches_python_reference(spark, events, steps, within):
+    """The n-step strict-contiguity lag chain (Pattern.next, SURVEY §2.6)
+    vs a pure-Python sliding-window reference: per key, every run of
+    len(steps) CONSECUTIVE events whose types match positionally and
+    whose span fits the bound — randomized over interleaved keys,
+    non-matching events breaking runs, overlapping matches sharing
+    events, and exact-boundary spans."""
+    from data_warehouse_flink_spark.operators.patterns import Pattern
+
+    df = spark.createDataFrame(
+        events, "k long, e long, et string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("e")))
+    p = Pattern.begin("s0", F.col("et") == steps[0])
+    for i, t in enumerate(steps[1:], start=1):
+        p = p.next(f"s{i}", F.col("et") == t)
+    got = sorted(
+        tuple(r) for r in p.within(within).detect(df, "k", "ts").collect()
+    )
+
+    n = len(steps)
+    want = []
+    for k in {e[0] for e in events}:
+        run = sorted((ts, et) for kk, ts, et in events if kk == k)
+        for j in range(len(run) - n + 1):
+            window = run[j : j + n]
+            if all(et == steps[i] for i, (_, et) in enumerate(window)) and (
+                window[-1][0] - window[0][0] <= within
+            ):
+                want.append((k, *(ts * 1_000_000 for ts, _ in window)))
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=CEP_EVENTS, within=CEP_WITHIN)
+def test_cep_relaxed_detect_matches_python_reference(spark, events, within):
+    """The followed_by join+argmin compilation (matches AND the timeout
+    side output) vs a pure-Python reference: per first-step event the
+    EARLIEST second-step event of the same key inside [first, first +
+    within], a timeout when none exists — randomized over firsts with
+    multiple candidate seconds (argmin ties to the earliest), seconds
+    preceding firsts, and boundary-exact completions."""
+    from data_warehouse_flink_spark.operators.patterns import Pattern
+
+    df = spark.createDataFrame(
+        events, "k long, e long, et string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("e")))
+    p = (
+        Pattern.begin("a", F.col("et") == "f")
+        .followed_by("b", F.col("et") == "s")
+        .within(within)
+    )
+    got_m = sorted(
+        (r["k"], r["a_us"], r["b_us"])
+        for r in p.detect(df, "k", "ts").collect()
+    )
+    got_t = sorted(
+        (r["k"], r["a_us"])
+        for r in p.detect_timeouts(df, "k", "ts").collect()
+    )
+
+    want_m, want_t = [], []
+    for k, ts, et in events:
+        if et != "f":
+            continue
+        seconds = [
+            s * 1_000_000
+            for kk, s, e2 in events
+            if kk == k and e2 == "s" and ts <= s <= ts + within
+        ]
+        if seconds:
+            want_m.append((k, ts * 1_000_000, min(seconds)))
+        else:
+            want_t.append((k, ts * 1_000_000))
+    assert got_m == sorted(want_m)
+    assert got_t == sorted(want_t)
