@@ -1140,3 +1140,59 @@ def test_cep_relaxed_detect_matches_python_reference(spark, events, within):
             want_t.append((k, ts * 1_000_000))
     assert got_m == sorted(want_m)
     assert got_t == sorted(want_t)
+
+
+ADC_CODES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # code0
+        st.integers(min_value=0, max_value=3),  # code1
+    ),
+    min_size=1,
+    max_size=10,
+)
+ADC_LOOKUP = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=4, max_size=4),
+    st.lists(st.integers(min_value=0, max_value=9), min_size=4, max_size=4),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(codes=ADC_CODES, lookups=st.lists(ADC_LOOKUP, min_size=1, max_size=3))
+def test_adc_topk_matches_python_reference(spark, codes, lookups):
+    """The ADC ranking kernel vs a pure-Python twin on random code
+    tables and per-query lookup arrays — pins the 1-based element_at
+    indexing over 0-based codes, the integer distance sum, the
+    (dist, neighbor_id) tie-break, and the same-id self-exclusion
+    (query i never ranks corpus row i)."""
+    from data_warehouse_flink_spark.functions.clustering import adc_topk
+
+    k = 3
+    cdf = spark.createDataFrame(
+        [(i, c0, c1) for i, (c0, c1) in enumerate(codes)],
+        "vec_id long, code0 int, code1 int",
+    )
+    ldf = spark.createDataFrame(
+        [(q, list(d0), list(d1)) for q, (d0, d1) in enumerate(lookups)],
+        "vec_id long, dl0 array<int>, dl1 array<int>",
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rn"])
+        for r in adc_topk(cdf, ldf, k=k, m_subspaces=2).collect()
+    )
+
+    want = []
+    for q, (d0, d1) in enumerate(lookups):
+        ranked = sorted(
+            (d0[c0] + d1[c1], i)
+            for i, (c0, c1) in enumerate(codes)
+            if i != q
+        )
+        want += [
+            (q, i, dist, rn)
+            for rn, (dist, i) in enumerate(ranked[:k], start=1)
+        ]
+    assert got == sorted(want)
