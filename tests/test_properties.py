@@ -1196,3 +1196,99 @@ def test_adc_topk_matches_python_reference(spark, codes, lookups):
             for rn, (dist, i) in enumerate(ranked[:k], start=1)
         ]
     assert got == sorted(want)
+
+
+SESS_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=20),   # ts (epoch sec)
+        st.integers(min_value=0, max_value=999),  # event_id (unique)
+    ),
+    min_size=1,
+    max_size=16,
+    unique_by=lambda r: r[2],
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=SESS_EVENTS, gap=st.integers(min_value=1, max_value=5))
+def test_sessionize_matches_python_reference(spark, events, gap):
+    """The lag+cumsum sessionizer vs a pure-Python gap-splitting twin on
+    random event sets — pins the strict > gap split rule (a gap of
+    exactly gap_sec stays in-session), equal-ts ties ordered by
+    event_id, 0-based per-key session ids, and single-event keys."""
+    from data_warehouse_flink_spark.operators.detection import sessionize
+
+    df = spark.createDataFrame(
+        events, "user_id long, e long, event_id long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("e")))
+    got = sorted(
+        (r["user_id"], r["event_id"], r["session_id"])
+        for r in sessionize(df, "user_id", "ts", gap_sec=gap).collect()
+    )
+
+    want = []
+    for k in {e[0] for e in events}:
+        run = sorted((ts, eid) for kk, ts, eid in events if kk == k)
+        sid = -1
+        prev = None
+        for ts, eid in run:
+            if prev is None or ts - prev > gap:
+                sid += 1
+            want.append((k, eid, sid))
+            prev = ts
+    assert got == sorted(want)
+
+
+ZPOINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=31),  # x
+        st.integers(min_value=0, max_value=31),  # y
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(points=ZPOINTS)
+def test_zorder_matches_python_reference(spark, points):
+    """The Morton bit-interleave vs a pure-Python twin over the full
+    5-bit grid corners and random interior points, plus the quadtree
+    guarantee the file assignment exists for: with file_shift=4 every
+    z-file's min/max stats span < 2^(shift/2) = 4 in BOTH dimensions —
+    the balanced-pruning property a 1-D sort cannot give."""
+    from data_warehouse_flink_spark.operators.layout import (
+        zorder_file_stats,
+        zorder_value,
+    )
+
+    df = spark.createDataFrame(points, "x int, y int")
+    got = [
+        (r["x"], r["y"], r["z"])
+        for r in df.select(
+            "x", "y", zorder_value(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    for x, y, z in got:
+        want = 0
+        for b in range(5):
+            want |= ((x >> b) & 1) << (2 * b + 1)
+            want |= ((y >> b) & 1) << (2 * b)
+        assert z == want
+
+    stats = zorder_file_stats(
+        df, F.col("x"), F.col("y"), bits=5, file_shift=4
+    ).collect()
+    assert sum(r["n_rows"] for r in stats) == len(points)
+    for r in stats:
+        assert r["max_x"] - r["min_x"] < 4
+        assert r["max_y"] - r["min_y"] < 4
