@@ -1292,3 +1292,53 @@ def test_zorder_matches_python_reference(spark, points):
     for r in stats:
         assert r["max_x"] - r["min_x"] < 4
         assert r["max_y"] - r["min_y"] < 4
+
+
+J1_LEFT = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # key
+        st.integers(min_value=0, max_value=9),                        # payload
+    ),
+    max_size=8,
+)
+J1_RIGHT = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        st.integers(min_value=10, max_value=19),
+    ),
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=J1_LEFT, right=J1_RIGHT)
+def test_full_outer_match_matches_python_reference(spark, left, right):
+    """The J1 batch kernel (full-outer + discriminator) vs a pure-Python
+    twin — pins the multiplicity semantics (m matching left rows x n
+    right rows emit m*n matched pairs), NULL-keyed rows never matching
+    but still tagged with their ORIGIN side (the side-presence flags,
+    not key NULL-ness), and duplicate whole rows surviving."""
+    from data_warehouse_flink_spark.operators.joins import full_outer_match
+
+    ldf = spark.createDataFrame(left, "k int, a int")
+    rdf = spark.createDataFrame(right, "k int, b int")
+    got = sorted(
+        (tuple(r) for r in full_outer_match(ldf, rdf, ["k"]).collect()),
+        key=_none_safe,
+    )
+
+    want = []
+    for lk, a in left:
+        rs = [(rk, b) for rk, b in right if lk is not None and rk == lk]
+        if rs:
+            want += [(lk, a, rk, b, "matched") for rk, b in rs]
+        else:
+            want.append((lk, a, None, None, "unmatched_left"))
+    for rk, b in right:
+        if rk is None or not any(lk == rk for lk, _ in left):
+            want.append((None, None, rk, b, "unmatched_right"))
+    assert got == sorted(want, key=_none_safe)
