@@ -1342,3 +1342,49 @@ def test_full_outer_match_matches_python_reference(spark, left, right):
         if rk is None or not any(lk == rk for lk, _ in left):
             want.append((None, None, rk, b, "unmatched_right"))
     assert got == sorted(want, key=_none_safe)
+
+
+PANE_CONFIGS = st.sampled_from(
+    [("1 hour", 3600, "15 minutes", 900), ("2 hours", 7200, "30 minutes", 1800),
+     ("30 minutes", 1800, "5 minutes", 300), ("1 hour", 3600, None, None)]
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=WINDOW_ROWS, config=PANE_CONFIGS)
+def test_windowed_count_matches_python_reference(spark, rows, config):
+    """windowed_count's pane assignment vs a pure-Python epoch-grid
+    reference — ABSOLUTE pane math over random configs (the two-level
+    property test only proves the two Spark implementations agree with
+    each other): an event at t lands in every epoch-aligned window
+    [s, s+size) with s ≡ 0 (mod slide), tumbling when slide is None."""
+    import datetime as dt
+
+    from data_warehouse_flink_spark.operators.windows import windowed_count
+
+    size, size_sec, slide, slide_sec = config
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    base = int(t0.timestamp())
+    df = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s)) for k, s in rows],
+        "k int, ts timestamp",
+    )
+    got = sorted(
+        (r["window_start_sec"], r["window_end_sec"], r["k"], r["cnt"])
+        for r in windowed_count(df, "ts", size, slide=slide, keys=["k"]).collect()
+    )
+
+    step = slide_sec or size_sec
+    counts: dict[tuple, int] = {}
+    for k, off in rows:
+        t = base + off
+        s = (t // step) * step
+        while s + size_sec > t:
+            counts[(s, s + size_sec, k)] = counts.get((s, s + size_sec, k), 0) + 1
+            s -= step
+    want = sorted((s, e, k, c) for (s, e, k), c in counts.items())
+    assert got == want
