@@ -448,6 +448,56 @@ def test_tier_point_in_time_at_5m_events(spark, big_events):
     print(f"tier point-in-time over {n} facts in {elapsed:.1f}s")
 
 
+def test_asof_join_at_5m_events(spark, big_events):
+    """The union-scan as-of join at volume (struct-carry form, round 11):
+    ~1M purchases pick up each user's latest prior click from ~1M clicks.
+    Invariants: row-preserving left semantics (output == purchases,
+    duplicates included), every match at-or-before its purchase, and the
+    matched COUNT equals the independently computed truth (purchases at
+    or after their user's first click) — plus the scale claim: no
+    corpus-sized state, one window pass over the union."""
+    import time
+
+    from data_warehouse_flink_spark.operators.asof import asof_join
+
+    purchases = big_events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = big_events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    t0 = time.perf_counter()
+    out = asof_join(
+        purchases, clicks, "user_id", "ts", "cts", ["click_id"]
+    )
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("asof_ts").isNotNull().cast("long")).alias("matched"),
+        F.sum(
+            (F.col("asof_ts") <= F.col("ts")).cast("long")
+        ).alias("at_or_before"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    n_purch = purchases.count()
+    assert agg["n"] == n_purch
+    assert agg["at_or_before"] == agg["matched"]  # never a future click
+    # independent truth: a purchase matches iff its user's FIRST click
+    # is at-or-before it
+    first_click = clicks.groupBy("user_id").agg(F.min("cts").alias("c0"))
+    want_matched = (
+        purchases.join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("c0"))
+        .count()
+    )
+    assert agg["matched"] == want_matched
+    print(
+        f"asof join: {n_purch} purchases x ~{n_purch} clicks in "
+        f"{elapsed:.1f}s, {agg['matched']} matched"
+    )
+
+
 def test_exact_substring_dedup_at_1m_docs(spark, big_docs):
     """Overlapping 16-token windows at 1M docs (~25M window occurrences):
     the explode is scan-fused, the recurrence count and join-back key on
