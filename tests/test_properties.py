@@ -1388,3 +1388,214 @@ def test_windowed_count_matches_python_reference(spark, rows, config):
             s -= step
     want = sorted((s, e, k, c) for (s, e, k), c in counts.items())
     assert got == want
+
+
+ORDER_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # order_id
+        st.sampled_from(["create", "pay"]),
+        st.integers(min_value=0, max_value=30),       # ts offset sec
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda e: (e[0], e[2]),  # kernel sorts by ts per key
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=ORDER_EVENTS)
+def test_order_timeout_stream_matches_python_reference(spark, tmp_path, events):
+    """The C4/C5 stateful streaming kernel (applyInPandasWithState with
+    event-time timers) vs a pure-Python state-machine twin on random
+    order-event streams — randomizes what the 4-class outcome matrix
+    enumerates by hand: multiple creates before a pay (LAST create
+    wins), multiple pays (FIRST wins), pay arriving before create
+    (still 'payed' — the reference has no lower bound), exact-boundary
+    timeouts, and timer-only orders resolved by the watermark sentinel."""
+    import datetime as dt
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.state import (
+        order_timeout_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    far = dt.datetime(2024, 6, 1)
+    timeout = 10
+    schema = "order_id long, event_type string, ts timestamp"
+    main = pd.DataFrame(
+        [
+            {"order_id": o, "event_type": et, "ts": t0 + dt.timedelta(seconds=s)}
+            for o, et, s in events
+        ]
+    )
+    out_dir = str(tmp_path / _uuid.uuid4().hex)
+    spark.createDataFrame(main, schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    sentinel = pd.DataFrame(
+        [{"order_id": 999, "event_type": "create", "ts": far}]
+    )
+    spark.createDataFrame(sentinel, schema=schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(out_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out_dir)
+    )
+    got_pdf = run_stream_to_table(
+        order_timeout_stream(stream, timeout_sec=timeout),
+        spark,
+        output_mode="append",
+    ).toPandas()
+    got_pdf = got_pdf[got_pdf.order_id != 999]
+    got = sorted(
+        (
+            (
+                int(r.order_id),
+                r.result_type,
+                None if pd.isna(r.create_us) else int(r.create_us),
+                None if pd.isna(r.pay_us) else int(r.pay_us),
+            )
+            for r in got_pdf.itertuples(index=False)
+        ),
+        key=_none_safe,
+    )
+
+    # epoch micros of t0 under the SESSION timezone (what the kernel sees)
+    base_us = (
+        spark.createDataFrame([(t0,)], "ts timestamp")
+        .select(F.unix_micros("ts").alias("us"))
+        .collect()[0]["us"]
+    )
+    want = []
+    for o in {e[0] for e in events}:
+        evs = sorted((s, et) for oo, et, s in events if oo == o)
+        create = pay = None
+        emitted = None
+        for s, et in evs:
+            if et == "create":
+                create = s
+            elif pay is None:
+                pay = s
+            if create is not None and pay is not None:
+                ok = (pay - create) <= timeout
+                emitted = (
+                    o, "payed" if ok else "payed_but_timeout", create, pay
+                )
+                break
+        if emitted is None:
+            if pay is None:
+                emitted = (o, "timeout", create, None)
+            else:
+                emitted = (o, "pay_without_create", None, pay)
+        want.append(
+            (
+                emitted[0],
+                emitted[1],
+                None if emitted[2] is None else base_us + emitted[2] * 1_000_000,
+                None if emitted[3] is None else base_us + emitted[3] * 1_000_000,
+            )
+        )
+    assert got == sorted(want, key=_none_safe)
+
+
+TX_EVENTS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),             # tx_id
+        st.sampled_from(["pay", "receipt"]),
+        st.integers(min_value=0, max_value=30),       # ts offset sec
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda e: (e[0], e[2]),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=TX_EVENTS)
+def test_tx_match_stream_matches_python_reference(spark, tmp_path, events):
+    """The J1 streaming kernel (symmetric match + timeout side outputs)
+    vs a pure-Python twin on random pay/receipt streams — pins the
+    FIRST-event-per-side semantics (duplicate pays/receipts keep the
+    earliest ts), receipt-before-pay still matching, and the
+    timer-resolved unmatched classes on both sides."""
+    import datetime as dt
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.state import tx_match_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    far = dt.datetime(2024, 6, 1)
+    schema = "tx_id string, ts timestamp"
+
+    def write_side(side):
+        rows = [
+            {"tx_id": tx, "ts": t0 + dt.timedelta(seconds=s)}
+            for tx, sd, s in events
+            if sd == side
+        ] or [{"tx_id": "warm", "ts": t0}]
+        out = str(tmp_path / _uuid.uuid4().hex)
+        spark.createDataFrame(pd.DataFrame(rows), schema=schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(out)
+        spark.createDataFrame(
+            pd.DataFrame([{"tx_id": "zz", "ts": far}]), schema=schema
+        ).coalesce(1).write.mode("append").parquet(out)
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+
+    got_pdf = run_stream_to_table(
+        tx_match_stream(write_side("pay"), write_side("receipt"), timeout_sec=5),
+        spark,
+        output_mode="append",
+    ).toPandas()
+    got_pdf = got_pdf[~got_pdf.tx_id.isin(["zz", "warm"])]
+    got = sorted(
+        (
+            (
+                r.tx_id,
+                r.result_type,
+                None if pd.isna(r.pay_us) else int(r.pay_us),
+                None if pd.isna(r.receipt_us) else int(r.receipt_us),
+            )
+            for r in got_pdf.itertuples(index=False)
+        ),
+        key=_none_safe,
+    )
+
+    base_us = (
+        spark.createDataFrame([(t0,)], "ts timestamp")
+        .select(F.unix_micros("ts").alias("us"))
+        .collect()[0]["us"]
+    )
+    us = lambda s: base_us + s * 1_000_000  # noqa: E731
+    want = []
+    for tx in {e[0] for e in events}:
+        pays = sorted(s for t, sd, s in events if t == tx and sd == "pay")
+        rcts = sorted(s for t, sd, s in events if t == tx and sd == "receipt")
+        if pays and rcts:
+            want.append((tx, "matched", us(pays[0]), us(rcts[0])))
+        elif pays:
+            want.append((tx, "unmatched_pay", us(pays[0]), None))
+        else:
+            want.append((tx, "unmatched_receipt", None, us(rcts[0])))
+    assert got == sorted(want, key=_none_safe)
