@@ -1599,3 +1599,156 @@ def test_tx_match_stream_matches_python_reference(spark, tmp_path, events):
         else:
             want.append((tx, "unmatched_receipt", None, us(rcts[0])))
     assert got == sorted(want, key=_none_safe)
+
+
+LOGIN_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # user_id
+        st.sampled_from(["fail", "success"]),
+        st.integers(min_value=0, max_value=20),      # ts offset sec
+    ),
+    min_size=1,
+    max_size=14,
+    unique_by=lambda e: (e[0], e[2]),
+)
+
+
+def _write_login_replay(spark, tmp_path, events):
+    import datetime as dt
+    import uuid as _uuid
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    far = dt.datetime(2024, 6, 1)
+    schema = "user_id long, status string, ts timestamp"
+    rows = [
+        {"user_id": u, "status": st_, "ts": t0 + dt.timedelta(seconds=s)}
+        for u, st_, s in events
+    ]
+    out = str(tmp_path / _uuid.uuid4().hex)
+    spark.createDataFrame(pd.DataFrame(rows), schema=schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(out)
+    spark.createDataFrame(
+        pd.DataFrame([{"user_id": 999, "status": "success", "ts": far}]),
+        schema=schema,
+    ).coalesce(1).write.mode("append").parquet(out)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    base_us = (
+        spark.createDataFrame([(t0,)], "ts timestamp")
+        .select(F.unix_micros("ts").alias("us"))
+        .collect()[0]["us"]
+    )
+    return stream, base_us
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=LOGIN_EVENTS, min_count=st.sampled_from([2, 3]))
+def test_login_fail_stream_matches_python_reference(
+    spark, tmp_path, events, min_count
+):
+    """The C2 threshold kernel vs a pure-Python twin on random
+    fail/success streams — pins the per-event window prune (only fails
+    within window_sec of the CURRENT fail count), the one-shot
+    warn-then-reset, the success reset, and back-to-back bursts from
+    one user emitting multiple warnings."""
+    import pandas as pd
+
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.state import login_fail_stream
+
+    window_sec = 5
+    stream, base_us = _write_login_replay(spark, tmp_path, events)
+    got_pdf = run_stream_to_table(
+        login_fail_stream(stream, window_sec=window_sec, min_count=min_count),
+        spark,
+        output_mode="append",
+    ).toPandas()
+    got_pdf = got_pdf[got_pdf.user_id != 999]
+    got = sorted(
+        (int(r.user_id), int(r.first_fail_us), int(r.last_fail_us),
+         int(r.fail_cnt))
+        for r in got_pdf.itertuples(index=False)
+    )
+
+    want = []
+    for u in {e[0] for e in events}:
+        run = sorted((s, st_) for uu, st_, s in events if uu == u)
+        fails: list[int] = []
+        for s, st_ in run:
+            if st_ == "fail":
+                fails.append(s)
+                fails = [t for t in fails if s - t <= window_sec]
+                if len(fails) >= min_count:
+                    want.append(
+                        (
+                            u,
+                            base_us + fails[0] * 1_000_000,
+                            base_us + fails[-1] * 1_000_000,
+                            len(fails),
+                        )
+                    )
+                    fails = []
+            else:
+                fails = []
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=LOGIN_EVENTS, gap=st.sampled_from([2, 4]))
+def test_consecutive_fail_stream_matches_python_reference(
+    spark, tmp_path, events, gap
+):
+    """The C1/C3 strict-pair kernel vs a pure-Python twin — pins the
+    OVERLAPPING pair emissions (three consecutive fails emit two
+    warnings), the strict any-event-in-between reset (a success breaks
+    the pair even inside the gap), and the gap boundary (exactly
+    gap_sec still qualifies)."""
+    import pandas as pd
+
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.state import (
+        consecutive_fail_stream,
+    )
+
+    stream, base_us = _write_login_replay(spark, tmp_path, events)
+    got_pdf = run_stream_to_table(
+        consecutive_fail_stream(stream, max_gap_sec=gap),
+        spark,
+        output_mode="append",
+    ).toPandas()
+    got_pdf = got_pdf[got_pdf.user_id != 999]
+    got = sorted(
+        (int(r.user_id), int(r.first_fail_us), int(r.last_fail_us))
+        for r in got_pdf.itertuples(index=False)
+    )
+
+    want = []
+    for u in {e[0] for e in events}:
+        run = sorted((s, st_) for uu, st_, s in events if uu == u)
+        prev = None  # (ts, status)
+        for s, st_ in run:
+            if (
+                st_ == "fail"
+                and prev is not None
+                and prev[1] == "fail"
+                and s - prev[0] <= gap
+            ):
+                want.append(
+                    (u, base_us + prev[0] * 1_000_000, base_us + s * 1_000_000)
+                )
+            prev = (s, st_)
+    assert got == sorted(want)
