@@ -1752,3 +1752,93 @@ def test_consecutive_fail_stream_matches_python_reference(
                 )
             prev = (s, st_)
     assert got == sorted(want)
+
+
+CLICK_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),    # user_id
+        st.integers(min_value=0, max_value=1),    # ad_id
+        st.integers(min_value=0, max_value=60),   # hour offset (crosses days)
+        st.integers(min_value=0, max_value=1),    # micro-batch
+    ),
+    min_size=1,
+    max_size=14,
+    unique_by=lambda e: (e[0], e[1], e[2]),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=CLICK_EVENTS)
+def test_blacklist_stream_matches_python_reference(spark, tmp_path, events):
+    """The C7/W11 daily-reset blacklist kernel vs a pure-Python twin —
+    randomizes the day rollover (hour offsets crossing two midnights),
+    the one-time warning with post-warn suppression, AND the late_click
+    path, which is only reachable across micro-batches (a batch-2 event
+    for a day the per-key state has already moved past): events carry a
+    random batch assignment and the twin replays the same two-batch
+    order. Wide watermark so arrival order, not the late-row filter,
+    decides lateness."""
+    import datetime as dt
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+    from data_warehouse_flink_spark.streaming.state import blacklist_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ad_id long, ts timestamp"
+    max_per_day = 2
+
+    out = str(tmp_path / _uuid.uuid4().hex)
+    for b in (0, 1):
+        rows = [
+            {"user_id": u, "ad_id": a, "ts": t0 + dt.timedelta(hours=h)}
+            for u, a, h, bb in events
+            if bb == b
+        ] or [{"user_id": 998, "ad_id": 0, "ts": t0}]
+        spark.createDataFrame(pd.DataFrame(rows), schema=schema).coalesce(
+            1
+        ).write.mode("overwrite" if b == 0 else "append").parquet(out)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    got_pdf = run_stream_to_table(
+        blacklist_stream(stream, max_per_day=max_per_day, watermark="72 hours"),
+        spark,
+        output_mode="append",
+    ).toPandas()
+    got_pdf = got_pdf[got_pdf.user_id != 998]
+    got = sorted(
+        (int(r.user_id), int(r.ad_id), r.day, int(r.cnt), r.result_type)
+        for r in got_pdf.itertuples(index=False)
+    )
+
+    state: dict[tuple, list] = {}  # (u, a) -> [day, cnt, warned]
+    want = []
+    for b in (0, 1):
+        batch = sorted(
+            (h, u, a) for u, a, h, bb in events if bb == b
+        )  # kernel sorts each batch by ts
+        for h, u, a in batch:
+            day, cnt, warned = state.get((u, a), ("", 0, False))
+            ev_day = (t0 + dt.timedelta(hours=h)).strftime("%Y-%m-%d")
+            if ev_day < day:
+                want.append((u, a, ev_day, 0, "late_click"))
+                continue
+            if ev_day > day:
+                day, cnt, warned = ev_day, 0, False
+            cnt += 1
+            if cnt <= max_per_day:
+                want.append((u, a, day, cnt, "click"))
+            elif not warned:
+                warned = True
+                want.append((u, a, day, cnt, "blacklist_warning"))
+            state[(u, a)] = [day, cnt, warned]
+    assert got == sorted(want)

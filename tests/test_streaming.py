@@ -274,6 +274,49 @@ def test_blacklist_stream_daily_reset(spark, tmp_path):
     assert list(day2.result_type) == ["click", "click"]
 
 
+def test_blacklist_stream_late_click_for_closed_day(spark, tmp_path):
+    """The late_click path deterministically: a batch-2 click for a day
+    the key's state has already moved past is surfaced (cnt 0, excluded
+    from the live counter) and does NOT disturb the open day's count.
+    Needs two micro-batches — within one sorted batch a day can never
+    regress — and a watermark wide enough that the late-row filter
+    isn't what handles the event."""
+    from data_warehouse_flink_spark.streaming.state import blacklist_stream
+
+    batch1 = [
+        {"user_id": 1, "ad_id": 7, "ts": sec(86400)},  # day 2 opens the state
+    ]
+    batch2 = [
+        {"user_id": 1, "ad_id": 7, "ts": sec(10)},      # day 1: late
+        {"user_id": 1, "ad_id": 7, "ts": sec(86400 + 10)},  # day 2: counted
+    ]
+    out_dir = str(tmp_path / "replay")
+    spark.createDataFrame(pd.DataFrame(batch1), schema=AD_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(out_dir)
+    spark.createDataFrame(pd.DataFrame(batch2), schema=AD_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(out_dir)
+    stream = (
+        spark.readStream.schema(AD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out_dir)
+    )
+    got = run_stream_to_table(
+        blacklist_stream(stream, max_per_day=3, watermark="48 hours"),
+        spark,
+        output_mode="append",
+    ).toPandas()
+    rows = sorted(
+        (r.day, int(r.cnt), r.result_type) for r in got.itertuples(index=False)
+    )
+    assert rows == [
+        ("2024-01-01", 0, "late_click"),
+        ("2024-01-02", 1, "click"),
+        ("2024-01-02", 2, "click"),
+    ]
+
+
 def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
     from data_warehouse_flink_spark.operators.detection import sessionize
     from data_warehouse_flink_spark.streaming.jobs import (
