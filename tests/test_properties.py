@@ -1842,3 +1842,340 @@ def test_blacklist_stream_matches_python_reference(spark, tmp_path, events):
                 want.append((u, a, day, cnt, "blacklist_warning"))
             state[(u, a)] = [day, cnt, warned]
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Join-layer twins: the skew/runtime-filter rewrites must be RESULT-invariant
+# (they exist purely to move work between stages), and the two time-bounded
+# joins must match a nested-loop reference.
+
+JOIN_BIG = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key (small space -> hot keys)
+        st.integers(min_value=0, max_value=999),  # unique row id
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[1],
+)
+JOIN_SMALL = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # key 4 never matches big
+        st.integers(min_value=0, max_value=99),  # payload (dup keys allowed)
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda t: t,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(big=JOIN_BIG, small=JOIN_SMALL, buckets=st.integers(2, 4))
+def test_salted_join_matches_plain_join(spark, big, small, buckets):
+    """salted_join == the unsalted join, row-for-row (multiset), for inner
+    AND left outer — the salt explode/split must never add or drop rows,
+    including small-side duplicate keys (fan-out) and unmatched big rows
+    (NULL payload under left)."""
+    from collections import Counter
+
+    from data_warehouse_flink_spark.operators.skew import salted_join
+
+    bdf = spark.createDataFrame(big, "k int, id int")
+    sdf = spark.createDataFrame(small, "k int, payload int")
+
+    inner_want = Counter(
+        (bk, bid, p) for bk, bid in big for sk, p in small if sk == bk
+    )
+    got = Counter(
+        (r["k"], r["id"], r["payload"])
+        for r in salted_join(bdf, sdf, "k", buckets, "id").collect()
+    )
+    assert got == inner_want
+
+    matched = {bk for bk, _ in big for sk, _ in small if sk == bk}
+    left_want = inner_want + Counter(
+        (bk, bid, None) for bk, bid in big if bk not in matched
+    )
+    got_left = Counter(
+        (r["k"], r["id"], r["payload"])
+        for r in salted_join(bdf, sdf, "k", buckets, "id", how="left").collect()
+    )
+    assert got_left == left_want
+
+    with pytest.raises(ValueError):
+        salted_join(bdf, sdf, "k", buckets, "id", how="full_outer")
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(big=JOIN_BIG, small=JOIN_SMALL)
+def test_runtime_pruned_join_matches_plain_join(spark, big, small):
+    """runtime_pruned_join == the plain inner join (multiset): the broadcast
+    semi pre-filter is a pure shuffle-volume optimization and must preserve
+    small-side fan-out exactly; left_semi returns each matched big row once."""
+    from collections import Counter
+
+    from data_warehouse_flink_spark.operators.skew import runtime_pruned_join
+
+    bdf = spark.createDataFrame(big, "k int, id int")
+    sdf = spark.createDataFrame(small, "sk int, payload int")
+
+    want = Counter(
+        (bid, p) for bk, bid in big for sk, p in small if sk == bk
+    )
+    got = Counter(
+        (r["id"], r["payload"])
+        for r in runtime_pruned_join(bdf, sdf, "k", "sk").collect()
+    )
+    assert got == want
+
+    semi_want = {bid for bk, bid in big if any(sk == bk for sk, _ in small)}
+    got_semi = [
+        r["id"]
+        for r in runtime_pruned_join(bdf, sdf, "k", "sk", "left_semi").collect()
+    ]
+    assert sorted(got_semi) == sorted(semi_want)
+
+
+TIMED_LEFT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=40),  # ts offset sec
+        st.integers(min_value=0, max_value=499),  # unique id
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[2],
+)
+TIMED_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=500, max_value=999),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[2],
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=TIMED_LEFT, right=TIMED_RIGHT, size_sec=st.sampled_from([5, 10]))
+def test_window_join_matches_python(spark, left, right, size_sec):
+    """J2 window_join vs nested loop: pair (l, r) iff key-equal AND both ts
+    land in the same epoch-aligned tumbling bucket."""
+    import datetime as dt
+
+    from data_warehouse_flink_spark.operators.joins import window_join
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    base = int(t0.timestamp())
+    ldf = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), i) for k, s, i in left],
+        "k int, ts timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), i) for k, s, i in right],
+        "k int, ts timestamp, rid int",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in window_join(ldf, rdf, "k", "ts", f"{size_sec} seconds").collect()
+    )
+    want = sorted(
+        (li, ri)
+        for lk, ls, li in left
+        for rk, rs, ri in right
+        if lk == rk and (base + ls) // size_sec == (base + rs) // size_sec
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=TIMED_LEFT,
+    right=TIMED_RIGHT,
+    bounds=st.tuples(
+        st.integers(min_value=-6, max_value=6),
+        st.integers(min_value=-6, max_value=6),
+    ).map(sorted),
+)
+def test_interval_join_matches_python(spark, left, right, bounds):
+    """J3 interval_join vs nested loop: key-equal AND
+    l.ts + lower <= r.ts <= l.ts + upper, including negative bounds
+    (right-before-left windows, TxMatchWithJoin.scala's -5s lower)."""
+    import datetime as dt
+
+    from data_warehouse_flink_spark.operators.joins import interval_join
+
+    lower, upper = bounds
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ldf = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), i) for k, s, i in left],
+        "k int, lts timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), i) for k, s, i in right],
+        "k int, rts timestamp, rid int",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            ldf, rdf, "k", "lts", "rts", lower, upper
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for lk, ls, li in left
+        for rk, rs, ri in right
+        if lk == rk and ls + lower <= rs <= ls + upper
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS, n_parts=st.integers(min_value=1, max_value=4))
+def test_top_n_per_group_partial_matches_python(spark, rows, n_parts):
+    """top_n_per_group_partial (mapInPandas local top-N, then global rank)
+    == the same pure-Python reference as top_n_per_group, across random
+    physical partitionings — the local reduction must be lossless no matter
+    how rows are scattered."""
+    from data_warehouse_flink_spark.operators.topn import top_n_per_group_partial
+
+    df = spark.createDataFrame(rows, "g int, v int, id int").repartition(n_parts)
+    got = {
+        (r["g"], r["id"])
+        for r in top_n_per_group_partial(df, ["g"], "v", 2, ["id"]).collect()
+    }
+    want = set()
+    for g in {r[0] for r in rows}:
+        members = sorted(
+            (r for r in rows if r[0] == g), key=lambda r: (-r[1], r[2])
+        )
+        want |= {(g, r[2]) for r in members[:2]}
+    assert got == want
+
+
+WINDOW_AGG_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # key
+        st.integers(min_value=0, max_value=4),   # uid (collisions likely)
+        st.integers(min_value=0, max_value=25),  # ts offset sec
+        st.integers(min_value=-9, max_value=9),  # value
+    ),
+    min_size=1,
+    max_size=20,
+)
+WINDOW_CONFIGS = st.sampled_from(
+    [
+        ("10 seconds", 10, None, None),
+        ("10 seconds", 10, "5 seconds", 5),
+        ("6 seconds", 6, "2 seconds", 2),
+    ]
+)
+
+
+def _epoch_windows(t, size_sec, step):
+    """Every epoch-aligned window [s, s+size) containing t, s ≡ 0 mod step."""
+    s = (t // step) * step
+    while s + size_sec > t:
+        yield s
+        s -= step
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=WINDOW_AGG_ROWS, config=WINDOW_CONFIGS)
+def test_windowed_distinct_count_matches_python(spark, rows, config):
+    """W8 windowed_distinct_count vs an epoch-grid + set reference, tumbling
+    and sliding, keyed — count(DISTINCT) per pane-assigned window."""
+    import datetime as dt
+
+    from data_warehouse_flink_spark.operators.windows import (
+        windowed_distinct_count,
+    )
+
+    size, size_sec, slide, slide_sec = config
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    base = int(t0.timestamp())
+    df = spark.createDataFrame(
+        [(k, u, t0 + dt.timedelta(seconds=s)) for k, u, s, _ in rows],
+        "k int, uid int, ts timestamp",
+    )
+    got = sorted(
+        (r["window_start_sec"], r["window_end_sec"], r["k"], r["uv"])
+        for r in windowed_distinct_count(
+            df, "ts", size, "uid", slide=slide, keys=["k"]
+        ).collect()
+    )
+    step = slide_sec or size_sec
+    sets: dict[tuple, set] = {}
+    for k, u, off, _ in rows:
+        for s in _epoch_windows(base + off, size_sec, step):
+            sets.setdefault((s, s + size_sec, k), set()).add(u)
+    want = sorted((s, e, k, len(us)) for (s, e, k), us in sets.items())
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=WINDOW_AGG_ROWS, config=WINDOW_CONFIGS)
+def test_windowed_agg_matches_python(spark, rows, config):
+    """windowed_agg with caller-supplied sum+max vs the epoch-grid reference
+    (W7's field-sum shape plus a second aggregate through the same window)."""
+    import datetime as dt
+
+    from data_warehouse_flink_spark.operators.windows import windowed_agg
+
+    size, size_sec, slide, slide_sec = config
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    base = int(t0.timestamp())
+    df = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), v) for k, _, s, v in rows],
+        "k int, ts timestamp, v int",
+    )
+    got = sorted(
+        (r["window_start_sec"], r["window_end_sec"], r["k"], r["s"], r["mx"])
+        for r in windowed_agg(
+            df,
+            "ts",
+            size,
+            [F.sum("v").alias("s"), F.max("v").alias("mx")],
+            slide=slide,
+            keys=["k"],
+        ).collect()
+    )
+    step = slide_sec or size_sec
+    vals: dict[tuple, list] = {}
+    for k, _, off, v in rows:
+        for s in _epoch_windows(base + off, size_sec, step):
+            vals.setdefault((s, s + size_sec, k), []).append(v)
+    want = sorted(
+        (s, e, k, sum(vs), max(vs)) for (s, e, k), vs in vals.items()
+    )
+    assert got == want
