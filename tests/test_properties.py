@@ -2179,3 +2179,225 @@ def test_windowed_agg_matches_python(spark, rows, config):
         (s, e, k, sum(vs), max(vs)) for (s, e, k), vs in vals.items()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH pipeline twins. The md5 gram-hash path (the one the
+# doc_minhash_lsh gate's DuckDB oracle reproduces) is fully twin-able in
+# pure Python: md5 prefix -> affine family mod 2^31-1 -> per-doc min.
+
+GRAM_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "ab", "bc", "cd", "de", "ef"]),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _minhash_twin(doc_grams, num_hashes):
+    """Pure-Python minhash_signatures(gram_hash='md5'): independent
+    reimplementation of the md5-prefix gram hash and the affine family
+    (same seeded-generator CONTRACT as dedup._affine_constants, but
+    regenerated here, not imported)."""
+    import hashlib
+    import random
+
+    p = 2_147_483_647
+    rng = random.Random(42)
+    consts = [
+        (rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)
+    ]
+    sigs = {}
+    for doc_id, grams in doc_grams.items():
+        gs = [
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:7], 16)
+            for g in grams
+        ]
+        sigs[doc_id] = [min((g * a + b) % p for g in gs) for a, b in consts]
+    return sigs
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=GRAM_DOCS)
+def test_minhash_signatures_md5_match_python(spark, docs):
+    from data_warehouse_flink_spark.functions.dedup import minhash_signatures
+
+    grams = spark.createDataFrame(
+        [(i, g) for i, gs in enumerate(docs) for g in gs],
+        "doc_id int, gram string",
+    )
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(
+            grams, num_hashes=8, gram_hash="md5"
+        ).collect()
+    }
+    want = _minhash_twin({i: gs for i, gs in enumerate(docs)}, 8)
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=GRAM_DOCS)
+def test_lsh_candidate_pairs_match_slice_equality(spark, docs):
+    """lsh_candidate_pairs == { (a,b) : some band's signature slice is
+    EQUAL } — bucket-hash equality must add nothing beyond slice equality
+    (a violation would be a 64-bit xxhash collision on this tiny space)
+    and must never miss an equal slice."""
+    from data_warehouse_flink_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    grams = spark.createDataFrame(
+        [(i, g) for i, gs in enumerate(docs) for g in gs],
+        "doc_id int, gram string",
+    )
+    sigs_df = minhash_signatures(grams, num_hashes=8, gram_hash="md5")
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            sigs_df, bands=4, rows_per_band=2
+        ).collect()
+    )
+    sigs = _minhash_twin({i: gs for i, gs in enumerate(docs)}, 8)
+    ids = sorted(sigs)
+    want = sorted(
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if any(
+            sigs[a][band * 2 : band * 2 + 2] == sigs[b][band * 2 : band * 2 + 2]
+            for band in range(4)
+        )
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=GRAM_DOCS, threshold=st.sampled_from([0.25, 0.5, 0.75]))
+def test_verify_jaccard_on_candidates_matches_python(spark, docs, threshold):
+    """verify_jaccard_on_candidates over the ALL-PAIRS candidate set vs an
+    exact pure-Python Jaccard — the verify stage must neither inflate nor
+    deflate |A∩B|/|A∪B| (hash_grams payload swap included), and the
+    threshold filter must be >=."""
+    from data_warehouse_flink_spark.functions.dedup import (
+        verify_jaccard_on_candidates,
+    )
+
+    n = len(docs)
+    grams = spark.createDataFrame(
+        [(i, g) for i, gs in enumerate(docs) for g in gs],
+        "doc_id int, gram string",
+    )
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(n) for b in range(a + 1, n)],
+        "doc_a int, doc_b int",
+    )
+    for hash_grams in (True, False):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in verify_jaccard_on_candidates(
+                cand, grams, threshold, hash_grams=hash_grams
+            ).collect()
+        }
+        want = {}
+        for a in range(n):
+            for b in range(a + 1, n):
+                sa, sb = set(docs[a]), set(docs[b])
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= threshold:
+                    want[(a, b)] = jac
+        assert set(got) == set(want)
+        for pair, jac in want.items():
+            assert got[pair] == pytest.approx(jac, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch twins: the md5-derived bucket map makes the whole sketch
+# reproducible in pure Python — grid, point estimates, the CM upper-bound
+# guarantee, and the from-counts == from-stream equivalence.
+
+TOKEN_STREAMS = st.lists(
+    st.sampled_from(["tok_a", "tok_b", "tok_c", "tok_d", "tok_e", "tok_f"]),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _cm_bucket(token, row, width):
+    import hashlib
+
+    return int(hashlib.md5(f"{token}#{row}".encode()).hexdigest()[:8], 16) % width
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tokens=TOKEN_STREAMS)
+def test_cm_sketch_matches_python(spark, tokens):
+    from collections import Counter
+
+    from data_warehouse_flink_spark.functions.sketches import (
+        cm_estimate_for,
+        cm_sketch_cells,
+        cm_sketch_cells_from_counts,
+    )
+
+    depth, width = 3, 8  # narrow grid -> collisions are the common case
+    tdf = spark.createDataFrame([(t,) for t in tokens], "token string")
+    cells_df = cm_sketch_cells(tdf, depth=depth, width=width)
+    got_cells = {
+        (r["row"], r["bucket"]): r["cell_count"] for r in cells_df.collect()
+    }
+
+    true_counts = Counter(tokens)
+    want_cells: dict[tuple, int] = {}
+    for t, c in true_counts.items():
+        for row in range(depth):
+            key = (row, _cm_bucket(t, row, width))
+            want_cells[key] = want_cells.get(key, 0) + c
+    assert got_cells == want_cells
+
+    interest = spark.createDataFrame(
+        [(t,) for t in sorted(true_counts)], "token string"
+    )
+    got_est = {
+        r["token"]: r["cm_estimate"]
+        for r in cm_estimate_for(
+            interest, cells_df, depth=depth, width=width
+        ).collect()
+    }
+    for t, c in true_counts.items():
+        want_est = min(
+            want_cells[(row, _cm_bucket(t, row, width))] for row in range(depth)
+        )
+        assert got_est[t] == want_est
+        assert got_est[t] >= c  # the count-min upper-bound guarantee
+
+    counts_df = spark.createDataFrame(
+        list(true_counts.items()), "token string, exact_count long"
+    )
+    got_from_counts = {
+        (r["row"], r["bucket"]): r["cell_count"]
+        for r in cm_sketch_cells_from_counts(
+            counts_df, depth=depth, width=width
+        ).collect()
+    }
+    assert got_from_counts == got_cells
