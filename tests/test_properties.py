@@ -2401,3 +2401,192 @@ def test_cm_sketch_matches_python(spark, tokens):
         ).collect()
     }
     assert got_from_counts == got_cells
+
+
+# ---------------------------------------------------------------------------
+# Vector-kernel twins. Every serving kernel rounds through HALF_UP decimal
+# steps precisely so that it IS reproducible outside the JVM — these twins
+# exercise that contract with numpy-free pure Python (Decimal replicates
+# Spark's BigDecimal.valueOf(double) rounding via repr()).
+
+
+def _rhu(x, scale):
+    """Spark round(double, scale): HALF_UP on the shortest decimal repr."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+    )
+
+
+VEC64 = st.lists(
+    st.lists(
+        st.integers(min_value=-8, max_value=8).map(lambda k: k / 8.0),
+        min_size=64,
+        max_size=64,
+    ).map(lambda v: [v[0] + 1.0] + v[1:]),  # nonzero norm, always
+    min_size=3,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=VEC64, k=st.integers(min_value=1, max_value=3))
+def test_knn_bruteforce_matches_python(spark, vecs, k):
+    from data_warehouse_flink_spark.functions.similarity import knn_bruteforce
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id int, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rn"])
+        for r in knn_bruteforce(emb, queries, k=k).collect()
+    )
+
+    import math
+
+    norms = [math.sqrt(sum(x * x for x in v)) for v in vecs]
+    want = []
+    for q in range(min(2, len(vecs))):
+        scored = sorted(
+            (
+                -float(_rhu(
+                    sum(x * y for x, y in zip(vecs[q], vecs[n]))
+                    / (norms[q] * norms[n]),
+                    6,
+                )),
+                n,
+            )
+            for n in range(len(vecs))
+            if n != q
+        )
+        want += [
+            (q, n, -negcos, rn + 1)
+            for rn, (negcos, n) in enumerate(scored[:k])
+        ]
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=VEC64)
+def test_frozen_ivf_assign_matches_python(spark, vecs):
+    """cell = argmin over the FROZEN centroids of round(||v-c||², 6) with
+    first-index tie-break — the cross-engine-exact assignment contract."""
+    from data_warehouse_flink_spark.functions.ivf_centroids import CENTROIDS
+    from data_warehouse_flink_spark.functions.similarity import (
+        frozen_ivf_assign,
+    )
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id int, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["cell"] for r in frozen_ivf_assign(emb).collect()
+    }
+    want = {}
+    for i, v in enumerate(vecs):
+        dists = []
+        for j, c in enumerate(CENTROIDS):
+            acc = 0.0
+            for x, y in zip(v, c):
+                acc = acc + (x - y) * (x - y)
+            dists.append((float(_rhu(acc, 6)), j))
+        want[i] = min(dists)[1]
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=VEC64)
+def test_pq_encode_matches_python(spark, vecs):
+    """PQ codes vs pure Python: per-subspace integer-micro distance to each
+    frozen codeword, lexicographic (d_micro, cidx) argmin."""
+    from data_warehouse_flink_spark.functions.pq_codebooks import (
+        CODEBOOKS,
+        M_SUBSPACES,
+        SUB_DIM,
+    )
+    from data_warehouse_flink_spark.functions.similarity import pq_encode
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id int, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: [r[f"code{m}"] for m in range(M_SUBSPACES)]
+        for r in pq_encode(emb).collect()
+    }
+    want = {}
+    for i, v in enumerate(vecs):
+        codes = []
+        for m in range(M_SUBSPACES):
+            sub = v[m * SUB_DIM : (m + 1) * SUB_DIM]
+            best = None
+            for cidx, cw in enumerate(CODEBOOKS[m]):
+                acc = 0.0
+                for x, y in zip(sub, cw):
+                    acc = acc + (x - y) * (x - y)
+                micro = int(_rhu(float(_rhu(acc, 6)) * 1000000.0, 0))
+                if best is None or (micro, cidx) < best:
+                    best = (micro, cidx)
+            codes.append(best[1])
+        want[i] = codes
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=VEC64)
+def test_sq8_encode_matches_python(spark, vecs):
+    """SQ8 codes/checksum/preview/err vs pure Python: per-dim corpus min/max
+    ranges, half-up affine codes with clamping, flat dims to 0, and the
+    reconstruction error accumulated in the same index order."""
+    import math
+
+    from data_warehouse_flink_spark.functions.similarity import sq8_encode
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id int, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["code_checksum"], r["codes_preview"], r["err_micro"])
+        for r in sq8_encode(emb).collect()
+    }
+    dim = 64
+    lo = [min(v[d] for v in vecs) for d in range(dim)]
+    hi = [max(v[d] for v in vecs) for d in range(dim)]
+    want = {}
+    for i, v in enumerate(vecs):
+        codes = []
+        for d in range(dim):
+            if hi[d] == lo[d]:
+                codes.append(0)
+            else:
+                raw = math.floor(
+                    (v[d] - lo[d]) / (hi[d] - lo[d]) * 255.0 + 0.5
+                )
+                codes.append(int(min(max(raw, 0), 255)))
+        acc = 0.0
+        for d in range(dim):
+            rec = lo[d] + codes[d] / 255.0 * (hi[d] - lo[d])
+            acc = acc + (v[d] - rec) * (v[d] - rec)
+        want[i] = (
+            sum(codes),
+            " ".join(str(c) for c in codes[:8]),
+            int(_rhu(acc * 1000000.0, 0)),
+        )
+    assert got == want
