@@ -2590,3 +2590,231 @@ def test_sq8_encode_matches_python(spark, vecs):
             int(_rhu(acc * 1000000.0, 0)),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Text-function twins: tokenizer-derived quality features, the frozen
+# linear quality model (exact integer arithmetic), marker language-ID with
+# its tie rules, md5 fingerprinting, and URL canonicalization vs python re.
+
+_TEXT_VOCAB = [
+    "the", "a", "of", "and", "is", "der", "und", "ist", "le", "la",
+    "les", "est", "el", "los", "y", "es", "xyz", "qq", "foo", "",
+]
+TEXTS = st.lists(
+    st.lists(st.sampled_from(_TEXT_VOCAB), min_size=1, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=TEXTS)
+def test_quality_features_matches_python(spark, texts):
+    from data_warehouse_flink_spark.functions.text import (
+        STOPWORDS,
+        quality_features,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars_text"],
+            r["n_tokens"],
+            r["n_stopwords"],
+            r["stop_ratio"],
+            r["avg_token_len"],
+        )
+        for r in quality_features(df).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # same trailing-empty semantics as F.split
+        n_tok = len(toks)
+        n_stop = sum(1 for w in toks if w in STOPWORDS)
+        want[i] = (
+            len(t),
+            n_tok,
+            n_stop,
+            float(_rhu(n_stop / n_tok, 6)),
+            float(_rhu((len(t) - (n_tok - 1)) / n_tok, 6)),
+        )
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=TEXTS)
+def test_fingerprint_matches_python(spark, texts):
+    import hashlib
+
+    from data_warehouse_flink_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["md5_hex"], r["fp64_hex"])
+        for r in fingerprint(df).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        h = hashlib.md5(t.lower().encode("utf-8")).hexdigest()
+        want[i] = (h, h[:16])
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=TEXTS)
+def test_language_id_matches_python(spark, texts):
+    """Argmax over marker counts; ties (e.g. 'la' is both fr and es) go to
+    the lexicographically smallest language code, all-zero goes to unk."""
+    from data_warehouse_flink_spark.functions.text import (
+        LANG_MARKERS,
+        language_id,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        counts = {
+            lang: sum(1 for w in toks if w in markers)
+            for lang, markers in LANG_MARKERS.items()
+        }
+        best = max(counts.values())
+        want[i] = (
+            min(l for l, c in counts.items() if c == best)
+            if best > 0
+            else "unk"
+        )
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=TEXTS)
+def test_linear_quality_score_matches_python(spark, texts):
+    from data_warehouse_flink_spark.functions.text import (
+        QUALITY_WEIGHTS,
+        STOPWORDS,
+        linear_quality_score,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["stop_ppm"],
+            r["dup_ppm"],
+            r["avg_len_centi"],
+            r["quality_score"],
+            r["keep"],
+        )
+        for r in linear_quality_score(df).collect()
+    }
+    w = QUALITY_WEIGHTS
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n_tok = len(toks)
+        stop_ppm = sum(1 for x in toks if x in STOPWORDS) * 1_000_000 // n_tok
+        avg_len_centi = (len(t) - (n_tok - 1)) * 100 // n_tok
+        grams = (
+            [" ".join(toks[j : j + 3]) for j in range(n_tok - 2)]
+            if n_tok >= 3
+            else []
+        )
+        dup_ppm = (
+            (len(grams) - len(set(grams))) * 1_000_000 // len(grams)
+            if grams
+            else 0
+        )
+        score = (
+            w["bias"]
+            + w["w_tokens"] * n_tok
+            + w["w_stop_ppm"] * stop_ppm
+            + w["w_dup_ppm"] * dup_ppm
+            + w["w_len_dev"] * abs(avg_len_centi - w["len_center_centi"])
+        )
+        want[i] = (n_tok, stop_ppm, dup_ppm, avg_len_centi, score, score >= 0)
+    assert got == want
+
+
+URLS = st.tuples(
+    st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    st.sampled_from(
+        ["Example.COM", "www.Example.com", "a-b.org", "WWW.X.NET", "h8"]
+    ),
+    st.lists(st.sampled_from(["Path", "p1", "Q"]), max_size=3),
+    st.sampled_from(["", "/"]),
+    st.sampled_from(["", "?q=1", "#frag", "?a=1#b", "?"]),
+    st.booleans(),  # drop the scheme entirely (relative-ish URL)
+).map(
+    lambda t: (
+        (f"{t[0]}://{t[1]}" if not t[5] else t[1])
+        + "".join("/" + s for s in t[2])
+        + t[3]
+        + t[4]
+    )
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(urls=st.lists(URLS, min_size=1, max_size=8))
+def test_canonicalize_url_matches_python(spark, urls):
+    """canonicalize_url vs python re: query/fragment strip, case-folded
+    scheme://host (path case preserved), www. drop, trailing-slash trim —
+    including schemeless inputs where the head regex matches nothing."""
+    import re
+
+    from data_warehouse_flink_spark.functions.text import canonicalize_url
+
+    df = spark.createDataFrame(
+        list(enumerate(urls)), "i int, url string"
+    )
+    got = {
+        r["i"]: r["canon"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("canon")
+        ).collect()
+    }
+    want = {}
+    for i, u in enumerate(urls):
+        no_q = re.sub(r"[?#].*", "", u)
+        m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]+", no_q)
+        head = m.group(0) if m else ""
+        path = no_q[len(head):]
+        want[i] = head.lower().replace("://www.", "://") + re.sub(
+            r"/$", "", path
+        )
+    assert got == want
