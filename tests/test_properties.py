@@ -2818,3 +2818,172 @@ def test_canonicalize_url_matches_python(spark, urls):
             r"/$", "", path
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH and IVF serving-path end-to-end twins, plus the two
+# entry-level dedup primitives.
+
+
+def _hp_bucket_twin(vec, planes):
+    bucket = 0
+    for j, plane in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(vec, plane):
+            acc = acc + x * float(y)
+        if float(_rhu(acc, 6)) > 0:
+            bucket += 2 ** j
+    return bucket
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=VEC64, k=st.integers(min_value=1, max_value=3))
+def test_knn_lsh_matches_python(spark, vecs, k):
+    """random_hyperplane_buckets' rounded sign bits AND knn_lsh's
+    rank-within-equal-bucket, both vs pure Python over the same seeded
+    plane matrix."""
+    import math
+
+    from data_warehouse_flink_spark.functions.similarity import (
+        hyperplanes,
+        knn_lsh,
+        random_hyperplane_buckets,
+    )
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id int, embedding array<double>"
+    )
+    planes = hyperplanes(8, 64)
+    got_buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in random_hyperplane_buckets(emb).collect()
+    }
+    want_buckets = {
+        i: _hp_bucket_twin(v, planes) for i, v in enumerate(vecs)
+    }
+    assert got_buckets == want_buckets
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rn"])
+        for r in knn_lsh(emb, queries, k=k).collect()
+    )
+    norms = [math.sqrt(sum(x * x for x in v)) for v in vecs]
+    want = []
+    for q in range(min(2, len(vecs))):
+        scored = sorted(
+            (
+                -float(_rhu(
+                    sum(x * y for x, y in zip(vecs[q], vecs[n]))
+                    / (norms[q] * norms[n]),
+                    6,
+                )),
+                n,
+            )
+            for n in range(len(vecs))
+            if n != q and want_buckets[n] == want_buckets[q]
+        )
+        want += [
+            (q, n, -negcos, rn + 1)
+            for rn, (negcos, n) in enumerate(scored[:k])
+        ]
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=VEC64, k=st.integers(min_value=1, max_value=3))
+def test_knn_ivf_matches_python(spark, vecs, k):
+    """knn_ivf end-to-end (nprobe=1): exact rounded-cosine rank restricted
+    to the query's frozen-centroid cell, vs pure Python."""
+    import math
+
+    from data_warehouse_flink_spark.functions.ivf_centroids import CENTROIDS
+    from data_warehouse_flink_spark.functions.similarity import knn_ivf
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id int, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rn"])
+        for r in knn_ivf(emb, queries, k=k).collect()
+    )
+
+    cells = {}
+    for i, v in enumerate(vecs):
+        dists = []
+        for j, c in enumerate(CENTROIDS):
+            acc = 0.0
+            for x, y in zip(v, c):
+                acc = acc + (x - y) * (x - y)
+            dists.append((float(_rhu(acc, 6)), j))
+        cells[i] = min(dists)[1]
+    norms = [math.sqrt(sum(x * x for x in v)) for v in vecs]
+    want = []
+    for q in range(min(2, len(vecs))):
+        scored = sorted(
+            (
+                -float(_rhu(
+                    sum(x * y for x, y in zip(vecs[q], vecs[n]))
+                    / (norms[q] * norms[n]),
+                    6,
+                )),
+                n,
+            )
+            for n in range(len(vecs))
+            if n != q and cells[n] == cells[q]
+        )
+        want += [
+            (q, n, -negcos, rn + 1)
+            for rn, (negcos, n) in enumerate(scored[:k])
+        ]
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=TEXTS, n=st.integers(min_value=1, max_value=3))
+def test_exact_dedup_and_word_ngrams_match_python(spark, texts, n):
+    """exact_dedup_groups (case-folded md5 groups, min-id canonical) and
+    word_ngrams (DISTINCT shingles, short docs yield none) vs pure Python."""
+    import hashlib
+
+    from data_warehouse_flink_spark.functions.dedup import (
+        exact_dedup_groups,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got_groups = {
+        r["text_hash"]: (r["canonical_doc_id"], r["n_docs"])
+        for r in exact_dedup_groups(df).collect()
+    }
+    want_groups: dict[str, list] = {}
+    for i, t in enumerate(texts):
+        h = hashlib.md5(t.lower().encode("utf-8")).hexdigest()
+        cur = want_groups.setdefault(h, [i, 0])
+        cur[1] += 1
+    assert got_groups == {h: tuple(v) for h, v in want_groups.items()}
+
+    got_grams = {
+        (r["doc_id"], r["gram"]) for r in word_ngrams(df, n).collect()
+    }
+    want_grams = set()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for j in range(len(toks) - n + 1):
+            want_grams.add((i, " ".join(toks[j : j + n])))
+    assert got_grams == want_grams
