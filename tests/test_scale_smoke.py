@@ -1454,3 +1454,85 @@ def test_incremental_dedup_ledger_loop_at_900k_docs(spark, tmp_path):
     oneshot = oneshot.select("doc_id")
     assert oneshot.count() == n_admitted
     assert admitted_ids.exceptAll(oneshot).isEmpty()
+
+
+def test_salted_join_hot_key_at_5m(spark, big_events):
+    """Skew shape: ~half of 5M rows on ONE key joined to a 1k-row dim —
+    the case where a shuffled-hash join gives the hot key to a single
+    task. salted_join(32) must agree with the plain join EXACTLY
+    (per-key counts AND total), while splitting the hot key across 32
+    sub-keys; left rows with no dim match must survive a left salted
+    join untouched."""
+    import time
+
+    from data_warehouse_flink_spark.operators.skew import salted_join
+
+    big = big_events.select(
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(999)) + 1)
+        .cast("long")
+        .alias("k"),
+        "event_id",
+    )
+    # dim covers keys 0..899 -> keys 900..999 are unmatched under left
+    small = spark.range(900).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("payload")
+    )
+
+    t0 = time.time()
+    got = {
+        r["k"]: r["cnt"]
+        for r in salted_join(big, small, "k", 32, "event_id")
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    salted_s = time.time() - t0
+    want = {
+        r["k"]: r["cnt"]
+        for r in big.join(small, "k")
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    assert got[0] > N // 3  # the hot key really is pathological
+
+    left_total = salted_join(big, small, "k", 32, "event_id", how="left").count()
+    assert left_total == N  # inner fan-out is 1; unmatched keys survive
+    print(f"salted hot-key join at {N}: {salted_s:.1f}s, hot={got[0]}")
+
+
+def test_runtime_pruned_join_at_5m(spark, big_events):
+    """Runtime-filter shape: a 10-key dim against 5M events. The broadcast
+    semi pre-filter must cut the big side to just the matching rows
+    BEFORE its shuffle (~0.01% here), with the join result identical to
+    the plain join."""
+    from data_warehouse_flink_spark.operators.skew import runtime_pruned_join
+
+    small = spark.range(10).select(
+        (F.col("id") * 9973).alias("dim_user"),
+        F.col("id").alias("tier"),
+    )
+    got = (
+        runtime_pruned_join(big_events, small, "user_id", "dim_user")
+        .groupBy("tier")
+        .agg(F.count("*").alias("cnt"))
+    )
+    want = (
+        big_events.join(
+            small, big_events["user_id"] == small["dim_user"]
+        )
+        .groupBy("tier")
+        .agg(F.count("*").alias("cnt"))
+    )
+    got_rows = {r["tier"]: r["cnt"] for r in got.collect()}
+    want_rows = {r["tier"]: r["cnt"] for r in want.collect()}
+    assert got_rows == want_rows
+    pruned = big_events.join(
+        F.broadcast(small.select(F.col("dim_user").alias("user_id"))),
+        "user_id",
+        "left_semi",
+    ).count()
+    assert pruned == sum(want_rows.values())
+    assert pruned < N // 100  # the pre-filter really is selective
