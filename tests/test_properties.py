@@ -2987,3 +2987,112 @@ def test_exact_dedup_and_word_ngrams_match_python(spark, texts, n):
         for j in range(len(toks) - n + 1):
             want_grams.add((i, " ".join(toks[j : j + n])))
     assert got_grams == want_grams
+
+
+# ---------------------------------------------------------------------------
+# Streaming-mart upsert twins: whatever the micro-batch slicing, the final
+# mart table must equal the one-shot batch aggregate over all events —
+# the MERGE idiom (bucket pruning, anti-join, staging) and the dynamic
+# partition overwrite must both converge to the same fixpoint.
+
+MART_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=9),   # value
+        st.integers(min_value=0, max_value=2),   # micro-batch (file) index
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+def _write_mart_batches(spark, tmp_path, events, n_files):
+    import uuid as _uuid
+
+    src = str(tmp_path / _uuid.uuid4().hex)
+    for b in range(n_files):
+        batch = [(k, v) for k, v, bb in events if bb == b]
+        spark.createDataFrame(batch, "k long, v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    return (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=MART_EVENTS, n_buckets=st.sampled_from([1, 4]))
+def test_merge_upsert_stream_matches_batch_aggregate(
+    spark, tmp_path, events, n_buckets
+):
+    """merge_upsert_foreachbatch over a random micro-batch slicing of a
+    running per-key sum == the one-shot groupBy sum: exactly one row per
+    key survives the anti-join/union MERGE, including keys updated in
+    several micro-batches and empty micro-batches, at both a single
+    shared bucket and a spread."""
+    import uuid as _uuid
+
+    from collections import Counter
+
+    from data_warehouse_flink_spark.streaming.mart import (
+        merge_upsert_foreachbatch,
+    )
+
+    stream = _write_mart_batches(spark, tmp_path, events, 3)
+    agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+    path = str(tmp_path / _uuid.uuid4().hex)
+    q = merge_upsert_foreachbatch(agg, path, ["k"], n_buckets=n_buckets)
+    q.awaitTermination()
+
+    got = {
+        r["k"]: r["total"]
+        for r in spark.read.parquet(path).select("k", "total").collect()
+    }
+    want = Counter()
+    for k, v, _ in events:
+        want[k] += v
+    assert got == dict(want)
+    assert spark.read.parquet(path).count() == len(want)  # one row per key
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=MART_EVENTS)
+def test_upsert_partitions_stream_matches_batch_aggregate(
+    spark, tmp_path, events
+):
+    """upsert_partitions_foreachbatch (dynamic partition overwrite keyed by
+    the grouping column) converges to the one-shot aggregate — stale
+    partition contents must be fully replaced, never unioned."""
+    import uuid as _uuid
+
+    from collections import Counter
+
+    from data_warehouse_flink_spark.streaming.mart import (
+        upsert_partitions_foreachbatch,
+    )
+
+    stream = _write_mart_batches(spark, tmp_path, events, 3)
+    agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+    path = str(tmp_path / _uuid.uuid4().hex)
+    q = upsert_partitions_foreachbatch(agg, path, ["k"])
+    q.awaitTermination()
+
+    got = {
+        r["k"]: r["total"]
+        for r in spark.read.parquet(path).select("k", "total").collect()
+    }
+    want = Counter()
+    for k, v, _ in events:
+        want[k] += v
+    assert got == dict(want)
+    assert spark.read.parquet(path).count() == len(want)
