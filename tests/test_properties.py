@@ -3096,3 +3096,156 @@ def test_upsert_partitions_stream_matches_batch_aggregate(
         want[k] += v
     assert got == dict(want)
     assert spark.read.parquet(path).count() == len(want)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end streaming-curation twins: the flagship near-dedup ingest loop
+# (shingle -> md5 minhash -> band -> ledger admission, replayed over three
+# micro-batches) and the exact-dedup quality gate, each vs pure Python.
+
+NEAR_DEDUP_DOCS = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(["red", "blue", "fox", "dog", "run", "sit"]),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        st.integers(min_value=0, max_value=2),  # micro-batch index
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=NEAR_DEDUP_DOCS)
+def test_near_dedup_stream_matches_python(spark, tmp_path, docs):
+    """near_dedup_stream (gram_hash='md5', 8 hashes x 4 bands) vs a pure
+    Python replay: per batch, shingle -> md5 minhash (the _minhash_twin
+    reference) -> band SLICES as ledger keys (bucket-hash equality is
+    slice equality modulo a 64-bit collision) -> the _ref_admit
+    first-seen admission, short docs always admitted. Pins the whole
+    streaming path — signature math, banding, ledger persistence across
+    micro-batches, keyless bypass — not just the admission kernel."""
+    import uuid as _uuid
+
+    from data_warehouse_flink_spark.streaming.curation import (
+        near_dedup_stream,
+    )
+
+    num_hashes, bands, ngram = 8, 4, 3
+    rpb = num_hashes // bands
+    src = str(tmp_path / _uuid.uuid4().hex)
+    for b in range(3):
+        batch = [(i, t) for i, (t, bb) in enumerate(docs) if bb == b]
+        spark.createDataFrame(
+            batch, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / _uuid.uuid4().hex)
+    out = str(tmp_path / _uuid.uuid4().hex)
+    q = near_dedup_stream(
+        stream,
+        state,
+        out,
+        ngram=ngram,
+        num_hashes=num_hashes,
+        bands=bands,
+        gram_hash="md5",
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    ledger: set = set()
+    want: set = set()
+    for b in range(3):
+        keys = []
+        for i, (t, bb) in enumerate(docs):
+            if bb != b:
+                continue
+            toks = t.split(" ")
+            grams = {
+                " ".join(toks[j : j + ngram])
+                for j in range(len(toks) - ngram + 1)
+            }
+            if not grams:
+                want.add(i)  # too short to shingle: always admitted
+                continue
+            sig = _minhash_twin({i: sorted(grams)}, num_hashes)[i]
+            for band in range(bands):
+                keys.append(
+                    (i, band, tuple(sig[band * rpb : band * rpb + rpb]))
+                )
+        adm = _ref_admit(keys, ledger)
+        want |= adm
+        ledger |= {(band, sl) for d, band, sl in keys if d in adm}
+    assert got == want
+
+
+CURATE_DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(["short", "x" * 150, "y" * 160, "z" * 150]),
+        st.sampled_from(["en", "zh", "de"]),
+        st.integers(min_value=0, max_value=2),  # micro-batch index
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=CURATE_DOCS)
+def test_curate_stream_matches_python(spark, tmp_path, docs):
+    """curate_stream (quality gate + global streaming exact dedup) vs pure
+    Python: exactly one emitted row per distinct content hash among the
+    gated docs, regardless of the micro-batch slicing. (WHICH duplicate
+    survives intra-batch is engine-undefined, so the pin is on the hash
+    set, not doc ids.)"""
+    import hashlib
+    import uuid as _uuid
+
+    from data_warehouse_flink_spark.streaming.curation import curate_stream
+    from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
+
+    src = str(tmp_path / _uuid.uuid4().hex)
+    for b in range(3):
+        batch = [
+            (i, t, len(t), lang)
+            for i, (t, lang, bb) in enumerate(docs)
+            if bb == b
+        ]
+        spark.createDataFrame(
+            batch, "doc_id long, text string, n_chars long, lang string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, n_chars long, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got_rows = run_stream_to_table(
+        curate_stream(stream), spark, output_mode="append"
+    ).collect()
+    got = sorted(r["text_hash"] for r in got_rows)
+
+    want = sorted(
+        {
+            hashlib.md5(t.lower().encode()).hexdigest()
+            for t, lang, _ in docs
+            if len(t) >= 150 and lang in ("en", "zh")
+        }
+    )
+    assert got == want
