@@ -1003,3 +1003,48 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     # finalized once with ONE event; the post-eviction late replay must
     # neither mutate it nor append a duplicate window row
     assert ten == [1], rows
+
+
+def test_knn_stream_matches_batch_bruteforce(spark, tmp_path):
+    """knn_stream over two micro-batches of query vectors == the batch
+    knn_bruteforce over all queries at once: retrieval is stateless, so
+    the union of per-batch appends must be exactly the one-shot result."""
+    import uuid as _uuid
+
+    from data_warehouse_flink_spark.functions.similarity import knn_bruteforce
+    from data_warehouse_flink_spark.streaming.retrieval import knn_stream
+
+    vecs = [
+        (i, [float((i * 7 + d * 3) % 11) / 10.0 + 0.1 for d in range(8)])
+        for i in range(6)
+    ]
+    corpus = spark.createDataFrame(
+        vecs, "vec_id int, embedding array<double>"
+    ).localCheckpoint(eager=True)
+
+    src = str(tmp_path / _uuid.uuid4().hex)
+    for batch in ([vecs[0], vecs[1]], [vecs[2]]):
+        spark.createDataFrame(
+            batch, "vec_id int, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id int, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / _uuid.uuid4().hex)
+    q = knn_stream(corpus, stream, out, k=3)
+    q.awaitTermination()
+
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rn"])
+        for r in spark.read.parquet(out).collect()
+    )
+    queries = spark.createDataFrame(
+        vecs[:3], "vec_id int, embedding array<double>"
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rn"])
+        for r in knn_bruteforce(corpus, queries, k=3).collect()
+    )
+    assert got == want and len(got) == 9
