@@ -3249,3 +3249,45 @@ def test_curate_stream_matches_python(spark, tmp_path, docs):
         }
     )
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=WINDOW_AGG_ROWS, config=WINDOW_CONFIGS)
+def test_windowed_approx_distinct_checked_contract(spark, rows, config):
+    """W9's checkable error contract on random streams: uv_exact must
+    equal the pure-Python per-window distinct count, and within_bound
+    must be UNIFORMLY true — the |approx-exact| <= max(5*rsd*exact, 3)
+    envelope holds on any input (a broken sketch merge deviates by whole
+    buckets and trips it)."""
+    import datetime as dt
+
+    from data_warehouse_flink_spark.operators.windows import (
+        windowed_approx_distinct_checked,
+    )
+
+    size, size_sec, slide, slide_sec = config
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    base = int(t0.timestamp())
+    df = spark.createDataFrame(
+        [(u, t0 + dt.timedelta(seconds=s)) for _, u, s, _ in rows],
+        "uid int, ts timestamp",
+    )
+    got = {
+        (r["window_start_sec"], r["window_end_sec"]): (
+            r["uv_exact"],
+            r["within_bound"],
+        )
+        for r in windowed_approx_distinct_checked(
+            df, "ts", size, "uid", slide=slide
+        ).collect()
+    }
+    step = slide_sec or size_sec
+    sets: dict[tuple, set] = {}
+    for _, u, off, _ in rows:
+        for s in _epoch_windows(base + off, size_sec, step):
+            sets.setdefault((s, s + size_sec), set()).add(u)
+    assert got == {k: (len(us), True) for k, us in sets.items()}

@@ -1536,3 +1536,41 @@ def test_runtime_pruned_join_at_5m(spark, big_events):
     ).count()
     assert pruned == sum(want_rows.values())
     assert pruned < N // 100  # the pre-filter really is selective
+
+
+def test_interval_join_at_5m(spark, big_events):
+    """J3 at 5M×5M-row sides (purchases x clicks on 100k keys): the
+    key-equi + range-residual plan must complete on selective keys and
+    agree with an independently computed per-key pair count on a sampled
+    key subset."""
+    from data_warehouse_flink_spark.operators.joins import interval_join
+
+    pays = big_events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    clicks = big_events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    joined = interval_join(
+        pays, clicks, "user_id", "pts", "cts", -300, 300
+    )
+    total = joined.count()
+    assert total > 0
+
+    # independent check on 3 sampled keys: nested-loop in plain SQL
+    keys = [r["user_id"] for r in pays.select("user_id").distinct().limit(3).collect()]
+    sub = joined.filter(F.col("l.user_id").isin(keys)).count()
+    want = (
+        pays.filter(F.col("user_id").isin(keys))
+        .alias("p")
+        .join(
+            clicks.filter(F.col("user_id").isin(keys)).alias("c"),
+            F.expr(
+                "p.user_id = c.user_id AND "
+                "c.cts BETWEEN p.pts - INTERVAL 300 SECOND "
+                "AND p.pts + INTERVAL 300 SECOND"
+            ),
+        )
+        .count()
+    )
+    assert sub == want
