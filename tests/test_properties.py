@@ -3291,3 +3291,167 @@ def test_windowed_approx_distinct_checked_contract(spark, rows, config):
         for s in _epoch_windows(base + off, size_sec, step):
             sets.setdefault((s, s + size_sec), set()).add(u)
     assert got == {k: (len(us), True) for k, us in sets.items()}
+
+
+def _pq_d_micro(sub, cw):
+    acc = 0.0
+    for x, y in zip(sub, cw):
+        acc = acc + (x - float(y)) * (x - float(y))
+    return int(_rhu(float(_rhu(acc, 6)) * 1000000.0, 0))
+
+
+def _pq_codes_twin(vec):
+    from data_warehouse_flink_spark.functions.pq_codebooks import (
+        CODEBOOKS,
+        M_SUBSPACES,
+        SUB_DIM,
+    )
+
+    codes = []
+    for m in range(M_SUBSPACES):
+        sub = vec[m * SUB_DIM : (m + 1) * SUB_DIM]
+        best = min(
+            (_pq_d_micro(sub, cw), cidx)
+            for cidx, cw in enumerate(CODEBOOKS[m])
+        )
+        codes.append(best[1])
+    return codes
+
+
+def _ivf_cell_twin(vec):
+    from data_warehouse_flink_spark.functions.ivf_centroids import CENTROIDS
+
+    dists = []
+    for j, c in enumerate(CENTROIDS):
+        acc = 0.0
+        for x, y in zip(vec, c):
+            acc = acc + (x - y) * (x - y)
+        dists.append((float(_rhu(acc, 6)), j))
+    return min(dists)[1]
+
+
+def _adc_twin(qvec, codes):
+    from data_warehouse_flink_spark.functions.pq_codebooks import (
+        CODEBOOKS,
+        M_SUBSPACES,
+        SUB_DIM,
+    )
+
+    total = 0
+    for m in range(M_SUBSPACES):
+        sub = qvec[m * SUB_DIM : (m + 1) * SUB_DIM]
+        total += _pq_d_micro(sub, CODEBOOKS[m][codes[m]])
+    return total / 1000000.0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=VEC64, k=st.integers(min_value=1, max_value=3))
+def test_knn_pq_matches_python(spark, vecs, k):
+    """knn_pq end-to-end: ADC over the PQ-coded corpus (integer micro-unit
+    lookups summed per pair, /1e6, asc rank with id tie-break) vs pure
+    Python composing the pq_encode twin with the ADC table."""
+    from data_warehouse_flink_spark.functions.similarity import knn_pq
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id int, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rn"])
+        for r in knn_pq(emb, queries, k=k).collect()
+    )
+    codes = {i: _pq_codes_twin(v) for i, v in enumerate(vecs)}
+    want = []
+    for q in range(min(2, len(vecs))):
+        scored = sorted(
+            (_adc_twin(vecs[q], codes[n]), n)
+            for n in range(len(vecs))
+            if n != q
+        )
+        want += [
+            (q, n, d, rn + 1) for rn, (d, n) in enumerate(scored[:k])
+        ]
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=VEC64, k=st.integers(min_value=1, max_value=3))
+def test_knn_ivf_pq_matches_python(spark, vecs, k):
+    """knn_ivf_pq end-to-end: the ADC scan of knn_pq restricted to the
+    query's frozen coarse cell (nprobe=1) — the FAISS-IVFPQ layout — vs
+    pure Python composing the cell twin with the ADC twin."""
+    from data_warehouse_flink_spark.functions.similarity import knn_ivf_pq
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id int, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rn"])
+        for r in knn_ivf_pq(emb, queries, k=k).collect()
+    )
+    codes = {i: _pq_codes_twin(v) for i, v in enumerate(vecs)}
+    cells = {i: _ivf_cell_twin(v) for i, v in enumerate(vecs)}
+    want = []
+    for q in range(min(2, len(vecs))):
+        scored = sorted(
+            (_adc_twin(vecs[q], codes[n]), n)
+            for n in range(len(vecs))
+            if n != q and cells[n] == cells[q]
+        )
+        want += [
+            (q, n, d, rn + 1) for rn, (d, n) in enumerate(scored[:k])
+        ]
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=VEC64,
+    labels=st.lists(st.integers(0, 1), min_size=5, max_size=5),
+    threshold=st.sampled_from([0.5, 0.8, 0.95]),
+)
+def test_bucketed_dedup_cosine_matches_python(spark, vecs, labels, threshold):
+    """bucketed_dedup_cosine vs pure Python: pairs only within a bucket,
+    a < b ordering, rounded cosine >= threshold."""
+    import math
+
+    from data_warehouse_flink_spark.functions.similarity import (
+        bucketed_dedup_cosine,
+    )
+
+    rows = [
+        (i, labels[i % len(labels)], v) for i, v in enumerate(vecs)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id int, label int, embedding array<double>"
+    )
+    got = {
+        (r["bucket"], r["vec_a"], r["vec_b"], r["cosine"])
+        for r in bucketed_dedup_cosine(emb, threshold).collect()
+    }
+    norms = [math.sqrt(sum(x * x for x in v)) for v in vecs]
+    want = set()
+    for a, (ia, la, va) in enumerate(rows):
+        for ib, lb, vb in rows[a + 1 :]:
+            if la != lb:
+                continue
+            cos = float(_rhu(
+                sum(x * y for x, y in zip(va, vb)) / (norms[ia] * norms[ib]),
+                6,
+            ))
+            if cos >= threshold:
+                want.add((la, ia, ib, cos))
+    assert got == want
