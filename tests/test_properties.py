@@ -3455,3 +3455,133 @@ def test_bucketed_dedup_cosine_matches_python(spark, vecs, labels, threshold):
             if cos >= threshold:
                 want.add((la, ia, ib, cos))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Trained-path serving twins with RANDOM models: unlike the frozen-literal
+# kernels above, these functions take the model as an argument, so the
+# twins randomize the codebooks/centroids too — the argmin/tie-break/ADC
+# contracts must hold for ANY trained model, not just the committed one.
+
+QVECS = st.lists(
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=4, max_size=4),
+    min_size=3,
+    max_size=6,
+)
+BOOKS = st.lists(  # M=2 subspaces x 3 codewords x sub_dim=2
+    st.lists(
+        st.lists(st.integers(min_value=-5, max_value=5), min_size=2, max_size=2),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=2,
+    max_size=2,
+)
+CENTS = st.lists(
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=4, max_size=4),
+    min_size=2,
+    max_size=4,
+)
+
+
+def _int_dist(a, b):
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(qvecs=QVECS, cents=CENTS)
+def test_assign_quantized_cells_matches_python(spark, qvecs, cents):
+    from data_warehouse_flink_spark.functions.clustering import (
+        assign_quantized_cells,
+    )
+
+    qdf = spark.createDataFrame(
+        list(enumerate(qvecs)), "vec_id int, q array<bigint>"
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["dist"])
+        for r in assign_quantized_cells(qdf, cents).collect()
+    }
+    want = {
+        i: min((_int_dist(v, c), j) for j, c in enumerate(cents))[::-1]
+        for i, v in enumerate(qvecs)
+    }
+    assert got == {i: (c, d) for i, (c, d) in want.items()}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(qvecs=QVECS, books=BOOKS, k=st.integers(min_value=1, max_value=3))
+def test_trained_pq_serving_path_matches_python(spark, qvecs, books, k):
+    """pq_trained_codes -> pq_query_lookup -> adc_topk under RANDOM
+    codebooks vs pure Python: per-subspace integer argmin with
+    lower-code tie-break, exact per-codeword lookup arrays, and the
+    BIGINT ADC rank with id tie-break — the whole trained serving loop
+    for any model."""
+    from data_warehouse_flink_spark.functions.clustering import (
+        adc_topk,
+        pq_query_lookup,
+        pq_trained_codes,
+    )
+
+    sub_dim, m_sub = 2, 2
+    qdf = spark.createDataFrame(
+        list(enumerate(qvecs)), "vec_id int, q array<bigint>"
+    )
+    codes_df = pq_trained_codes(qdf, books, sub_dim=sub_dim)
+    lookups_df = pq_query_lookup(qdf, books, sub_dim=sub_dim)
+
+    def py_codes(v):
+        return [
+            min(
+                (_int_dist(v[m * sub_dim : (m + 1) * sub_dim], cw), c)
+                for c, cw in enumerate(books[m])
+            )[1]
+            for m in range(m_sub)
+        ]
+
+    def py_dls(v):
+        return [
+            [
+                _int_dist(v[m * sub_dim : (m + 1) * sub_dim], cw)
+                for cw in books[m]
+            ]
+            for m in range(m_sub)
+        ]
+
+    got_codes = {
+        r["vec_id"]: [r["code0"], r["code1"]] for r in codes_df.collect()
+    }
+    assert got_codes == {i: py_codes(v) for i, v in enumerate(qvecs)}
+    got_dls = {
+        r["vec_id"]: [list(r["dl0"]), list(r["dl1"])]
+        for r in lookups_df.collect()
+    }
+    assert got_dls == {i: py_dls(v) for i, v in enumerate(qvecs)}
+
+    got_rank = sorted(
+        (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rn"])
+        for r in adc_topk(codes_df, lookups_df, k=k, m_subspaces=m_sub).collect()
+    )
+    want_rank = []
+    for q, qv in enumerate(qvecs):
+        dls = py_dls(qv)
+        scored = sorted(
+            (
+                sum(dls[m][py_codes(nv)[m]] for m in range(m_sub)),
+                n,
+            )
+            for n, nv in enumerate(qvecs)
+            if n != q
+        )
+        want_rank += [
+            (q, n, d, rn + 1) for rn, (d, n) in enumerate(scored[:k])
+        ]
+    assert got_rank == sorted(want_rank)
