@@ -3585,3 +3585,84 @@ def test_trained_pq_serving_path_matches_python(spark, qvecs, books, k):
             (q, n, d, rn + 1) for rn, (d, n) in enumerate(scored[:k])
         ]
     assert got_rank == sorted(want_rank)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=VEC64, scale=st.sampled_from([1000, 1_000_000]))
+def test_quantize_embeddings_matches_python(spark, vecs, scale):
+    """The integer-quantize step every trained path starts from:
+    q_d = floor(x_d * scale), including negatives (floor, not trunc)."""
+    import math
+
+    from data_warehouse_flink_spark.functions.clustering import (
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id int, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: list(r["q"])
+        for r in quantize_embeddings(emb, scale=scale).collect()
+    }
+    want = {
+        i: [int(math.floor(x * float(scale))) for x in v]
+        for i, v in enumerate(vecs)
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_format_topn_report_matches_python(spark, rows):
+    """P9's report rendering (HotItems.scala's 商品ID/浏览量 lines) vs a
+    pure-Python format: rank-ordered lines joined per group."""
+    from data_warehouse_flink_spark.operators.topn import (
+        format_topn_report,
+        top_n_per_group,
+    )
+
+    df = spark.createDataFrame(rows, "g int, v int, id int")
+    ranked = top_n_per_group(df, ["g"], "v", 3, ["id"])
+    got = {
+        r["g"]: r["report"]
+        for r in format_topn_report(ranked, "g", "id", "v").collect()
+    }
+    want = {}
+    for g in {r[0] for r in rows}:
+        members = sorted(
+            (r for r in rows if r[0] == g), key=lambda r: (-r[1], r[2])
+        )[:3]
+        want[g] = "\n".join(
+            f"No{rn + 1}: 商品ID={m[2]} 浏览量={m[1]}"
+            for rn, m in enumerate(members)
+        )
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_scd2_init_matches_python(spark, rows):
+    from data_warehouse_flink_spark.operators.scd2 import scd2_init
+
+    snap = spark.createDataFrame(
+        [(i, v) for _, v, i in rows], "uid int, tier int"
+    )
+    got = sorted(
+        (r["uid"], r["tier"], r["valid_from_us"], r["valid_to_us"], r["is_current"])
+        for r in scd2_init(snap, "uid", ["tier"], 123_000_000).collect()
+    )
+    want = sorted((i, v, 123_000_000, None, True) for _, v, i in rows)
+    assert got == want
