@@ -3666,3 +3666,69 @@ def test_scd2_init_matches_python(spark, rows):
     )
     want = sorted((i, v, 123_000_000, None, True) for _, v, i in rows)
     assert got == want
+
+
+RECORDS = st.lists(
+    st.tuples(
+        st.sampled_from([None, -5, 100, 500]),      # ts day offset from 2024-01-01 (None/-5/500 bad)
+        st.sampled_from([None, "view", "click", "bogus", "purchase"]),
+        st.sampled_from([None, -5.0, 1.0, 2e9]),    # value
+        st.sampled_from([None, "{\"a\":1}", "plain", "{}"]),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(records=RECORDS)
+def test_classify_event_records_matches_python(spark, records):
+    """The quarantine router's first-match CASE vs a pure-Python chain
+    with the same SQL ternary semantics — including the deliberate
+    NULL-event_type fall-through (~isin(NULL) is NULL -> false in both
+    Spark and the DuckDB oracle, so a NULL type is judged by the LATER
+    rules, not bad_type)."""
+    import datetime as dt
+
+    from data_warehouse_flink_spark.plans.analytics import (
+        classify_event_records,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            None if d is None else t0 + dt.timedelta(days=d),
+            et,
+            v,
+            p,
+        )
+        for i, (d, et, v, p) in enumerate(records)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id int, ts timestamp, event_type string, value double, "
+        "props string",
+    )
+    got = {
+        r["event_id"]: r["disposition"]
+        for r in classify_event_records(df).collect()
+    }
+    domain = {"view", "click", "purchase", "signup", "error"}
+    want = {}
+    for i, (d, et, v, p) in enumerate(records):
+        if d is None or d < 0 or d >= 366:
+            want[i] = "bad_ts"
+        elif et is not None and et not in domain:
+            want[i] = "bad_type"
+        elif v is None or v < 0 or v > 1e9:
+            want[i] = "bad_value"
+        elif p is None or not p.startswith("{"):
+            want[i] = "bad_props"
+        else:
+            want[i] = "ok"
+    assert got == want
