@@ -69,25 +69,33 @@ def load_all() -> None:
 
 # The driver grades a fixed-size prefix of the registry (50 entries in every
 # round so far, in ``queries()`` iteration order), so iteration order decides
-# which queries get oracle evidence each round. Priority for round 11
-# (VERDICT r10 directive #1):
+# which queries get oracle evidence each round. Priority for round 12
+# (VERDICT r11 directives #1 and #2):
 # (1) the 22 SURVEY §2 gate queries — stay in every round's prefix;
 # (2) first-evidence entries FIRST (the documented rule since r8):
-#     none this round — the registry is frozen at 176 (VERDICT r10 #5)
-#     and round 11 adds no registered queries.
+#     none this round — the registry stays frozen at 176 (VERDICT r11 #6)
+#     and round 12 adds no registered queries.
 # (3) periodic-reconfirmation cadence (rule since r7: after first-evidence
 #     entries, fill the prefix with the queries holding the OLDEST driver
 #     hash evidence, ties broken by registration order, so no query's
-#     evidence age is unbounded). This round: the full r5-evidence
-#     remainder of 12, then the first 16 of the r6 cohort of 28 in
-#     registration order — exactly the plan VERDICT r10 #1 names.
-# 22 + 0 + 12 + 16 = 50 exactly. Next up (round 12): the r6 remainder
-# (embedding_standardize, doc_ngram_novelty, doc_length_histogram,
-# streaming_rollup_incremental, events_late_arrival_profile,
-# streaming_user_tier_scd2, events_quarantine, user_churn_training_set,
-# events_weekday_hour_heatmap, orders_customer_mart,
-# streaming_weekday_hour_heatmap, sql_top_customer_per_nation — 12),
-# then the r7 cohort head.
+#     evidence age is unbounded). AMENDED in r12 (VERDICT r11 #2):
+#     ORACLE-LESS entries are SKIPPED when filling the prefix — a rows-only
+#     slot can only ever return ``err: "no_oracle"`` (r11 burned 2 of its 50
+#     slots this way on doc_span_dedup_fast / doc_exact_substring_dedup_fast;
+#     their hash evidence flows through the oracle-bearing ``*_contract``
+#     queries instead). ``all_queries()`` enforces this structurally: it
+#     sorts oracle-less entries after every oracle-bearing one, and refuses
+#     an oracle-less name in _GRADING_PRIORITY outright. This round: the
+#     full r6-evidence remainder of 12, then the first 16 of the r7 cohort
+#     of 28 in registration order — exactly the plan VERDICT r11 #1 names.
+# 22 + 0 + 12 + 16 = 50 exactly, all oracle-bearing. After this round's
+# grading no oracle-bearing query's evidence is older than r7. Next up
+# (round 13): the r7 remainder of 12 (tpch_q6/q5/q10/... already regraded
+# here; remainder = embedding_dedup_cosine, knn_bruteforce, doc_token_stats,
+# doc_fingerprint, doc_language_id, corpus_curation, doc_bpe_tokens,
+# doc_chunks, doc_unigram_logprob, doc_prefix_edit_distance,
+# doc_simhash_recall_report, event_value_percentiles_approx), then the
+# first 16 of the r8 cohort in registration order.
 _GRADING_PRIORITY = (
     # -- §2 gates (reference_jobs registration order) --
     "page_view",
@@ -112,44 +120,44 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- oldest-evidence reconfirmation: the r5 remainder of 12, then the
-    # first 16 of the r6 cohort (evidence CORRECTNESS_r05/r06;
-    # registration order) --
-    "streaming_value_histogram_quantiles",  # r5
-    "events_key_skew_profile",  # r5
-    "events_k_anonymity",  # r5
-    "user_cdc_snapshot",  # r5
-    "streaming_user_cdc_snapshot",  # r5
-    "events_props_json",  # r5
-    "events_backfill_plan",  # r5
-    "events_sessionize_gap_stats",  # r5
-    "events_rollup_incremental",  # r5
-    "streaming_sessionize_gap_stats",  # r5
-    "events_dq_anomaly",  # r5
-    "streaming_dq_anomaly",  # r5
-    "login_fail_triple_cep",  # r6
-    "tpch_q1",  # r6
-    "tpch_q3",  # r6
-    "tpch_q18",  # r6
-    "tpch_q7",  # r6
-    "tpch_q8",  # r6
-    "tpch_q2",  # r6
-    "tpch_q9",  # r6
-    "tpch_q11",  # r6
-    "tpch_q21",  # r6
-    "doc_span_dedup_fast",  # r6
-    "doc_exact_substring_dedup_fast",  # r6
-    "doc_exact_substring_dedup_50",  # r6
-    "corpus_mixture_resample",  # r6
-    "multimodal_shard_plan",  # r6
-    "corpus_ccnet_funnel",  # r6
+    # -- oldest-evidence reconfirmation: the r6 remainder of 12, then the
+    # first 16 of the r7 cohort (evidence CORRECTNESS_r06/r07;
+    # registration order; oracle-less entries skipped per the r12 cadence
+    # amendment — none occur in these cohorts anyway) --
+    "embedding_standardize",  # r6
+    "doc_ngram_novelty",  # r6
+    "doc_length_histogram",  # r6
+    "streaming_rollup_incremental",  # r6
+    "events_late_arrival_profile",  # r6
+    "streaming_user_tier_scd2",  # r6
+    "events_quarantine",  # r6
+    "user_churn_training_set",  # r6
+    "events_weekday_hour_heatmap",  # r6
+    "orders_customer_mart",  # r6
+    "streaming_weekday_hour_heatmap",  # r6
+    "sql_top_customer_per_nation",  # r6
+    "uv_sketch_mergeable",  # r7
+    "tpch_q5",  # r7
+    "tpch_q6",  # r7
+    "order_priority_count",  # r7
+    "tpch_q10",  # r7
+    "tpch_q14",  # r7
+    "tpch_q19",  # r7
+    "tpch_q17",  # r7
+    "tpch_q13",  # r7
+    "tpch_q22",  # r7
+    "tpch_q12",  # r7
+    "tpch_q15",  # r7
+    "tpch_q16",  # r7
+    "tpch_q20",  # r7
+    "doc_dedup_exact",  # r7
+    "doc_ngram_jaccard",  # r7
 )
-# Rotated OUT of the prefix this round: corpus_bpe_train_batched (r10
-# first-evidence, hash-green), the r4 tail of 11 and the first 16 of the
-# r5 cohort (all regraded r10). Evidence ages after this round's
-# grading: r6 remainder (12), then r7 (28) / r8 (28) / r9 (28) /
-# r10 (22 non-gate entries regraded r10; the 22 gates regrade every
-# round).
+# Rotated OUT of the prefix this round: the r5 remainder of 12 and the r6
+# cohort head of 16 (all regraded r11, incl. the two no_oracle slots the
+# cadence amendment retires). Evidence ages after this round's grading:
+# r7 remainder (12), then r8 (28) / r9 (28) / r10 (28) / r11 (26 non-gate
+# entries regraded r11; the 22 gates regrade every round).
 # The local parity suite still re-verifies every registered oracle each
 # session; the driver prefix is the independent re-proof channel.
 
@@ -157,10 +165,21 @@ _GRADING_PRIORITY = (
 def all_queries() -> dict[str, Query]:
     load_all()
     rank = {name: i for i, name in enumerate(_GRADING_PRIORITY)}
+    bad = [n for n in _GRADING_PRIORITY if _REGISTRY[n].oracle is None]
+    if bad:  # r12 cadence amendment: a prefix slot must never read no_oracle
+        raise ValueError(f"oracle-less queries in _GRADING_PRIORITY: {bad}")
     default = len(_GRADING_PRIORITY)
+    # Sort: graded prefix first (priority order), then oracle-bearing
+    # entries in registration order, then oracle-less entries LAST — so the
+    # driver's fixed-size graded prefix can structurally never land on a
+    # rows-only entry, whatever the prefix size or registration order.
     ordered = sorted(
         enumerate(_REGISTRY.items()),
-        key=lambda pair: (rank.get(pair[1][0], default), pair[0]),
+        key=lambda pair: (
+            rank.get(pair[1][0], default),
+            pair[1][1].oracle is None,
+            pair[0],
+        ),
     )
     return {name: q for _, (name, q) in ordered}
 

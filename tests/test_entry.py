@@ -43,10 +43,18 @@ def test_grading_priority_prefix_invariants():
         all_queries,
     )
 
-    qs = list(all_queries())
+    queries = all_queries()
+    qs = list(queries)
     assert len(_GRADING_PRIORITY) == 50
     assert len(set(_GRADING_PRIORITY)) == 50
     assert qs[:50] == list(_GRADING_PRIORITY)
+    # r12 cadence amendment (VERDICT r11 #2): a graded prefix slot must
+    # never land on a rows-only entry — every prefix query carries an
+    # oracle, and the oracle-less entries sort to the very END of the
+    # registry so no prefix size could ever reach them.
+    assert all(queries[n].oracle is not None for n in qs[:50])
+    tail_oracle_less = [n for n in qs if queries[n].oracle is None]
+    assert qs[-len(tail_oracle_less):] == tail_oracle_less
     gates = {
         "page_view", "hot_items_topn", "network_flow_topn",
         "unique_visitors", "uv_approx", "app_marketing_by_channel",
