@@ -2252,10 +2252,19 @@ _register_streaming_scd2()
 
 def classify_event_records(df: DataFrame) -> DataFrame:
     """Row-level ingest dispositions, first matching rule wins:
-    bad_ts (null or outside the corpus calendar), bad_type (outside the
-    event-type domain), bad_value (null/negative/absurd), bad_props (not
-    a JSON object) — else ok. Pure scan-local CASE; the quarantine router
-    every permissive ingest runs before landing rows."""
+    bad_ts (null or outside the corpus calendar), bad_type (NULL or
+    outside the event-type domain), bad_value (null/negative/absurd),
+    bad_props (not a JSON object) — else ok. Pure scan-local CASE; the
+    quarantine router every permissive ingest runs before landing rows.
+
+    NULL event_type routes to bad_type (decided in round 12 — VERDICT
+    r11 #5): through round 11 a bare ``~isin(...)`` let NULL types fall
+    through to the later rules (SQL ternary logic: NULL NOT IN (...) is
+    NULL -> false), so a NULL-typed row with clean ts/value/props landed
+    as 'ok'. A quarantine router should quarantine records missing their
+    type, so the predicate now carries an explicit isNull() arm — and the
+    DuckDB oracle carries the matching ``IS NULL OR ... NOT IN`` in the
+    same commit, with the randomized twin updated alongside."""
     return df.withColumn(
         "disposition",
         F.when(
@@ -2265,7 +2274,8 @@ def classify_event_records(df: DataFrame) -> DataFrame:
             "bad_ts",
         )
         .when(
-            ~F.col("event_type").isin(
+            F.col("event_type").isNull()
+            | ~F.col("event_type").isin(
                 "view", "click", "purchase", "signup", "error"
             ),
             "bad_type",
@@ -2291,7 +2301,7 @@ def classify_event_records(df: DataFrame) -> DataFrame:
       SELECT CASE
         WHEN ts IS NULL OR ts < TIMESTAMP '2024-01-01'
              OR ts >= TIMESTAMP '2025-01-01' THEN 'bad_ts'
-        WHEN event_type NOT IN
+        WHEN event_type IS NULL OR event_type NOT IN
              ('view', 'click', 'purchase', 'signup', 'error')
           THEN 'bad_type'
         WHEN value IS NULL OR value < 0 OR value > 1e9 THEN 'bad_value'

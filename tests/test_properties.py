@@ -3687,11 +3687,10 @@ RECORDS = st.lists(
 )
 @given(records=RECORDS)
 def test_classify_event_records_matches_python(spark, records):
-    """The quarantine router's first-match CASE vs a pure-Python chain
-    with the same SQL ternary semantics — including the deliberate
-    NULL-event_type fall-through (~isin(NULL) is NULL -> false in both
-    Spark and the DuckDB oracle, so a NULL type is judged by the LATER
-    rules, not bad_type)."""
+    """The quarantine router's first-match CASE vs a pure-Python chain —
+    including the round-12 rule that a NULL event_type routes to bad_type
+    (the explicit isNull() arm; through r11 it fell through to the later
+    rules via SQL ternary logic)."""
     import datetime as dt
 
     from data_warehouse_flink_spark.plans.analytics import (
@@ -3723,7 +3722,7 @@ def test_classify_event_records_matches_python(spark, records):
     for i, (d, et, v, p) in enumerate(records):
         if d is None or d < 0 or d >= 366:
             want[i] = "bad_ts"
-        elif et is not None and et not in domain:
+        elif et is None or et not in domain:
             want[i] = "bad_type"
         elif v is None or v < 0 or v > 1e9:
             want[i] = "bad_value"

@@ -289,6 +289,7 @@ def test_quarantine_rules_catch_injected_violations(spark):
         (2, None, "view", 1.0, "{}", "bad_ts"),
         (3, "2023-12-31 23:59:59", "nosuch", 1.0, "{}", "bad_ts"),
         (4, "2024-02-01 00:00:00", "nosuch", 1.0, "{}", "bad_type"),
+        (9, "2024-02-01 00:00:00", None, 1.0, "{}", "bad_type"),
         (5, "2024-02-01 00:00:00", "click", -0.5, "{}", "bad_value"),
         (6, "2024-02-01 00:00:00", "click", None, "{}", "bad_value"),
         (7, "2024-02-01 00:00:00", "click", 1.0, "oops", "bad_props"),
