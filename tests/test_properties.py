@@ -2820,6 +2820,54 @@ def test_canonicalize_url_matches_python(spark, urls):
     assert got == want
 
 
+def test_canonicalize_url_hand_written_cases(spark):
+    """Hand-computed expected outputs for the tricky canonicalization
+    cases (ADVICE r11: the randomized twin shares the implementation's
+    regex pipeline, so a shared regex quirk would pass both — these
+    expectations were derived by hand from the documented contract, not
+    by running either implementation)."""
+    from data_warehouse_flink_spark.functions.text import canonicalize_url
+
+    cases = [
+        # scheme+host case-folded, www dropped, trailing slash trimmed,
+        # PATH case preserved
+        ("HtTpS://WWW.Example.COM/Path/p1/", "https://example.com/Path/p1"),
+        # schemeless www: head regex matches nothing -> the whole string
+        # is "path", so NO case fold and NO www drop (pinned contract)
+        ("www.Example.com/Path", "www.Example.com/Path"),
+        # bare '?' -> empty after query strip
+        ("?", ""),
+        # trailing '?' with nothing after it
+        ("http://example.com?", "http://example.com"),
+        # fragment stripped, uppercase scheme folded
+        ("HTTP://a-b.org#frag", "http://a-b.org"),
+        # root slash IS the trailing slash
+        ("http://Example.COM/", "http://example.com"),
+        # query begins at the root slash -> strip, then nothing to trim
+        ("http://example.com/?q=1", "http://example.com"),
+        # no path at all
+        ("https://example.com", "https://example.com"),
+        # port belongs to the host ([^/]+ spans it)
+        ("https://Example.com:8080/A/", "https://example.com:8080/A"),
+        # '://' later in the string is path content: no fold, no www drop
+        ("ftp.example.com/HTTP://x", "ftp.example.com/HTTP://x"),
+        # www-drop applies to the HEAD only, never inside the path
+        ("http://a.com/x://www.b/", "http://a.com/x://www.b"),
+        # query containing '://www.' is stripped before anything else
+        ("http://WWW.a.com/p?next=http://www.b.com/", "http://a.com/p"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["canon"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("canon")
+        ).collect()
+    }
+    assert got == {i: want for i, (_, want) in enumerate(cases)}
+
+
 # ---------------------------------------------------------------------------
 # Hyperplane-LSH and IVF serving-path end-to-end twins, plus the two
 # entry-level dedup primitives.
@@ -3262,7 +3310,16 @@ def test_windowed_approx_distinct_checked_contract(spark, rows, config):
     equal the pure-Python per-window distinct count, and within_bound
     must be UNIFORMLY true — the |approx-exact| <= max(5*rsd*exact, 3)
     envelope holds on any input (a broken sketch merge deviates by whole
-    buckets and trips it)."""
+    buckets and trips it).
+
+    The uniform within_bound assertion is only safe because
+    WINDOW_AGG_ROWS draws uids from a 5-value domain: at <=5 distinct
+    values per window HLL++ answers exactly (sparse mode), so the bound
+    is deterministic here, not probabilistic. Widening the uid domain
+    past the sketch's exact-at-small-cardinality regime would turn this
+    into a flake — bound the strategy with the assert below instead of
+    widening silently."""
+    assert all(0 <= r[1] <= 4 for r in rows)  # uid domain: HLL-exact regime
     import datetime as dt
 
     from data_warehouse_flink_spark.operators.windows import (
