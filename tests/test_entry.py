@@ -116,3 +116,8 @@ def test_bench_canary_reference_aligned():
     assert set(bench.CANARY_TRIO) == set(bench.CANARY_REF)
     assert set(bench.CANARY_TRIO) <= set(bench.HEADLINE)
     assert all(0 < v < 5 for v in bench.CANARY_REF.values())
+    # r12 versioned re-baseline sits BESIDE the r6 constants: same trio,
+    # plausible timings, min-of-N canary reps (the re-baseline's point).
+    assert set(bench.CANARY_REF_R12) == set(bench.CANARY_REF)
+    assert all(0 < v < 5 for v in bench.CANARY_REF_R12.values())
+    assert bench.CANARY_REPS >= 5
