@@ -386,6 +386,14 @@ def main() -> None:
         if is_default_sf
         else []
     )
+    # Off-default-SF runs still need their per-query map somewhere (the
+    # sf1 scaling-slope runs, VERDICT r11 #4) — an explicit opt-in path
+    # keeps them out of the driver's tracked sf0.1 sidecars.
+    side_out = os.environ.get("SPARK_GRAFT_BENCH_SIDE_OUT")
+    if side_out:
+        with open(side_out, "w") as fh:
+            json.dump(sidecar, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     if not names:
         # Mirror the concurrent-JVM warning style (ADVICE r8): say why no
         # record was persisted instead of silently writing nothing.
