@@ -204,8 +204,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
     # A concurrent Spark JVM on the same box corrupts timings wholesale
-    # (measured: 36 s readings for 2.4 s queries). Warn loudly on stderr —
-    # the JSON record on stdout still gets produced, but flag it.
+    # (measured: 36 s readings for 2.4 s queries; r12 close attempt A read
+    # 1.27x slower with one leftover suite JVM alive). Warn loudly on
+    # stderr AND stamp the count into the record itself below, so a
+    # contended run is self-describing in the ledger instead of needing
+    # the stderr capture to survive.
+    concurrent_jvms = 0
     try:
         import subprocess
 
@@ -220,6 +224,7 @@ def main() -> None:
             timeout=10,
         ).stdout.split()
         if others:
+            concurrent_jvms = len(others)
             print(
                 f"WARNING: {len(others)} other Spark JVM(s) alive "
                 f"(pids {others}) — timings below are unreliable",
@@ -310,6 +315,8 @@ def main() -> None:
         "sf": sf_dir,
         "n_queries": len(timings),
     }
+    if concurrent_jvms:
+        payload["concurrent_jvms"] = concurrent_jvms
 
     # Common-subset ratio vs the PREVIOUS round's sidecar (VERDICT r8 #7) —
     # the FIRST cross-round field in the record (VERDICT r9 #5): twice now
