@@ -2977,16 +2977,16 @@ def _url_dedup_frame(
              CAST(round(-ln(
                ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
                  + 1) / 268435457.0)
-             ) / CAST(n_chars AS DOUBLE) * 1000000000.0, 0) AS BIGINT)
-               AS key_nano
+             ) / CAST(n_chars AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+               AS key_micro
       FROM documents
     ), ranked AS (
-      SELECT source, doc_id, n_chars, key_nano,
+      SELECT source, doc_id, n_chars, key_micro,
              row_number() OVER (PARTITION BY source
-                                ORDER BY key_nano, doc_id) AS rn
+                                ORDER BY key_micro, doc_id) AS rn
       FROM keyed
     )
-    SELECT source, doc_id, n_chars, key_nano, rn::BIGINT AS rn
+    SELECT source, doc_id, n_chars, key_micro, rn::BIGINT AS rn
     FROM ranked WHERE rn <= 50
     """,
 )
@@ -3000,10 +3000,14 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism/exactness: u derives from the md5 28-bit integer idiom on
     doc_id (u = (h+1)/(2^28+1) ∈ (0,1)); the key is rounded to integer
-    NANO-units before ranking (ln agrees across engines at this scale —
-    same discipline as the DSIR log-ratio micro-nats), ties break on
-    doc_id. Plan: zero-shuffle key projection + one per-source top-k
-    window; at 1000 executors the rank partitions by stratum.
+    MICRO-units before ranking (the DSIR log-ratio discipline), ties
+    break on doc_id. Micro, not nano, since round 12: at nano precision a
+    1-ulp Java-vs-C ln() divergence lands within ~1e-7 of a .5 rounding
+    boundary often enough to surface at volume — the sf1 parity sweep
+    caught exactly one such doc in 50k (key 29420 vs 29421); micro-units
+    shrink the boundary measure 1000x (~2e-10 per doc). Plan:
+    zero-shuffle key projection + one per-source top-k window; at 1000
+    executors the rank partitions by stratum.
     """
     docs = _docs_wide(spark, sf_dir)
     h = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT)"
@@ -3013,12 +3017,12 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.expr(
             f"CAST(round(-ln(({h} + 1) / 268435457.0) "
-            f"/ CAST(n_chars AS DOUBLE) * 1000000000.0, 0) AS BIGINT)"
-        ).alias("key_nano"),
+            f"/ CAST(n_chars AS DOUBLE) * 1000000.0, 0) AS BIGINT)"
+        ).alias("key_micro"),
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("source").orderBy("key_nano", "doc_id")
+    w = Window.partitionBy("source").orderBy("key_micro", "doc_id")
     return keyed.withColumn(
         "rn", F.row_number().over(w).cast("long")
     ).filter(F.col("rn") <= 50)
@@ -3749,14 +3753,14 @@ def doc_simhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(-ln(
                ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
                  + 1) / 268435457.0)
-             ) / CAST(n_chars AS DOUBLE) * 1000000000.0, 0) AS BIGINT)
-               AS key_nano
+             ) / CAST(n_chars AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+               AS key_micro
       FROM documents
     ), ranked AS (
-      SELECT source, lang, doc_id, doc_tokens, key_nano,
+      SELECT source, lang, doc_id, doc_tokens, key_micro,
              sum(doc_tokens) OVER (
                PARTITION BY source, lang
-               ORDER BY key_nano, doc_id
+               ORDER BY key_micro, doc_id
                ROWS UNBOUNDED PRECEDING) AS cum_tokens
       FROM keyed
     ), sel AS (
@@ -3773,7 +3777,8 @@ def doc_simhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixture sampler EXECUTED: each (source, lang) stratum draws its
-    A-ES-ordered documents (same -ln(u)/w keys as `doc_weighted_sample`)
+    A-ES-ordered documents (same micro-unit -ln(u)/w keys as
+    `doc_weighted_sample` — see there for the round-12 nano->micro note)
     until the stratum's proportional token budget (same floor-quota as
     `corpus_token_budget_plan`) is exhausted — greedy prefix by cumulative
     token count. This is the step that actually materializes a training
@@ -3811,12 +3816,12 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("doc_tokens"),
         F.expr(
             f"CAST(round(-ln(({h} + 1) / 268435457.0) "
-            f"/ CAST(n_chars AS DOUBLE) * 1000000000.0, 0) AS BIGINT)"
-        ).alias("key_nano"),
+            f"/ CAST(n_chars AS DOUBLE) * 1000000.0, 0) AS BIGINT)"
+        ).alias("key_micro"),
     )
     w = (
         Window.partitionBy("source", "lang")
-        .orderBy("key_nano", "doc_id")
+        .orderBy("key_micro", "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ranked = keyed.withColumn("cum_tokens", F.sum("doc_tokens").over(w))
