@@ -27,6 +27,11 @@ ROWS_ONLY = sorted(n for n, q in QUERIES.items() if not q.oracle)
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
+    # Cap oracle spill: at the generated sf1 tier one oracle's hash join
+    # spilled >65 GB of duckdb temp and filled the disk (round-12 sweep).
+    # A capped oracle fails fast with a clear error instead of taking the
+    # box down; no oracle at the suite's own tiers comes near this.
+    con.execute("SET max_temp_directory_size='20GiB'")
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
