@@ -69,33 +69,35 @@ def load_all() -> None:
 
 # The driver grades a fixed-size prefix of the registry (50 entries in every
 # round so far, in ``queries()`` iteration order), so iteration order decides
-# which queries get oracle evidence each round. Priority for round 12
-# (VERDICT r11 directives #1 and #2):
+# which queries get oracle evidence each round. Priority for round 13
+# (VERDICT r12 directive #1 — exactly the rotation pre-announced here in
+# round 12):
 # (1) the 22 SURVEY §2 gate queries — stay in every round's prefix;
 # (2) first-evidence entries FIRST (the documented rule since r8):
-#     none this round — the registry stays frozen at 176 (VERDICT r11 #6)
-#     and round 12 adds no registered queries.
+#     none this round — the registry stays frozen at 176 (VERDICT r12 #6)
+#     and round 13 adds no registered queries.
 # (3) periodic-reconfirmation cadence (rule since r7: after first-evidence
 #     entries, fill the prefix with the queries holding the OLDEST driver
 #     hash evidence, ties broken by registration order, so no query's
-#     evidence age is unbounded). AMENDED in r12 (VERDICT r11 #2):
-#     ORACLE-LESS entries are SKIPPED when filling the prefix — a rows-only
-#     slot can only ever return ``err: "no_oracle"`` (r11 burned 2 of its 50
-#     slots this way on doc_span_dedup_fast / doc_exact_substring_dedup_fast;
-#     their hash evidence flows through the oracle-bearing ``*_contract``
-#     queries instead). ``all_queries()`` enforces this structurally: it
-#     sorts oracle-less entries after every oracle-bearing one, and refuses
-#     an oracle-less name in _GRADING_PRIORITY outright. This round: the
-#     full r6-evidence remainder of 12, then the first 16 of the r7 cohort
-#     of 28 in registration order — exactly the plan VERDICT r11 #1 names.
+#     evidence age is unbounded; oracle-less entries are SKIPPED per the
+#     r12 amendment — ``all_queries()`` enforces this structurally by
+#     sorting oracle-less entries last and refusing an oracle-less name in
+#     _GRADING_PRIORITY outright). This round: the full r7-evidence
+#     remainder of 12, then the first 16 of the r8 cohort of 28 in
+#     registration order — exactly the plan VERDICT r12 #1 names.
 # 22 + 0 + 12 + 16 = 50 exactly, all oracle-bearing. After this round's
-# grading no oracle-bearing query's evidence is older than r7. Next up
-# (round 13): the r7 remainder of 12 (tpch_q6/q5/q10/... already regraded
-# here; remainder = embedding_dedup_cosine, knn_bruteforce, doc_token_stats,
-# doc_fingerprint, doc_language_id, corpus_curation, doc_bpe_tokens,
-# doc_chunks, doc_unigram_logprob, doc_prefix_edit_distance,
-# doc_simhash_recall_report, event_value_percentiles_approx), then the
-# first 16 of the r8 cohort in registration order.
+# grading no oracle-bearing query's evidence is older than r8. Next up
+# (round 14): the r8 remainder of 12 (events_rollup, events_cube,
+# event_value_percentiles, viewers_never_purchased, user_running_value,
+# windowed_value_sum, pattern_error_next_error,
+# pattern_click_followed_by_purchase, user_value_outliers,
+# conversion_funnel, hourly_counts_gapfilled, weekly_cohort_retention),
+# then the first 16 of the r9 cohort of 28 in registration order
+# (streaming_user_sessions, doc_minhash_lsh, doc_simhash, knn_lsh,
+# streaming_knn, multimodal_features, multimodal_frames,
+# doc_rolling_fingerprint, knn_ivf, streaming_near_dedup,
+# doc_dedup_keep_best, doc_semantic_dedup_scores, knn_pq,
+# doc_importance_weights, doc_bpe_encode, embedding_sq8).
 _GRADING_PRIORITY = (
     # -- §2 gates (reference_jobs registration order) --
     "page_view",
@@ -120,44 +122,43 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- oldest-evidence reconfirmation: the r6 remainder of 12, then the
-    # first 16 of the r7 cohort (evidence CORRECTNESS_r06/r07;
+    # -- oldest-evidence reconfirmation: the r7 remainder of 12, then the
+    # first 16 of the r8 cohort (evidence CORRECTNESS_r07/r08;
     # registration order; oracle-less entries skipped per the r12 cadence
     # amendment — none occur in these cohorts anyway) --
-    "embedding_standardize",  # r6
-    "doc_ngram_novelty",  # r6
-    "doc_length_histogram",  # r6
-    "streaming_rollup_incremental",  # r6
-    "events_late_arrival_profile",  # r6
-    "streaming_user_tier_scd2",  # r6
-    "events_quarantine",  # r6
-    "user_churn_training_set",  # r6
-    "events_weekday_hour_heatmap",  # r6
-    "orders_customer_mart",  # r6
-    "streaming_weekday_hour_heatmap",  # r6
-    "sql_top_customer_per_nation",  # r6
-    "uv_sketch_mergeable",  # r7
-    "tpch_q5",  # r7
-    "tpch_q6",  # r7
-    "order_priority_count",  # r7
-    "tpch_q10",  # r7
-    "tpch_q14",  # r7
-    "tpch_q19",  # r7
-    "tpch_q17",  # r7
-    "tpch_q13",  # r7
-    "tpch_q22",  # r7
-    "tpch_q12",  # r7
-    "tpch_q15",  # r7
-    "tpch_q16",  # r7
-    "tpch_q20",  # r7
-    "doc_dedup_exact",  # r7
-    "doc_ngram_jaccard",  # r7
+    "embedding_dedup_cosine",  # r7
+    "knn_bruteforce",  # r7
+    "doc_token_stats",  # r7
+    "doc_fingerprint",  # r7
+    "doc_language_id",  # r7
+    "corpus_curation",  # r7
+    "doc_bpe_tokens",  # r7
+    "doc_chunks",  # r7
+    "doc_unigram_logprob",  # r7
+    "doc_prefix_edit_distance",  # r7
+    "doc_simhash_recall_report",  # r7
+    "event_value_percentiles_approx",  # r7
+    "doc_dup_clusters",  # r8
+    "doc_tfidf",  # r8
+    "doc_stratified_sample",  # r8
+    "streaming_distinct_pairs",  # r8
+    "doc_pack_sequences",  # r8
+    "embedding_label_centroids",  # r8
+    "doc_repetition_score",  # r8
+    "doc_pii_redact",  # r8
+    "doc_contamination",  # r8
+    "corpus_mixture_weights",  # r8
+    "doc_span_dedup_fast_contract",  # r8
+    "doc_exact_substring_dedup_fast_contract",  # r8
+    "doc_importance_weights_fast_contract",  # r8
+    "doc_minhash_lsh_fast_contract",  # r8
+    "corpus_shuffle_shards",  # r8
+    "knn_recall_report",  # r8
 )
-# Rotated OUT of the prefix this round: the r5 remainder of 12 and the r6
-# cohort head of 16 (all regraded r11, incl. the two no_oracle slots the
-# cadence amendment retires). Evidence ages after this round's grading:
-# r7 remainder (12), then r8 (28) / r9 (28) / r10 (28) / r11 (26 non-gate
-# entries regraded r11; the 22 gates regrade every round).
+# Rotated OUT of the prefix this round: the r6 remainder of 12 and the r7
+# cohort head of 16 (all regraded r12). Evidence ages after this round's
+# grading: r8 remainder (12), then r9 (28) / r10 (28) / r11 (26) / r12
+# (28 non-gate entries regraded r12; the 22 gates regrade every round).
 # The local parity suite still re-verifies every registered oracle each
 # session; the driver prefix is the independent re-proof channel.
 
