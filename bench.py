@@ -184,6 +184,15 @@ HEADLINE_CAP = 130
 # forensic recomputation. Update the reference only when the canary trio's
 # own plans change (they are rounds-old and frozen precisely so they don't).
 CANARY_REF = {"page_view": 0.323, "tpch_q6": 0.271, "hot_items_topn": 0.555}
+# PROTOCOL NOTE for cross-round readers of the r6-anchored fields
+# (canary_ratio_vs_r06 / value_adjusted): the r6 reference was measured
+# min-of-3; since r12 the trio runs min-of-5 (CANARY_REPS below), which is
+# biased slightly low vs a min-of-3 read of the same box — so post-r12
+# values of the r6-anchored fields conflate that protocol change with box
+# drift. The r12-versioned fields (canary_ratio_vs_r12 /
+# value_adjusted_r12) are measured AND referenced min-of-5; read those for
+# current box speed, keep the r6 fields only for continuity with the
+# r6-r11 ledger.
 # Versioned re-baseline (VERDICT r11 #3 — the rule's 0.7x/1.4x band was
 # effectively crossed: driver boxes read 0.797x then 1.209x across rounds
 # 10-11 and builder rows swung 0.91-1.35x within one session; evidence
@@ -198,6 +207,46 @@ CANARY_REF_R12 = {"page_view": 0.354, "tpch_q6": 0.254,
 CANARY_TRIO = tuple(CANARY_REF)  # measured first, in this order
 CANARY_REPS = 5  # min-of-5 since r12: the box-speed estimate must not
 # inherit single-rep jitter (3 sub-second queries; ~2 s of extra wall)
+
+# Acceptance rule for a close record (VERDICT r12 #4 — the NOTES.md trend
+# table's de-facto rule, now stamped into every record so a sidecar is
+# self-describing): a run is ACCEPTED iff no other Spark JVM was alive at
+# start, the canary trio completed, the min-of-5 trio read within
+# ACCEPT_CANARY_MAX of the r12 reference (external tenant load above that
+# swamps code-level signal — r12's driver rerun read 1.61x), and every
+# headline query produced a timing. A rejected record still carries all
+# its numbers; `reject_reason` says why it should not anchor cross-round
+# comparisons. The builder protocol remains: up to 3 attempts, accept the
+# first stamped accepted=true, log every attempt in the NOTES trend table.
+ACCEPT_CANARY_MAX = 1.1
+
+
+def acceptance(
+    concurrent_jvms: int,
+    canary_ratio_vs_r12: float | None,
+    n_query_errors: int,
+    default_sf: bool = True,
+) -> tuple[bool, str | None]:
+    """The acceptance rule as a pure function (unit-tested): returns
+    (accepted, reject_reason). The canary clause only applies on
+    default-SF runs — CANARY_REF_R12 was measured at sf0.1, and a
+    cross-SF trio ratio is not a box-speed estimate (the trio sees
+    different data volume), so judging an sf0.001/sf1 record by it would
+    reject clean runs and pass contended ones."""
+    reasons = []
+    if concurrent_jvms:
+        reasons.append(f"concurrent_jvms={concurrent_jvms}")
+    if default_sf:
+        if canary_ratio_vs_r12 is None:
+            reasons.append("canary_incomplete")
+        elif canary_ratio_vs_r12 > ACCEPT_CANARY_MAX:
+            reasons.append(
+                f"canary_ratio_vs_r12={canary_ratio_vs_r12}"
+                f">{ACCEPT_CANARY_MAX}"
+            )
+    if n_query_errors:
+        reasons.append(f"query_errors={n_query_errors}")
+    return (not reasons, "; ".join(reasons) or None)
 
 
 def main() -> None:
@@ -386,6 +435,20 @@ def main() -> None:
                 3)
     if errors:
         payload["errors"] = errors
+
+    # Accept/reject stamp (VERDICT r12 #4): evaluate this run against the
+    # acceptance rule declared at ACCEPT_CANARY_MAX. The stamp travels in
+    # BOTH the JSON line and the sidecars, so a reader of a bench record
+    # never has to reconstruct from NOTES whether the run was box-clean.
+    accepted, reject_reason = acceptance(
+        concurrent_jvms,
+        payload.get("canary_ratio_vs_r12"),
+        len(errors),
+        default_sf=is_default_sf,
+    )
+    payload["accepted"] = accepted
+    if reject_reason:
+        payload["reject_reason"] = reject_reason
 
     sidecar = {**payload, "queries": timings}
     names = (
