@@ -54,7 +54,10 @@ def test_grading_priority_prefix_invariants():
     # registry so no prefix size could ever reach them.
     assert all(queries[n].oracle is not None for n in qs[:50])
     tail_oracle_less = [n for n in qs if queries[n].oracle is None]
-    assert qs[-len(tail_oracle_less):] == tail_oracle_less
+    # qs[-0:] would be the WHOLE list, so an empty tail must short-circuit
+    # (a zero-oracle-less registry satisfies the invariant trivially).
+    if tail_oracle_less:
+        assert qs[-len(tail_oracle_less):] == tail_oracle_less
     gates = {
         "page_view", "hot_items_topn", "network_flow_topn",
         "unique_visitors", "uv_approx", "app_marketing_by_channel",
@@ -83,6 +86,61 @@ def test_bench_headline_names_exist():
     # bench time is round time: grow by swapping, not appending (VERDICT r5
     # item 7 — the cap is the explicit choice, not an accident)
     assert len(bench.HEADLINE) <= bench.HEADLINE_CAP
+
+
+def test_bench_acceptance_rule():
+    """The accept/reject stamp (VERDICT r12 #4) as a pure function: a
+    record is accepted iff the box was solo, the canary trio completed
+    within the declared band, and no headline query errored — and the
+    reject_reason names every violated clause, so a sidecar reader never
+    reconstructs the verdict from NOTES."""
+    import bench
+
+    assert bench.acceptance(0, 1.0, 0) == (True, None)
+    assert bench.acceptance(0, bench.ACCEPT_CANARY_MAX, 0) == (True, None)
+    ok, why = bench.acceptance(2, 1.0, 0)
+    assert not ok and "concurrent_jvms=2" in why
+    ok, why = bench.acceptance(0, None, 0)
+    assert not ok and "canary_incomplete" in why
+    ok, why = bench.acceptance(0, 1.61, 0)
+    assert not ok and "canary_ratio_vs_r12=1.61" in why
+    ok, why = bench.acceptance(0, 1.0, 3)
+    assert not ok and "query_errors=3" in why
+    ok, why = bench.acceptance(1, 1.61, 3)
+    assert not ok and why.count(";") == 2  # every clause named
+    # Off-default-SF runs: the canary clause is inapplicable (the r12
+    # reference is an sf0.1 measurement; a cross-SF trio ratio is not a
+    # box-speed estimate) — jvm/error clauses still apply.
+    assert bench.acceptance(0, 1.61, 0, default_sf=False) == (True, None)
+    assert bench.acceptance(0, None, 0, default_sf=False) == (True, None)
+    ok, why = bench.acceptance(2, None, 0, default_sf=False)
+    assert not ok and "concurrent_jvms=2" in why
+
+
+def test_sf1_spot_set_composition():
+    """The standing sf1 spot sweep (VERDICT r12 #3) must always carry the
+    A-ES/sampling/rounding family (the class whose bugs only surface at
+    volume) plus the head of this round's rotation cohort, oracle-bearing
+    only, at the pinned size."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(conftest.__file__), "..", "tools")
+    )
+    try:
+        from sf1_spot import ALWAYS, SPOT_SIZE, spot_set
+    finally:
+        sys.path.pop(0)
+
+    from data_warehouse_flink_spark.registry import all_queries
+
+    qs = all_queries()
+    names = spot_set()
+    assert len(names) == SPOT_SIZE
+    assert len(set(names)) == SPOT_SIZE
+    assert set(ALWAYS) <= set(names)
+    assert all(qs[n].oracle is not None for n in names)
 
 
 def test_plans_report_covers_registry():
