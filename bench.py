@@ -220,33 +220,129 @@ CANARY_REPS = 5  # min-of-5 since r12: the box-speed estimate must not
 # first stamped accepted=true, log every attempt in the NOTES trend table.
 ACCEPT_CANARY_MAX = 1.1
 
+# Steady-state escape hatch (VERDICT r13 #2): round 13 produced ZERO
+# accepted records — the box's steady canary baseline sat at 1.19-1.4x of
+# the r12 reference for the whole session (8 builder attempts over ~3 h
+# plus the driver rerun, all rejected), so the strict clause alone can
+# leave an entire round with no acceptable anchor even when the load is
+# perfectly steady and the cross-round per-query comparison is clean. A
+# record may therefore ALSO stamp accepted (mode "steady-state") when the
+# box is provably steady rather than fast: no concurrent JVM, no query
+# errors, the canary trio's min-of-5 sum is TIGHT across >= 3 attempts
+# spaced >= 10 min apart within the last 12 h (max/min <= 1.15 — a spike
+# like r13's 3.28x outlier blows the spread and still rejects), and the
+# judge's lead metric `common_subset_ratio_vs_prev` reads <= 1.05 (a
+# uniformly contended run times ~its canary inflation slower on the
+# common subset, so steady-but-slow contention cannot sneak through on
+# spread alone). The strict <= 1.1 clause remains the PREFERRED stamp;
+# a steady-state acceptance is explicitly labeled in `accepted_mode`.
+# Attempts are read from/appended to BENCH_ATTEMPTS.jsonl (one JSON object
+# per default-SF run with a complete canary: ts, canary_sum, ratio) —
+# commit it at close so the driver's own run sees the builder attempts.
+STEADY_SPREAD_MAX = 1.15
+STEADY_COMMON_RATIO_MAX = 1.05
+STEADY_MIN_ATTEMPTS = 3
+STEADY_MIN_SPACING_S = 600.0
+STEADY_WINDOW_S = 12 * 3600.0
+ATTEMPTS_LEDGER = os.path.join(REPO_ROOT, "BENCH_ATTEMPTS.jsonl")
+
+
+def steady_spread(
+    attempts: list[tuple[float, float]], now: float
+) -> tuple[int, float | None]:
+    """Pure helper for the steady-state clause: given (unix_ts, canary_sum)
+    readings INCLUDING the current run's own, keep those within
+    STEADY_WINDOW_S of `now`, thin to >= STEADY_MIN_SPACING_S spacing
+    (greedy from newest, so the current reading always survives thinning),
+    and return (n_kept, max/min spread of the kept canary sums). Three
+    back-to-back reruns inside one contention spike therefore count as ONE
+    attempt — spacing is what makes the spread a steadiness proof."""
+    in_window = sorted(
+        (float(ts), float(c))
+        for ts, c in attempts
+        if c and float(c) > 0 and 0 <= now - float(ts) <= STEADY_WINDOW_S
+    )
+    kept: list[tuple[float, float]] = []
+    for ts, c in reversed(in_window):
+        if not kept or kept[-1][0] - ts >= STEADY_MIN_SPACING_S:
+            kept.append((ts, c))
+    if not kept:
+        return 0, None
+    sums = [c for _, c in kept]
+    return len(kept), round(max(sums) / min(sums), 4)
+
 
 def acceptance(
     concurrent_jvms: int,
     canary_ratio_vs_r12: float | None,
     n_query_errors: int,
-    default_sf: bool = True,
-) -> tuple[bool, str | None]:
+    *,
+    default_sf: bool,
+    common_subset_ratio_vs_prev: float | None = None,
+    steady_attempts: int = 0,
+    steady_spread_ratio: float | None = None,
+) -> tuple[bool, str | None, str | None]:
     """The acceptance rule as a pure function (unit-tested): returns
-    (accepted, reject_reason). The canary clause only applies on
+    (accepted, mode, reject_reason) where mode is "strict" (preferred,
+    canary within ACCEPT_CANARY_MAX of the r12 reference),
+    "steady-state" (VERDICT r13 #2 escape hatch — see the constants
+    above), or None when rejected. The canary clauses only apply on
     default-SF runs — CANARY_REF_R12 was measured at sf0.1, and a
     cross-SF trio ratio is not a box-speed estimate (the trio sees
     different data volume), so judging an sf0.001/sf1 record by it would
-    reject clean runs and pass contended ones."""
+    reject clean runs and pass contended ones. `default_sf` is required
+    keyword-only (ADVICE r13 #4): a caller that forgets it must not
+    silently inherit the sf0.1-anchored clause."""
     reasons = []
     if concurrent_jvms:
         reasons.append(f"concurrent_jvms={concurrent_jvms}")
+    canary_ok = True
     if default_sf:
         if canary_ratio_vs_r12 is None:
+            canary_ok = False
             reasons.append("canary_incomplete")
         elif canary_ratio_vs_r12 > ACCEPT_CANARY_MAX:
+            canary_ok = False
             reasons.append(
                 f"canary_ratio_vs_r12={canary_ratio_vs_r12}"
                 f">{ACCEPT_CANARY_MAX}"
             )
     if n_query_errors:
         reasons.append(f"query_errors={n_query_errors}")
-    return (not reasons, "; ".join(reasons) or None)
+    if not reasons:
+        return True, "strict" if default_sf else "off-default-sf", None
+    # Steady-state fallback: ONLY reachable when the sole strict failure is
+    # a too-slow (but measured) canary — a concurrent JVM, an errored
+    # query, or an incomplete trio can never be laundered by steadiness.
+    if (
+        default_sf
+        and not concurrent_jvms
+        and not n_query_errors
+        and canary_ratio_vs_r12 is not None
+        and not canary_ok
+    ):
+        steady_fail = []
+        if steady_attempts < STEADY_MIN_ATTEMPTS:
+            steady_fail.append(
+                f"attempts={steady_attempts}<{STEADY_MIN_ATTEMPTS}"
+            )
+        if steady_spread_ratio is None:
+            steady_fail.append("spread_unknown")
+        elif steady_spread_ratio > STEADY_SPREAD_MAX:
+            steady_fail.append(
+                f"spread={steady_spread_ratio}>{STEADY_SPREAD_MAX}"
+            )
+        if common_subset_ratio_vs_prev is None:
+            steady_fail.append("common_subset_ratio_unknown")
+        elif common_subset_ratio_vs_prev > STEADY_COMMON_RATIO_MAX:
+            steady_fail.append(
+                f"common_subset_ratio={common_subset_ratio_vs_prev}"
+                f">{STEADY_COMMON_RATIO_MAX}"
+            )
+        if not steady_fail:
+            return True, "steady-state", None
+        reasons.append("steady-state: " + "; ".join(steady_fail))
+    return False, None, "; ".join(reasons)
 
 
 def main() -> None:
@@ -436,17 +532,65 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
 
-    # Accept/reject stamp (VERDICT r12 #4): evaluate this run against the
-    # acceptance rule declared at ACCEPT_CANARY_MAX. The stamp travels in
-    # BOTH the JSON line and the sidecars, so a reader of a bench record
-    # never has to reconstruct from NOTES whether the run was box-clean.
-    accepted, reject_reason = acceptance(
+    # Attempts ledger for the steady-state clause (VERDICT r13 #2): every
+    # default-SF run with a complete canary appends its reading, then the
+    # spread is computed over the spaced in-window attempts INCLUDING this
+    # one. The ledger is a repo file (committed at close) so the driver's
+    # own rerun sees the builder's spaced attempts from the same session.
+    steady_attempts, spread = 0, None
+    if is_default_sf and set(canary) == set(CANARY_REF):
+        now = time.time()
+        attempts: list[tuple[float, float]] = []
+        try:
+            with open(ATTEMPTS_LEDGER) as fh:
+                for line in fh:
+                    try:
+                        rec = json.loads(line)
+                        attempts.append((rec["ts"], rec["canary_sum"]))
+                    except (ValueError, TypeError, KeyError):
+                        continue  # one bad line must not kill the record
+        except OSError:
+            pass
+        attempts.append((now, sum(canary.values())))
+        try:
+            with open(ATTEMPTS_LEDGER, "a") as fh:
+                json.dump(
+                    {
+                        "ts": round(now, 1),
+                        "canary_sum": round(sum(canary.values()), 3),
+                        "canary_ratio_vs_r12": payload.get(
+                            "canary_ratio_vs_r12"
+                        ),
+                        "tag": tag,
+                    },
+                    fh,
+                    sort_keys=True,
+                )
+                fh.write("\n")
+        except OSError as exc:
+            print(f"NOTE: attempts ledger not written ({exc})", file=sys.stderr)
+        steady_attempts, spread = steady_spread(attempts, now)
+        payload["steady_attempts"] = steady_attempts
+        if spread is not None:
+            payload["steady_spread"] = spread
+
+    # Accept/reject stamp (VERDICT r12 #4 + the r13 #2 steady-state
+    # clause): evaluate this run against the acceptance rule declared at
+    # ACCEPT_CANARY_MAX / STEADY_*. The stamp travels in BOTH the JSON
+    # line and the sidecars, so a reader of a bench record never has to
+    # reconstruct from NOTES whether the run was box-clean.
+    accepted, mode, reject_reason = acceptance(
         concurrent_jvms,
         payload.get("canary_ratio_vs_r12"),
         len(errors),
         default_sf=is_default_sf,
+        common_subset_ratio_vs_prev=payload.get("common_subset_ratio_vs_prev"),
+        steady_attempts=steady_attempts,
+        steady_spread_ratio=spread,
     )
     payload["accepted"] = accepted
+    if mode:
+        payload["accepted_mode"] = mode
     if reject_reason:
         payload["reject_reason"] = reject_reason
 

@@ -69,35 +69,36 @@ def load_all() -> None:
 
 # The driver grades a fixed-size prefix of the registry (50 entries in every
 # round so far, in ``queries()`` iteration order), so iteration order decides
-# which queries get oracle evidence each round. Priority for round 13
-# (VERDICT r12 directive #1 — exactly the rotation pre-announced here in
-# round 12):
+# which queries get oracle evidence each round. Priority for round 14
+# (VERDICT r13 directive #1 — exactly the rotation pre-announced here in
+# round 13):
 # (1) the 22 SURVEY §2 gate queries — stay in every round's prefix;
 # (2) first-evidence entries FIRST (the documented rule since r8):
-#     none this round — the registry stays frozen at 176 (VERDICT r12 #6)
-#     and round 13 adds no registered queries.
+#     none this round — the registry stays frozen at 176 (VERDICT r13 #6)
+#     and round 14 adds no registered queries.
 # (3) periodic-reconfirmation cadence (rule since r7: after first-evidence
 #     entries, fill the prefix with the queries holding the OLDEST driver
 #     hash evidence, ties broken by registration order, so no query's
 #     evidence age is unbounded; oracle-less entries are SKIPPED per the
 #     r12 amendment — ``all_queries()`` enforces this structurally by
 #     sorting oracle-less entries last and refusing an oracle-less name in
-#     _GRADING_PRIORITY outright). This round: the full r7-evidence
-#     remainder of 12, then the first 16 of the r8 cohort of 28 in
-#     registration order — exactly the plan VERDICT r12 #1 names.
+#     _GRADING_PRIORITY outright). This round: the full r8-evidence
+#     remainder of 12, then the first 16 of the r9 cohort of 28 in
+#     registration order — exactly the plan VERDICT r13 #1 names.
 # 22 + 0 + 12 + 16 = 50 exactly, all oracle-bearing. After this round's
-# grading no oracle-bearing query's evidence is older than r8. Next up
-# (round 14): the r8 remainder of 12 (events_rollup, events_cube,
-# event_value_percentiles, viewers_never_purchased, user_running_value,
-# windowed_value_sum, pattern_error_next_error,
-# pattern_click_followed_by_purchase, user_value_outliers,
-# conversion_funnel, hourly_counts_gapfilled, weekly_cohort_retention),
-# then the first 16 of the r9 cohort of 28 in registration order
-# (streaming_user_sessions, doc_minhash_lsh, doc_simhash, knn_lsh,
-# streaming_knn, multimodal_features, multimodal_frames,
-# doc_rolling_fingerprint, knn_ivf, streaming_near_dedup,
-# doc_dedup_keep_best, doc_semantic_dedup_scores, knn_pq,
-# doc_importance_weights, doc_bpe_encode, embedding_sq8).
+# grading no oracle-bearing query's evidence is older than r9. Next up
+# (round 15): the r9 remainder of 12 in registration order (knn_rrf,
+# embedding_kmeans_train, embedding_kmeans_assign, knn_ivf_trained,
+# knn_ivf_trained_sampled, doc_minhash_incremental, embedding_pq_train,
+# knn_pq_trained, knn_pq_trained_sampled, corpus_bpe_train,
+# error_rate_spikes, purchase_asof_click), then the first 16 of the r10
+# cohort of 28 in registration order (doc_span_dedup,
+# doc_quality_classifier, token_count_min_sketch, doc_hash_embedding,
+# doc_text_knn, corpus_curation_v2, doc_dedup_sweep, doc_url_dedup,
+# doc_weighted_sample, doc_perplexity_bucket, knn_ivf_pq,
+# doc_exact_substring_dedup, doc_tokenizer_fertility,
+# corpus_token_budget_plan, doc_lsh_recall_report,
+# corpus_bpe_train_batched).
 _GRADING_PRIORITY = (
     # -- §2 gates (reference_jobs registration order) --
     "page_view",
@@ -122,43 +123,43 @@ _GRADING_PRIORITY = (
     "streaming_tx_match_window_join",
     "streaming_hot_items_topn",
     "streaming_update_emissions",
-    # -- oldest-evidence reconfirmation: the r7 remainder of 12, then the
-    # first 16 of the r8 cohort (evidence CORRECTNESS_r07/r08;
+    # -- oldest-evidence reconfirmation: the r8 remainder of 12, then the
+    # first 16 of the r9 cohort (evidence CORRECTNESS_r08/r09;
     # registration order; oracle-less entries skipped per the r12 cadence
     # amendment — none occur in these cohorts anyway) --
-    "embedding_dedup_cosine",  # r7
-    "knn_bruteforce",  # r7
-    "doc_token_stats",  # r7
-    "doc_fingerprint",  # r7
-    "doc_language_id",  # r7
-    "corpus_curation",  # r7
-    "doc_bpe_tokens",  # r7
-    "doc_chunks",  # r7
-    "doc_unigram_logprob",  # r7
-    "doc_prefix_edit_distance",  # r7
-    "doc_simhash_recall_report",  # r7
-    "event_value_percentiles_approx",  # r7
-    "doc_dup_clusters",  # r8
-    "doc_tfidf",  # r8
-    "doc_stratified_sample",  # r8
-    "streaming_distinct_pairs",  # r8
-    "doc_pack_sequences",  # r8
-    "embedding_label_centroids",  # r8
-    "doc_repetition_score",  # r8
-    "doc_pii_redact",  # r8
-    "doc_contamination",  # r8
-    "corpus_mixture_weights",  # r8
-    "doc_span_dedup_fast_contract",  # r8
-    "doc_exact_substring_dedup_fast_contract",  # r8
-    "doc_importance_weights_fast_contract",  # r8
-    "doc_minhash_lsh_fast_contract",  # r8
-    "corpus_shuffle_shards",  # r8
-    "knn_recall_report",  # r8
+    "events_rollup",  # r8
+    "events_cube",  # r8
+    "event_value_percentiles",  # r8
+    "viewers_never_purchased",  # r8
+    "user_running_value",  # r8
+    "windowed_value_sum",  # r8
+    "pattern_error_next_error",  # r8
+    "pattern_click_followed_by_purchase",  # r8
+    "user_value_outliers",  # r8
+    "conversion_funnel",  # r8
+    "hourly_counts_gapfilled",  # r8
+    "weekly_cohort_retention",  # r8
+    "streaming_user_sessions",  # r9
+    "doc_minhash_lsh",  # r9
+    "doc_simhash",  # r9
+    "knn_lsh",  # r9
+    "streaming_knn",  # r9
+    "multimodal_features",  # r9
+    "multimodal_frames",  # r9
+    "doc_rolling_fingerprint",  # r9
+    "knn_ivf",  # r9
+    "streaming_near_dedup",  # r9
+    "doc_dedup_keep_best",  # r9
+    "doc_semantic_dedup_scores",  # r9
+    "knn_pq",  # r9
+    "doc_importance_weights",  # r9
+    "doc_bpe_encode",  # r9
+    "embedding_sq8",  # r9
 )
-# Rotated OUT of the prefix this round: the r6 remainder of 12 and the r7
-# cohort head of 16 (all regraded r12). Evidence ages after this round's
-# grading: r8 remainder (12), then r9 (28) / r10 (28) / r11 (26) / r12
-# (28 non-gate entries regraded r12; the 22 gates regrade every round).
+# Rotated OUT of the prefix this round: the r7 remainder of 12 and the r8
+# cohort head of 16 (all regraded r13). Evidence ages after this round's
+# grading: r9 remainder (12), then r10 (28) / r11 (26) / r12 (28) / r13
+# (28 non-gate entries regraded r13; the 22 gates regrade every round).
 # The local parity suite still re-verifies every registered oracle each
 # session; the driver prefix is the independent re-proof channel.
 

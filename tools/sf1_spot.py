@@ -23,13 +23,12 @@ SF1_SPOT_r{N}.json and the NOTES.md close receipt cites it.
 
 Usage:
     python tools/testdata_gen.py 1 .localdata/gensf1   # once per box
-    python tools/sf1_spot.py [--round N] [--data DIR] [--size K]
+    python tools/sf1_spot.py --round N [--data DIR] [--size K]
 """
 
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import re
@@ -77,23 +76,21 @@ def spot_set(size: int = SPOT_SIZE) -> list[str]:
     return names
 
 
-def infer_round() -> int:
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
-        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
-    ]
-    return max(rounds) + 1 if rounds else 0
-
-
 def run_batch(names: list[str], data_dir: str, junit_path: str) -> dict:
     ids = [
         f"tests/test_oracle_parity.py::test_query_matches_oracle[{n}]"
         for n in names
     ]
     env = {**os.environ, "SPARK_GRAFT_TEST_SF": data_dir}
+    # ADVICE r13 #2: a stale junit file from a prior invocation of the same
+    # round/batch must never be parsed as THIS run's results — remove it
+    # first so a pytest crash yields "junit_unreadable", not stale passes.
     try:
-        subprocess.run(
+        os.remove(junit_path)
+    except FileNotFoundError:
+        pass
+    try:
+        proc = subprocess.run(
             [sys.executable, "-m", "pytest", *ids, "-q", "--no-header",
              f"--junitxml={junit_path}"],
             cwd=REPO_ROOT,
@@ -104,6 +101,12 @@ def run_batch(names: list[str], data_dir: str, junit_path: str) -> dict:
         )
     except subprocess.TimeoutExpired:
         return {n: "timeout" for n in names}
+    # rc 0 = all passed, 1 = some test failed (the junit says which);
+    # anything else (2 interrupted / 3 internal error / 4 usage error /
+    # 5 nothing collected) means the junit cannot be trusted to cover the
+    # batch — fail the whole batch loudly (ADVICE r13 #2).
+    if proc.returncode not in (0, 1):
+        return {n: f"pytest_rc_{proc.returncode}" for n in names}
     results = {n: "missing" for n in names}
     try:
         for case in ET.parse(junit_path).getroot().iter("testcase"):
@@ -119,7 +122,12 @@ def run_batch(names: list[str], data_dir: str, junit_path: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=None)
+    # --round is REQUIRED (ADVICE r13 #1): inferring it from the
+    # BENCH_r*.json ledger is ambiguous on both sides of the driver's
+    # write — before it, max(rounds) is the PREVIOUS round; after it,
+    # max(rounds)+1 is the NEXT one — so a default would mislabel the
+    # record depending on when in the round it runs.
+    ap.add_argument("--round", type=int, required=True)
     ap.add_argument(
         "--data", default=os.path.join(REPO_ROOT, ".localdata", "gensf1")
     )
@@ -131,7 +139,7 @@ def main() -> None:
             f"ERROR: no generated sf1 data at {args.data} — run:\n"
             f"  python tools/testdata_gen.py 1 {args.data}"
         )
-    rnd = args.round if args.round is not None else infer_round()
+    rnd = args.round
     names = spot_set(args.size)
     print(f"sf1 spot set (round {rnd}, {len(names)} queries): {names}")
 
