@@ -272,6 +272,50 @@ def steady_spread(
     return len(kept), round(max(sums) / min(sums), 4)
 
 
+def record_attempt(
+    ledger_path: str,
+    now: float,
+    canary_sum: float,
+    canary_ratio_vs_r12: float | None,
+    tag: str,
+) -> tuple[int, float | None]:
+    """Ledger I/O for the steady-state clause, as one testable unit: read
+    prior attempts (malformed lines skipped one at a time — a corrupt
+    ledger must degrade, not kill the record), append this run's reading,
+    and return steady_spread() over the attempts INCLUDING this one. A
+    missing ledger means this is attempt 1; an unwritable ledger still
+    returns this run's spread (the record is the source of truth, the
+    ledger is the cross-run channel)."""
+    attempts: list[tuple[float, float]] = []
+    try:
+        with open(ledger_path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                    attempts.append((rec["ts"], rec["canary_sum"]))
+                except (ValueError, TypeError, KeyError):
+                    continue  # one bad line must not kill the record
+    except OSError:
+        pass
+    attempts.append((now, canary_sum))
+    try:
+        with open(ledger_path, "a") as fh:
+            json.dump(
+                {
+                    "ts": round(now, 1),
+                    "canary_sum": round(canary_sum, 3),
+                    "canary_ratio_vs_r12": canary_ratio_vs_r12,
+                    "tag": tag,
+                },
+                fh,
+                sort_keys=True,
+            )
+            fh.write("\n")
+    except OSError as exc:
+        print(f"NOTE: attempts ledger not written ({exc})", file=sys.stderr)
+    return steady_spread(attempts, now)
+
+
 def acceptance(
     concurrent_jvms: int,
     canary_ratio_vs_r12: float | None,
@@ -539,37 +583,13 @@ def main() -> None:
     # own rerun sees the builder's spaced attempts from the same session.
     steady_attempts, spread = 0, None
     if is_default_sf and set(canary) == set(CANARY_REF):
-        now = time.time()
-        attempts: list[tuple[float, float]] = []
-        try:
-            with open(ATTEMPTS_LEDGER) as fh:
-                for line in fh:
-                    try:
-                        rec = json.loads(line)
-                        attempts.append((rec["ts"], rec["canary_sum"]))
-                    except (ValueError, TypeError, KeyError):
-                        continue  # one bad line must not kill the record
-        except OSError:
-            pass
-        attempts.append((now, sum(canary.values())))
-        try:
-            with open(ATTEMPTS_LEDGER, "a") as fh:
-                json.dump(
-                    {
-                        "ts": round(now, 1),
-                        "canary_sum": round(sum(canary.values()), 3),
-                        "canary_ratio_vs_r12": payload.get(
-                            "canary_ratio_vs_r12"
-                        ),
-                        "tag": tag,
-                    },
-                    fh,
-                    sort_keys=True,
-                )
-                fh.write("\n")
-        except OSError as exc:
-            print(f"NOTE: attempts ledger not written ({exc})", file=sys.stderr)
-        steady_attempts, spread = steady_spread(attempts, now)
+        steady_attempts, spread = record_attempt(
+            ATTEMPTS_LEDGER,
+            time.time(),
+            sum(canary.values()),
+            payload.get("canary_ratio_vs_r12"),
+            tag,
+        )
         payload["steady_attempts"] = steady_attempts
         if spread is not None:
             payload["steady_spread"] = spread

@@ -221,6 +221,41 @@ def test_bench_steady_spread_helper():
     assert bench.steady_spread([], now) == (0, None)
 
 
+def test_bench_record_attempt_ledger_io(tmp_path):
+    """record_attempt() round-trips the attempts ledger: appends one JSON
+    line per call, reads prior attempts back, skips malformed lines
+    individually, treats a missing ledger as attempt 1, and still
+    returns this run's spread when the ledger is unwritable."""
+    import json
+
+    import bench
+
+    led = str(tmp_path / "attempts.jsonl")
+    now = 1_000_000.0
+    # Missing ledger: attempt 1, trivially tight.
+    n, spread = bench.record_attempt(led, now, 1.5, 1.0, "rXX")
+    assert (n, spread) == (1, 1.0)
+    rec = json.loads(open(led).read().strip())
+    assert rec == {"ts": now, "canary_sum": 1.5,
+                   "canary_ratio_vs_r12": 1.0, "tag": "rXX"}
+    # Second spaced attempt reads the first back; spread over both.
+    n, spread = bench.record_attempt(led, now + 1200, 1.8, 1.2, "rXX")
+    assert n == 2 and spread == round(1.8 / 1.5, 4)
+    assert len(open(led).readlines()) == 2
+    # A malformed line is skipped alone — the good lines still count.
+    with open(led, "a") as fh:
+        fh.write("not json\n")
+        fh.write('{"ts": "missing canary_sum"}\n')
+    n, spread = bench.record_attempt(led, now + 2400, 1.6, 1.07, "rXX")
+    assert n == 3 and spread == round(1.8 / 1.5, 4)
+    # Unwritable ledger: warns, but still returns this run's spread over
+    # what it could read (ledger now has 5 lines, 3 valid).
+    ro = tmp_path / "ro"
+    ro.mkdir()
+    n, spread = bench.record_attempt(str(ro), now + 3600, 1.7, 1.1, "rXX")
+    assert (n, spread) == (1, 1.0)
+
+
 def test_skip_manifest_comparator():
     """The skip-manifest comparator (VERDICT r13 #3) trips in BOTH
     directions — a new skip AND a vanished skip — and on reason drift,
