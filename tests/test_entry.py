@@ -221,6 +221,68 @@ def test_bench_steady_spread_helper():
     assert bench.steady_spread([], now) == (0, None)
 
 
+def test_bench_steady_spread_properties():
+    """Hypothesis properties of the spread kernel: order-invariant,
+    insensitive to out-of-window/invalid readings, spread >= 1 with
+    n >= 1 whenever any valid in-window reading exists, and a burst of
+    back-to-back attempts always thins to exactly one."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import bench
+
+    NOW = 2_000_000.0
+    attempt = st.tuples(
+        st.floats(NOW - 2 * bench.STEADY_WINDOW_S, NOW + 600,
+                  allow_nan=False),
+        st.floats(-1.0, 5.0, allow_nan=False),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(attempt, max_size=20), st.randoms())
+    def prop(attempts, rnd):
+        n, spread = bench.steady_spread(attempts, NOW)
+        valid = [
+            (t, c) for t, c in attempts
+            if c > 0 and 0 <= NOW - t <= bench.STEADY_WINDOW_S
+        ]
+        if not valid:
+            assert (n, spread) == (0, None)
+            return
+        assert 1 <= n <= len(valid)
+        assert spread >= 1.0
+        # Order invariance.
+        shuffled = list(attempts)
+        rnd.shuffle(shuffled)
+        assert bench.steady_spread(shuffled, NOW) == (n, spread)
+        # Out-of-window and non-positive readings are inert.
+        noise = [(NOW - 3 * bench.STEADY_WINDOW_S, 9.9), (NOW + 700, 9.9),
+                 (NOW, 0.0), (NOW, -2.0)]
+        assert bench.steady_spread(attempts + noise, NOW) == (n, spread)
+
+    prop()
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.floats(0, bench.STEADY_MIN_SPACING_S - 1,
+                          allow_nan=False),
+                st.floats(0.1, 5.0, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def burst(offsets):
+        # All attempts inside ONE spacing interval ending at NOW: however
+        # many reruns, they count as a single attempt (spread trivially 1).
+        attempts = [(NOW - off, c) for off, c in offsets]
+        assert bench.steady_spread(attempts, NOW) == (1, 1.0)
+
+    burst()
+
+
 def test_bench_record_attempt_ledger_io(tmp_path):
     """record_attempt() round-trips the attempts ledger: appends one JSON
     line per call, reads prior attempts back, skips malformed lines
