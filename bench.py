@@ -316,6 +316,22 @@ def record_attempt(
     return steady_spread(attempts, now)
 
 
+def canary_drift(pre: dict, post: dict) -> float | None:
+    """post/pre canary-trio sum ratio: did the box change speed DURING the
+    run? >1 = the body ran on a box slower than the (pre) canary promised;
+    <1 = the reverse; ~1 = whatever the canary read, it held. Returns None
+    unless both trios are complete over the SAME query set with positive
+    sums (a partial or zero trio cannot anchor a ratio). Pure and
+    unit-tested; intentionally NOT an acceptance() input — see the
+    call-site comment."""
+    if not pre or set(pre) != set(post):
+        return None
+    pre_sum, post_sum = sum(pre.values()), sum(post.values())
+    if pre_sum <= 0 or post_sum <= 0:
+        return None
+    return round(post_sum / pre_sum, 4)
+
+
 def acceptance(
     concurrent_jvms: int,
     canary_ratio_vs_r12: float | None,
@@ -444,19 +460,23 @@ def main() -> None:
     # (round 6 saw two same-day runs differ 90.9 vs 112.7 s UNIFORMLY,
     # including plans untouched for rounds — the canary makes that visible
     # inside the record instead of requiring a forensic re-measure).
-    canary: dict[str, float] = {}
-    for name in CANARY_TRIO:
-        try:
-            best = float("inf")
-            for _ in range(CANARY_REPS):
-                t0 = time.perf_counter()
-                queries[name].spark_fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-            canary[name] = round(best, 3)
-        except Exception:
-            # a broken canary query must not kill the whole record — the
-            # main loop below will surface it in the errors dict
-            pass
+    def measure_trio() -> dict:
+        trio: dict[str, float] = {}
+        for name in CANARY_TRIO:
+            try:
+                best = float("inf")
+                for _ in range(CANARY_REPS):
+                    t0 = time.perf_counter()
+                    queries[name].spark_fn(spark, sf_dir).count()
+                    best = min(best, time.perf_counter() - t0)
+                trio[name] = round(best, 3)
+            except Exception:
+                # a broken canary query must not kill the whole record —
+                # the main loop below will surface it in the errors dict
+                pass
+        return trio
+
+    canary = measure_trio()
 
     # min of 3 runs per query: the steady-state number (first run pays
     # one-time codegen/janino compilation and page-cache misses, which a
@@ -477,6 +497,20 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
+
+    # Post-run trio re-measure (r14 post-close attempt E lesson): the trio
+    # runs FIRST, so a box that loads up mid-run leaves a clean-looking
+    # canary on a contended record (E: canary 1.194 with common-subset
+    # 1.447x — the 15-min loadavg was 12.5 at launch and the trio caught a
+    # lull). Re-measuring after the body makes mid-run drift visible
+    # INSIDE the record. Diagnostic only: acceptance() deliberately does
+    # not consume it — the common-subset ratio already gates cross-round
+    # comparability, and a second gating input would double-count the
+    # same contention. Read it one-sided: the post trio runs on a fully
+    # warmed JVM (measured 0.32x at sf0.001, where trio times are
+    # warmth-dominated), so drift < 1 is partly warmth; drift >> 1 is the
+    # unambiguous mid-run-contention signal.
+    canary_post = measure_trio()
 
     # Per-query sidecar round tag: inferred from the driver's BENCH_r*.json
     # ledger (this run feeds BENCH_r{max+1}); also refreshes a stable alias.
@@ -550,6 +584,11 @@ def main() -> None:
             )
 
     payload["canary"] = canary
+    if canary_post:
+        payload["canary_post"] = canary_post
+        drift_ratio = canary_drift(canary, canary_post)
+        if drift_ratio is not None:
+            payload["canary_drift_during_run"] = drift_ratio
     # Canary-normalized total (VERDICT r6 item 5): scale by how much slower
     # or faster the frozen trio ran vs the stored r6 reference. Only
     # meaningful when all three canaries produced a NONZERO timing this run

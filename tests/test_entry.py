@@ -221,6 +221,28 @@ def test_bench_steady_spread_helper():
     assert bench.steady_spread([], now) == (0, None)
 
 
+def test_bench_canary_drift_helper():
+    """canary_drift() is the post/pre trio-sum ratio, None on any partial,
+    mismatched, or non-positive trio — and is NOT an acceptance() input
+    (the signature pin below would catch it growing one)."""
+    import inspect
+
+    import bench
+
+    pre = {"a": 0.4, "b": 0.3, "c": 0.3}
+    assert bench.canary_drift(pre, {"a": 0.8, "b": 0.6, "c": 0.6}) == 2.0
+    assert bench.canary_drift(pre, dict(pre)) == 1.0
+    assert bench.canary_drift(pre, {"a": 0.2, "b": 0.15, "c": 0.15}) == 0.5
+    # Partial/mismatched/zero trios cannot anchor a ratio.
+    assert bench.canary_drift({}, {}) is None
+    assert bench.canary_drift(pre, {"a": 0.4, "b": 0.3}) is None
+    assert bench.canary_drift(pre, {"a": 0.4, "b": 0.3, "d": 0.3}) is None
+    assert bench.canary_drift({"a": 0.0, "b": 0.0, "c": 0.0}, pre) is None
+    # Diagnostic-only contract: acceptance() takes no drift/post argument.
+    params = set(inspect.signature(bench.acceptance).parameters)
+    assert not {p for p in params if "drift" in p or "post" in p}
+
+
 def test_bench_steady_spread_properties():
     """Hypothesis properties of the spread kernel: order-invariant,
     insensitive to out-of-window/invalid readings, spread >= 1 with
