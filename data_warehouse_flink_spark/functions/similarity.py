@@ -154,6 +154,25 @@ def random_hyperplane_buckets(
     return tmp.withColumn("bucket", bucket.cast("long"))
 
 
+def lsh_bucket_index(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The materialized LSH index (id, bucket, vecd, norm): the bucket
+    assignment plus the rank-ready double vector and its norm — what
+    `knn_lsh` builds per side when no prebuilt index is passed. The 8
+    plane-dot aggregates over 64-literal arrays are the expensive part of
+    every LSH call; materializing them once (see llm_ops._lsh_bucketed)
+    is the `_ivf_assigned` discipline applied to the LSH tier."""
+    base = random_hyperplane_buckets(embeddings, n_planes, dim, vec_col=vec_col)
+    return base.select(
+        id_col, "bucket", "vecd", F.sqrt(_dot("vecd", "vecd")).alias("norm")
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -162,20 +181,58 @@ def knn_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: rank only corpus vectors in the query's LSH bucket."""
-    corpus = random_hyperplane_buckets(embeddings, n_planes, dim).select(
-        F.col(id_col).alias("neighbor_id"),
-        "bucket",
-        F.col("vecd").alias("cvec"),
-    )
-    corpus = corpus.withColumn("cnorm", F.sqrt(_dot("cvec", "cvec")))
-    qs = random_hyperplane_buckets(queries, n_planes, dim).select(
-        F.col(id_col).alias("query_id"),
-        "bucket",
-        F.col("vecd").alias("qvec"),
-    )
-    qs = qs.withColumn("qnorm", F.sqrt(_dot("qvec", "qvec")))
+    """Approximate top-k: rank only corpus vectors in the query's LSH bucket.
+
+    `bucketed`: optionally pass the materialized `lsh_bucket_index` table
+    (e.g. a session cache shared with knn_rrf). Same contract as
+    `knn_ivf`'s `assigned`: it REPLACES `embeddings` entirely — the corpus
+    side reads it directly and the query side is looked up in it by
+    `queries`' ids — so pass an index built over the corpus being searched
+    with the same id_col."""
+    if bucketed is not None:
+        if id_col not in bucketed.columns:
+            raise ValueError(
+                f"bucketed index lacks id column {id_col!r}; it replaces "
+                "`embeddings`, so it must be built over the corpus being "
+                "searched with the same id_col"
+            )
+        corpus = bucketed.select(
+            F.col(id_col).alias("neighbor_id"),
+            "bucket",
+            F.col("vecd").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+        q_ids = queries.select(F.col(id_col).alias("qid"))
+        qs = bucketed.join(
+            F.broadcast(q_ids), bucketed[id_col] == q_ids["qid"]
+        ).select(
+            F.col(id_col).alias("query_id"),
+            "bucket",
+            F.col("vecd").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+        )
+        # The query side is |queries| rows by contract — broadcast it
+        # EXPLICITLY: the checkpointed index reports small stats, so the
+        # planner otherwise builds (broadcasts) the CORPUS side of the
+        # bucket join, shipping every vector payload instead of the
+        # handful of query rows (guide §3.1: pick the build side
+        # deliberately when estimates mislead).
+        qs = F.broadcast(qs)
+    else:
+        corpus = random_hyperplane_buckets(embeddings, n_planes, dim).select(
+            F.col(id_col).alias("neighbor_id"),
+            "bucket",
+            F.col("vecd").alias("cvec"),
+        )
+        corpus = corpus.withColumn("cnorm", F.sqrt(_dot("cvec", "cvec")))
+        qs = random_hyperplane_buckets(queries, n_planes, dim).select(
+            F.col(id_col).alias("query_id"),
+            "bucket",
+            F.col("vecd").alias("qvec"),
+        )
+        qs = qs.withColumn("qnorm", F.sqrt(_dot("qvec", "qvec")))
     cos = cosine_rounded("qvec", "cvec", "qnorm", "cnorm").alias("cosine")
     pairs = (
         corpus.join(qs, on="bucket")
@@ -301,14 +358,18 @@ def knn_ivf(
     )
     q_ids = queries.select(F.col(id_col).alias("qid"))
     qs = assigned.join(
-        q_ids, assigned[id_col] == q_ids["qid"]
+        F.broadcast(q_ids), assigned[id_col] == q_ids["qid"]
     ).select(
         F.col(id_col).alias("query_id"), "cell",
         F.col("vecd").alias("qvec"), F.col("norm").alias("qnorm"),
     )
     cos = cosine_rounded("qvec", "cvec", "qnorm", "cnorm").alias("cosine")
+    # Build side chosen deliberately (guide §3.1): the query side is
+    # |queries| rows by contract; the checkpointed index's small stats
+    # otherwise make the planner broadcast the CORPUS side (every vector
+    # payload) — wrong at any real corpus size.
     pairs = (
-        corpus.join(qs, on="cell")
+        corpus.join(F.broadcast(qs), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos)
     )

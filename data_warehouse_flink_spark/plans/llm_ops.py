@@ -546,7 +546,14 @@ def knn_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see `_knn_lsh_oracle`)."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
-    return knn_lsh(embs, queries, k=5, n_planes=8, dim=64)
+    return knn_lsh(
+        embs,
+        queries,
+        k=5,
+        n_planes=8,
+        dim=64,
+        bucketed=_lsh_bucketed(spark, sf_dir),
+    )
 
 
 @register("streaming_knn", oracle=_KNN_BRUTEFORCE_ORACLE)
@@ -1026,6 +1033,27 @@ def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embs.filter(F.col("vec_id") < 20)
     return knn_ivf(
         embs, queries, k=5, assigned=_ivf_assigned(spark, sf_dir)
+    )
+
+
+def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized LSH index (vec_id, bucket, vecd, norm), once per
+    (session, sf_dir): shared by knn_lsh and knn_rrf — the `_ivf_assigned`
+    discipline for the LSH tier. The 8 plane-dot aggregates (64-literal
+    arrays each) were re-planned and re-run on BOTH sides of every call;
+    the index computes them once per session and each call's corpus AND
+    query side read the checkpointed table. Plane config is pinned HERE
+    (n_planes=8, dim=64 — the registered gates' parameters) so the two
+    consumers cannot drift apart (the `_simhash_sigs` discipline)."""
+    from data_warehouse_flink_spark.functions.similarity import (
+        lsh_bucket_index,
+    )
+
+    return _cached(
+        spark,
+        sf_dir,
+        "lsh_bucketed_8x64",
+        lambda: lsh_bucket_index(_embs_wide(spark, sf_dir), n_planes=8, dim=64),
     )
 
 
@@ -2495,7 +2523,7 @@ def knn_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs_wide(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     pooled = (
-        knn_lsh(embs, queries, k=5)
+        knn_lsh(embs, queries, k=5, bucketed=_lsh_bucketed(spark, sf_dir))
         .select("query_id", "neighbor_id", "rn")
         .unionAll(
             knn_ivf(
