@@ -115,20 +115,32 @@ def repetition_features(
     (``(total - distinct) * 1e6 div total``) so both engines agree
     bit-for-bit without float-rounding conventions.
     """
+    # The `total_grams > 0` output filter is equivalently `size(_toks) >= n`
+    # (a non-empty shingle array exists iff the doc has >= n tokens) —
+    # applied HERE, on the token array, so predicate pushdown never
+    # re-derives the full gram transform inside a Filter node. The shingle
+    # array is then hoisted into its own projection: a non-cheap alias
+    # referenced more than once survives CollapseProject, so the transform
+    # runs ONCE per row instead of once per reference (the _dsir_grams
+    # hoisting lesson; this projection previously evaluated it twice, plus
+    # a third time in the pushed-down filter).
     toked = df.select(
         "doc_id", F.split(F.col(text_col), " ").alias("_toks")
-    )
-    grams = F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN "
-        f"transform(sequence(0, size(_toks) - {n}), "
-        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
-        f"ELSE array() END"
-    )
-    with_counts = toked.select(
+    ).filter(F.size("_toks") >= n)
+    grammed = toked.select(
         "doc_id",
-        F.size(grams).cast("long").alias("total_grams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("distinct_grams"),
-    ).filter(F.col("total_grams") > 0)
+        F.expr(
+            f"transform(sequence(0, size(_toks) - {n}), "
+            f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
+        ).alias("_grams"),
+    )
+    with_counts = grammed.select(
+        "doc_id",
+        F.size("_grams").cast("long").alias("total_grams"),
+        F.size(F.array_distinct("_grams")).cast("long").alias(
+            "distinct_grams"
+        ),
+    )
     return with_counts.withColumn(
         "dup_ppm",
         F.expr(
@@ -204,12 +216,22 @@ def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col(text_col).alias("_text"),
         F.split(F.col(text_col), " ").alias("_toks"),
     )
-    grams = (
-        "CASE WHEN size(_toks) >= 3 THEN "
-        "transform(sequence(0, size(_toks) - 3), "
-        "i -> concat_ws(' ', slice(_toks, i + 1, 3))) ELSE array() END"
+    # Hoist the trigram array into its own projection: the dup_ppm feature
+    # references it four times (guard, two sizes, array_distinct), and
+    # inlined it was evaluated four times PER ROW; as a non-cheap alias
+    # referenced more than once it survives CollapseProject and runs once
+    # (same hoisting as repetition_features / _dsir_grams).
+    grammed = toked.select(
+        "doc_id",
+        "_text",
+        "_toks",
+        F.expr(
+            "CASE WHEN size(_toks) >= 3 THEN "
+            "transform(sequence(0, size(_toks) - 3), "
+            "i -> concat_ws(' ', slice(_toks, i + 1, 3))) ELSE array() END"
+        ).alias("_grams"),
     )
-    feats = toked.select(
+    feats = grammed.select(
         "doc_id",
         F.size("_toks").cast("long").alias("n_tokens"),
         F.expr(
@@ -221,9 +243,9 @@ def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             " DIV size(_toks) AS BIGINT)"
         ).alias("avg_len_centi"),
         F.expr(
-            f"CAST(CASE WHEN size({grams}) > 0 THEN"
-            f" (size({grams}) - size(array_distinct({grams}))) * 1000000"
-            f" DIV size({grams}) ELSE 0 END AS BIGINT)"
+            "CAST(CASE WHEN size(_grams) > 0 THEN"
+            " (size(_grams) - size(array_distinct(_grams))) * 1000000"
+            " DIV size(_grams) ELSE 0 END AS BIGINT)"
         ).alias("dup_ppm"),
     )
     score = (
