@@ -717,20 +717,36 @@ def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_init,
     )
 
+    # ONE events scan derives all four day snapshots (guide §2.4: remove
+    # redundant passes — the per-day `to_date(ts) == day` form scanned the
+    # full table four times and pushed no parquet filter). The range
+    # predicate on raw `ts` reaches the scan (PushedFilters), the grouped
+    # (user_id, day) table is dimension-sized, and each apply filters its
+    # day from the checkpointed snapshot table instead of re-scanning.
+    # Equivalence: _SCD2_DAYS are consecutive, so the half-open ts range
+    # is exactly the union of the four per-day filters, and grouping by
+    # (user_id, to_date(ts)) computes the same per-day decimal sums.
     ev = _events(spark, sf_dir)
+    s = F.sum(F.col("value").cast("decimal(18,6)"))
+    snaps = (
+        ev.filter(
+            (F.col("ts") >= F.lit(_SCD2_DAYS[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+        )
+        .groupBy("user_id", F.to_date("ts").alias("_day"))
+        .agg(
+            F.when(s >= 100, "gold")
+            .when(s >= 10, "silver")
+            .otherwise("bronze")
+            .alias("tier")
+        )
+        .localCheckpoint(eager=True)
+    )
     hist: DataFrame | None = None
     for i, day in enumerate(_SCD2_DAYS):
-        s = F.sum(F.col("value").cast("decimal(18,6)"))
-        snap = (
-            ev.filter(F.to_date("ts") == day)
-            .groupBy("user_id")
-            .agg(
-                F.when(s >= 100, "gold")
-                .when(s >= 10, "silver")
-                .otherwise("bronze")
-                .alias("tier")
-            )
-        )
+        snap = snaps.filter(
+            F.col("_day") == F.lit(day).cast("date")
+        ).select("user_id", "tier")
         ts_us = _SCD2_T0_US + i * _DAY_US
         if hist is None:
             hist = scd2_init(snap, "user_id", ["tier"], ts_us)
@@ -2174,8 +2190,19 @@ def _register_streaming_scd2() -> None:
             scd2_init,
         )
 
-        ev = _events(spark, sf_dir).filter(
-            F.to_date("ts").isin(list(_SCD2_DAYS))
+        # ONE events scan feeds all four replay-day writes (the batch
+        # twin's single-scan discipline): a pushdown-able half-open ts
+        # range (the days are consecutive, so range == the isin over
+        # to_date) plus an eager checkpoint of the dimension-sized slice —
+        # the per-day writes below then filter memory, not parquet.
+        ev = (
+            _events(spark, sf_dir)
+            .filter(
+                (F.col("ts") >= F.lit(_SCD2_DAYS[0]).cast("timestamp"))
+                & (F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+            )
+            .select("user_id", "ts", "value")
+            .localCheckpoint(eager=True)
         )
         work = tempfile.mkdtemp(prefix="scd2_stream_")
         replay = os.path.join(work, "replay")
@@ -2189,7 +2216,6 @@ def _register_streaming_scd2() -> None:
         for i, day in enumerate(_SCD2_DAYS):
             (
                 ev.filter(F.to_date("ts") == day)
-                .select("user_id", "ts", "value")
                 .coalesce(1)
                 .write.mode("append")
                 .parquet(replay)
