@@ -217,6 +217,48 @@ def test_compaction_plan_single_scan(spark):
     assert _parquet_scan_count(plan) == 1, plan
 
 
+def test_knn_lsh_broadcasts_query_side_no_cartesian(spark):
+    """knn_lsh over the shared session index (r14): the bucket join must
+    broadcast the QUERY side — the checkpointed index reports small stats,
+    and without the explicit hint the planner built (broadcast) the corpus
+    side, shipping every vector payload. No plane-dot re-evaluation on the
+    corpus side either: the index carries precomputed buckets/norms, so
+    the plan must not contain the 8 hyperplane aggregates twice."""
+    plan = formatted_plan(spark, "knn_lsh")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_lsh_bucketed_contract():
+    """A prebuilt LSH index missing the id column is rejected loudly (the
+    knn_ivf `assigned` contract, mirrored)."""
+    from data_warehouse_flink_spark.functions.similarity import knn_lsh
+
+    class _FakeDF:
+        columns = ["wrong_id", "bucket", "vecd", "norm"]
+
+    with pytest.raises(ValueError, match="lacks id column"):
+        knn_lsh(None, None, bucketed=_FakeDF())
+
+
+def test_repetition_score_single_gram_evaluation(spark):
+    """The trigram shingle transform must appear exactly ONCE in the
+    doc_repetition_score plan (r14 hoist): inlined, it was evaluated twice
+    in the projection and a third time inside the pushed-down
+    total_grams>0 filter — the filter now tests size(_toks) instead."""
+    plan = formatted_plan(spark, "doc_repetition_score")
+    assert plan.count("concat_ws") == 1, plan
+
+
+def test_quality_classifier_single_gram_evaluation(spark):
+    """Same hoist for linear_quality_score: dup_ppm referenced the gram
+    array four times (guard, two sizes, array_distinct) and paid four
+    per-row evaluations before r14."""
+    plan = formatted_plan(spark, "doc_quality_classifier")
+    assert plan.count("concat_ws") == 1, plan
+
+
 def test_knn_pq_joins_not_literal_trees(spark):
     """PQ distances come from broadcast codebook joins (data), not literal
     expression trees: both the encode join and the ADC join broadcast."""
