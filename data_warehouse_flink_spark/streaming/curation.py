@@ -99,37 +99,45 @@ def near_dedup_stream(
     )
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        ledger = (
-            spark.read.parquet(state_path)
-            if _table_exists(spark, state_path)
-            else None
-        )
-        # one shared admission kernel with the batch ingest step — the
-        # sequential-batches == streaming-replay equivalence is by
-        # construction, pinned in tests/test_round9_ops.py
-        admitted, admitted_keys = incremental_dedup_batch(
-            batch_df,
-            ledger,
-            ngram=ngram,
-            num_hashes=num_hashes,
-            bands=bands,
-            gram_hash=gram_hash,
-        )
-        # materialize BEFORE appending to state_path: both outputs' lineage
-        # lazily reads the ledger parquet, and the append below would feed
-        # this batch's own keys back into an unmaterialized plan
-        admitted = admitted.localCheckpoint(eager=True)
-        admitted_keys = admitted_keys.localCheckpoint(eager=True)
-        (
-            admitted_keys.repartition("band")
-            .write.mode("append")
-            .partitionBy("band")
-            .parquet(state_path)
-        )
-        admitted.select("doc_id").write.mode("append").parquet(out_path)
+        # foreachBatch re-executes the micro-batch source per action; this
+        # body takes three (isEmpty + the two eager checkpoints, whose
+        # shingle/signature lineage each re-reads batch_df) — persist once.
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            spark = batch_df.sparkSession
+            ledger = (
+                spark.read.parquet(state_path)
+                if _table_exists(spark, state_path)
+                else None
+            )
+            # one shared admission kernel with the batch ingest step — the
+            # sequential-batches == streaming-replay equivalence is by
+            # construction, pinned in tests/test_round9_ops.py
+            admitted, admitted_keys = incremental_dedup_batch(
+                batch_df,
+                ledger,
+                ngram=ngram,
+                num_hashes=num_hashes,
+                bands=bands,
+                gram_hash=gram_hash,
+            )
+            # materialize BEFORE appending to state_path: both outputs'
+            # lineage lazily reads the ledger parquet, and the append below
+            # would feed this batch's own keys back into an unmaterialized
+            # plan
+            admitted = admitted.localCheckpoint(eager=True)
+            admitted_keys = admitted_keys.localCheckpoint(eager=True)
+            (
+                admitted_keys.repartition("band")
+                .write.mode("append")
+                .partitionBy("band")
+                .parquet(state_path)
+            )
+            admitted.select("doc_id").write.mode("append").parquet(out_path)
+        finally:
+            batch_df.unpersist()
 
     return (
         documents.writeStream.outputMode("append")

@@ -33,10 +33,22 @@ def upsert_partitions_foreachbatch(
     """
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch does NOT cache the micro-batch frame: every action
+        # re-executes the streaming aggregate behind it, and this body
+        # takes two (isEmpty probe, the overwrite). Materialize once per
+        # batch — localCheckpoint, not persist(): persisting a stateful
+        # micro-batch plan hits attribute-rebinding errors on later
+        # actions, while the eager checkpoint (the streaming top-N body's
+        # proven idiom) severs the plan entirely. The checkpointed blocks
+        # are group-count-sized and freed by the context cleaner when the
+        # batch-local reference drops.
+        batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
@@ -46,7 +58,9 @@ def upsert_partitions_foreachbatch(
                 .parquet(path)
             )
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
 
     return (
         agg.writeStream.outputMode("update")
@@ -92,6 +106,14 @@ def merge_upsert_foreachbatch(
     staging = path.rstrip("/") + "__staging"
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch re-executes the update-mode aggregate behind
+        # batch_df for EVERY action, and this body takes four (isEmpty,
+        # the touched-bucket collect, the anti-join's key distinct, the
+        # staging write). Materialize once per batch via an eager
+        # localCheckpoint — the agg runs once instead of 4x (guide §5
+        # reused intermediate; persist() is unusable here, it breaks
+        # attribute rebinding on stateful micro-batch plans).
+        batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
