@@ -452,6 +452,14 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_rk") <= _DEDUP_COSINE_AUDIT_CAP)
         .drop("_rk")
+        # The label window leaves one partition per label (10 here), so the
+        # pair cosine — this query's real compute — would run on ≤10 cores
+        # however wide the cluster. Re-spread the (tiny, ≤10×CAP rows)
+        # slice across the full core width first; the explicit partition
+        # count stops AQE coalescing the sub-MB exchange back to one
+        # partition. Row set unchanged — pairing joins on label, not on
+        # partitioning (guide §2.3 skew/parallelism).
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     return bucketed_dedup_cosine(audit_slice, threshold=0.9)
 
@@ -1727,8 +1735,16 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tc").alias("n_tokens"),
         )
     )
-    tot = per.agg(F.sum("n_tokens").alias("total"))
-    return per.crossJoin(F.broadcast(tot)).select(
+    # Grand total via a global window over the aggregated strata table
+    # (constant-sized) — the `per.agg(...)` + crossJoin form consumed
+    # `per` twice and planned the text-split scan+agg subtree twice
+    # (guide §2.4): 2 corpus scans → 1.
+    from pyspark.sql import Window
+
+    wtot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.withColumn("total", F.sum("n_tokens").over(wtot)).select(
         "source",
         "lang",
         "n_docs",
@@ -2314,11 +2330,17 @@ def _dsir_weights(
     b = _DSIR_BUCKETS
     g = _dsir_grams(spark, sf_dir, bucket_hash)
     # Two consumers of g (bucket stats, scoring) = two corpus scans; the
-    # grand totals fold algebraically out of bstats, NOT a third consumer.
-    # Deliberately NO localCheckpoint: a per-invocation eager checkpoint
-    # leaks a cached block per call, and across a long bench/driver session
-    # that heap pressure cost far more than the second scan (13.7 s vs
-    # ~1.5 s at sf0.1, measured).
+    # tot crossJoin plans a THIRD copy of the gram subtree, which an r14
+    # window-fold over bstats (1024 rows) removed — and measured SLOWER
+    # (1.08 → 1.16 s; curation_v2 1.20 → 1.55 s): the duplicate 1-task
+    # scan subtrees run in PARALLEL on idle cores, wall-clock-free, while
+    # the single-partition window serializes two extra stage latencies
+    # into the broadcast's critical path. Reverted; the fold is the right
+    # move only where the plan is resource-bound, not latency-bound (see
+    # OPTIMIZATION_r14.md). Deliberately NO localCheckpoint either: a
+    # per-invocation eager checkpoint leaks a cached block per call, and
+    # across a long bench/driver session that heap pressure cost far more
+    # than the extra scan (13.7 s vs ~1.5 s at sf0.1, measured).
     bstats = g.groupBy("bucket").agg(
         F.count("*").alias("rawc"),
         F.sum(F.when(F.col("is_t"), F.lit(1)).otherwise(F.lit(0))).alias(
@@ -3609,8 +3631,17 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang")
         .agg(F.sum("tc").alias("n_tokens"))
     )
-    tot = per.agg(F.sum("n_tokens").alias("total"))
-    q = per.crossJoin(F.broadcast(tot)).select(
+    # Both scalar folds (grand total, leftover) as global windows over the
+    # AGGREGATED strata table (constant-sized): the previous
+    # agg+crossJoin at each step consumed its input twice, compounding to
+    # FOUR text-split corpus scans in the physical plan (per×2 inside q,
+    # q×2 under ranked — guide §2.4). Now: one scan.
+    from pyspark.sql import Window
+
+    wtot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    q = per.withColumn("total", F.sum("n_tokens").over(wtot)).select(
         "source",
         "lang",
         "n_tokens",
@@ -3619,15 +3650,10 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"CAST(n_tokens * {b} % total AS BIGINT)").alias("remainder"),
     )
-    leftover = q.agg(
-        (F.lit(b) - F.sum("base_alloc")).cast("long").alias("extra")
-    )
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.desc("remainder"), "source", "lang")
-    ranked = q.crossJoin(F.broadcast(leftover)).withColumn(
-        "rr", F.row_number().over(w)
-    )
+    ranked = q.withColumn(
+        "extra", (F.lit(b) - F.sum("base_alloc").over(wtot)).cast("long")
+    ).withColumn("rr", F.row_number().over(w))
     bonus = F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
     return ranked.select(
         "source",
@@ -3864,8 +3890,20 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang")
         .agg(F.sum("tc").alias("n_tokens"))
     )
-    tot = per.agg(F.sum("n_tokens").alias("total"))
-    alloc = per.crossJoin(F.broadcast(tot)).select(
+    # Grand total folded as a global window over the AGGREGATED table
+    # (rows = #strata, so the single-partition window is metadata-sized at
+    # any corpus size). The previous `per.agg(...)` + crossJoin consumed
+    # `per` twice, and Catalyst planned the whole text-split scan+agg
+    # subtree twice (3 corpus scans in the plan; guide §2.4) — the window
+    # form computes `per` once: 3 scans → 2.
+    alloc = per.withColumn(
+        "total",
+        F.sum("n_tokens").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    ).select(
         "source",
         "lang",
         F.expr(f"CAST(n_tokens * {b} DIV total AS BIGINT)").alias(
