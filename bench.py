@@ -653,6 +653,12 @@ def main() -> None:
     if reject_reason:
         payload["reject_reason"] = reject_reason
 
+    # The driver contract's printed line carries the per-query map too
+    # ({"metric":..., "queries": {...}, ...}); a past refactor left it
+    # sidecar-only (BENCH_r13.json's parsed record has no "queries"),
+    # which silently starves any off-default-SF or low-core driver rerun
+    # of per-query timings. Strictly additive restore.
+    payload["queries"] = timings
     sidecar = {**payload, "queries": timings}
     names = (
         [f"BENCH_QUERIES_{tag}.json", "BENCH_QUERIES_latest.json"]
