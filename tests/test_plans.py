@@ -145,11 +145,16 @@ def test_doc_contamination_broadcasts_eval_side(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_corpus_mixture_weights_broadcasts_total(spark):
+def test_corpus_mixture_weights_single_scan_window_total(spark):
+    """r14: the grand total is a global window over the AGGREGATED strata
+    table (constant-sized), not a crossJoin(broadcast(per.agg())) — the old
+    fold consumed `per` twice and planned the corpus scan+agg subtree twice.
+    Pin: exactly one corpus scan, a Window node, no join of any kind, and
+    map-side partial aggregation on the big side."""
     plan = formatted_plan(spark, "corpus_mixture_weights")
-    # grand-total is one row joined back broadcast; the big side aggregates
-    # with map-side partial aggregation (two HashAggregate levels)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count(") Scan parquet") == 1, plan
+    assert "Window" in plan
+    assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2
 
 
