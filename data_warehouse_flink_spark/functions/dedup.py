@@ -32,12 +32,21 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
-    """(doc_id, gram) pairs — distinct word n-gram shingles per doc.
+def word_ngrams(
+    df: DataFrame, n: int, text_col: str = "text", distinct: bool = True
+) -> DataFrame:
+    """(doc_id, gram) pairs — word n-gram shingles per doc, distinct by
+    default.
 
     The token array is materialized once per row before the transform;
     putting split() inside the lambda would re-tokenize the document for
     every shingle position (O(tokens²) per doc).
+
+    `distinct=False` skips the (doc_id, gram) deduplication — a FULL-CORPUS
+    shuffle — for consumers whose downstream aggregation is already
+    duplicate-insensitive (count_distinct, set semantics): positional
+    duplicates then flow through the scan-local explode unharmed and the
+    plan stays shuffle-free until something genuinely needs a key.
     """
     toked = df.select(
         "doc_id", F.split(F.col(text_col), " ").alias("_toks")
@@ -50,7 +59,8 @@ def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
         f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
         f"ELSE array() END"
     )
-    return toked.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    out = toked.select("doc_id", F.explode(grams).alias("gram"))
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(

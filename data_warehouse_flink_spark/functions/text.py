@@ -72,12 +72,21 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Marker-token language ID: argmax of per-language marker counts.
 
     Deterministic tie-break: higher count wins, then lexicographic language
     code; all-zero → 'unk'. (The container has no real langid model; this is
     the n-gram-heuristic family the reference-scale pipeline would use.)
+
+    `passthrough` names input columns carried unchanged into the output —
+    it lets a composite pipeline (the CCNet funnel) stack several per-row
+    stages into ONE projection chain over ONE scan instead of computing
+    each stage on its own scan and joining them back on doc_id.
     """
     toks = tokens(text_col)
 
@@ -88,7 +97,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         marker_count(markers).alias(lang)
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    scored = df.select("doc_id", *scores)
+    scored = df.select("doc_id", *passthrough, *scores)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(lang) for lang in langs])
     pred = F.lit("unk")
@@ -96,7 +105,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         pred = F.when((F.col(lang) == best) & (best > 0), F.lit(lang)).otherwise(
             pred
         )
-    return scored.select("doc_id", pred.alias("pred_lang"))
+    return scored.select("doc_id", *passthrough, pred.alias("pred_lang"))
 
 
 def repetition_features(
@@ -199,7 +208,11 @@ QUALITY_WEIGHTS = {
 }
 
 
-def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def linear_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Frozen-weight linear quality classifier over exact integer features.
 
     The production shape of a model-based quality filter: train offline,
@@ -208,11 +221,15 @@ def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     duplicate-trigram ppm, and average token length in centi-chars; the
     decision is ``quality_score >= 0``. Zero shuffle, scan-linear,
     whole-stage-codegen'd.
+
+    `passthrough` columns are carried unchanged into the output (see
+    `language_id` — the single-scan composition hook for the funnel).
     """
     w = QUALITY_WEIGHTS
     stopset = ", ".join(f"'{s}'" for s in STOPWORDS)
     toked = df.select(
         "doc_id",
+        *passthrough,
         F.col(text_col).alias("_text"),
         F.split(F.col(text_col), " ").alias("_toks"),
     )
@@ -223,6 +240,7 @@ def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     # (same hoisting as repetition_features / _dsir_grams).
     grammed = toked.select(
         "doc_id",
+        *passthrough,
         "_text",
         "_toks",
         F.expr(
@@ -233,6 +251,7 @@ def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     feats = grammed.select(
         "doc_id",
+        *passthrough,
         F.size("_toks").cast("long").alias("n_tokens"),
         F.expr(
             f"CAST(size(filter(_toks, t -> t IN ({stopset}))) * 1000000"
@@ -258,6 +277,7 @@ def linear_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).cast("long")
     return feats.select(
         "doc_id",
+        *passthrough,
         "n_tokens",
         "stop_ppm",
         "dup_ppm",

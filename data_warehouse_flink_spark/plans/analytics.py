@@ -1350,54 +1350,108 @@ def orders_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     primary-key uniqueness, null and domain checks — one (check_name,
     n_violations, n_checked) row per expectation.
 
-    Plan shape: each FK check is a broadcast anti-join (the key side
-    broadcasts; at 100 TB the orders-key side of the lineitem check flips
-    to a shuffle anti-join automatically once it outgrows the broadcast
-    threshold — same declarative plan). The uniqueness check is one
-    key-shuffle. Checks are unioned, so Spark runs them as independent
-    stages of one job.
+    Plan shape (r14, guide §2.4/§5): every orders-side check rides ONE
+    probe scan — a broadcast LEFT OUTER join against the distinct customer
+    keys marks orphans per row, the o_orderkey groupBy (which the
+    uniqueness check needs anyway) carries the orphan/null/domain flags as
+    partial-aggregated sums, and a second global aggregate folds the key
+    table to a single stats row. The lineitem check likewise computes
+    n_checked and the orphan count in one outer-join scan instead of a
+    count() action plus an anti-join. The r13 form issued two driver
+    count() actions and scanned orders four more times (once per check);
+    now orders is scanned twice (probe + broadcast key build), lineitem
+    once, customer once, with zero driver actions. The five report rows
+    explode from one array literal over the combined 1×1 stats row, so the
+    stats subtrees are planned exactly once each.
     """
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     lineitem = table(spark, sf_dir, "lineitem")
-    n_orders = orders.count()
-    n_lineitem = lineitem.count()
 
-    def row(name: str, df_viol: DataFrame, checked: int) -> DataFrame:
-        return df_viol.agg(
-            F.lit(name).alias("check_name"),
-            F.count("*").alias("n_violations"),
-            F.lit(checked).cast("long").alias("n_checked"),
+    # Distinct key sides: the outer join must not multiply probe rows if
+    # the key side itself carries duplicates (the dup check exists
+    # precisely because PKs can be violated) — the anti-join form was
+    # dup-robust, the outer-join form needs the explicit distinct.
+    cust_keys = customer.select("c_custkey").distinct()
+    order_keys = orders.select("o_orderkey").distinct()
+
+    per_key = (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(
+            F.broadcast(cust_keys),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
         )
-
-    orphan_cust = orders.join(
-        F.broadcast(customer.select("c_custkey")),
-        orders.o_custkey == F.col("c_custkey"),
-        "left_anti",
-    )
-    dup_keys = (
-        orders.groupBy("o_orderkey")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") > 1)
+        .groupBy("o_orderkey")
         .agg(
-            F.lit("duplicate_orderkey").alias("check_name"),
-            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_violations"),
-            F.lit(n_orders).cast("long").alias("n_checked"),
+            F.count("*").alias("cnt"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).alias("orphan"),
+            F.sum(
+                F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)
+            ).alias("nulldate"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+            ).alias("badtotal"),
         )
     )
-    null_date = orders.filter(F.col("o_orderdate").isNull())
-    bad_total = orders.filter(F.col("o_totalprice") <= 0)
-    orphan_line = lineitem.join(
-        F.broadcast(orders.select("o_orderkey")),
-        lineitem.l_orderkey == F.col("o_orderkey"),
-        "left_anti",
+    ostats = per_key.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("dup_viol"),
+        F.coalesce(F.sum("orphan"), F.lit(0)).cast("long").alias("orphan_viol"),
+        F.coalesce(F.sum("nulldate"), F.lit(0)).cast("long").alias("null_viol"),
+        F.coalesce(F.sum("badtotal"), F.lit(0)).cast("long").alias("bad_viol"),
+    )
+    lstats = (
+        lineitem.select("l_orderkey")
+        .join(
+            F.broadcast(order_keys),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lineitem"),
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("line_orphan_viol"),
+        )
+    )
+    report_rows = F.array(
+        F.struct(
+            F.lit("orphan_customer").alias("check_name"),
+            F.col("orphan_viol").alias("n_violations"),
+            F.col("n_orders").alias("n_checked"),
+        ),
+        F.struct(
+            F.lit("duplicate_orderkey").alias("check_name"),
+            F.col("dup_viol").alias("n_violations"),
+            F.col("n_orders").alias("n_checked"),
+        ),
+        F.struct(
+            F.lit("null_orderdate").alias("check_name"),
+            F.col("null_viol").alias("n_violations"),
+            F.col("n_orders").alias("n_checked"),
+        ),
+        F.struct(
+            F.lit("nonpositive_totalprice").alias("check_name"),
+            F.col("bad_viol").alias("n_violations"),
+            F.col("n_orders").alias("n_checked"),
+        ),
+        F.struct(
+            F.lit("orphan_lineitem_order").alias("check_name"),
+            F.col("line_orphan_viol").alias("n_violations"),
+            F.col("n_lineitem").alias("n_checked"),
+        ),
     )
     return (
-        row("orphan_customer", orphan_cust, n_orders)
-        .unionAll(dup_keys)
-        .unionAll(row("null_orderdate", null_date, n_orders))
-        .unionAll(row("nonpositive_totalprice", bad_total, n_orders))
-        .unionAll(row("orphan_lineitem_order", orphan_line, n_lineitem))
+        ostats.crossJoin(lstats)
+        .select(F.explode(report_rows).alias("r"))
+        .select("r.check_name", "r.n_violations", "r.n_checked")
     )
 
 

@@ -1683,11 +1683,24 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     The eval side is tiny by construction (~1% of the corpus), so its gram
     set broadcasts and the train side streams through a broadcast hash join
     on gram — no shuffle of the big side, the shape that holds at 100 TB
-    (a real eval benchmark is KBs-MBs of n-grams)."""
-    grams = word_ngrams(_docs(spark, sf_dir), n=5)
+    (a real eval benchmark is KBs-MBs of n-grams).
+
+    r14 (guide §2.4): the train side takes the NON-distinct shingle stream.
+    `word_ngrams`'s (doc_id, gram) distinct is a full-corpus shuffle, and
+    the downstream `count_distinct(gram)` / `count_distinct(eval_id)` are
+    duplicate-insensitive — so deduplicating before the broadcast join was
+    pure waste. Positional duplicates now ride through the scan-local
+    explode + broadcast join, and the only corpus-sized exchange left is
+    the per-doc distinct aggregation of the (few) JOINED rows. The eval
+    side keeps the distinct: it shrinks the broadcast and is ~1% sized."""
+    grams = word_ngrams(_docs(spark, sf_dir), n=5, distinct=False)
     is_eval = F.pmod(F.col("doc_id"), F.lit(97)) == 0
-    ev = grams.filter(is_eval).select(
-        F.col("gram").alias("e_gram"), F.col("doc_id").alias("eval_id")
+    ev = (
+        grams.filter(is_eval)
+        .select(
+            F.col("gram").alias("e_gram"), F.col("doc_id").alias("eval_id")
+        )
+        .distinct()
     )
     tr = grams.filter(~is_eval)
     return (
@@ -4065,10 +4078,20 @@ def _register_ccnet_funnel() -> None:
         oracle embeds their oracles verbatim (fetched from the registry
         at registration, so they cannot drift).
 
-        Plan: four doc-keyed joins of scan-linear stage outputs — the
-        join key is doc_id throughout, so one shuffle partitioning
-        serves all stages; the final rollup is a dozen groups.
+        Plan (r14, guide §2.4): the r13 form computed each per-row stage
+        on its OWN documents scan and joined the stage outputs back on
+        doc_id — four doc-keyed joins, 10 parquet scans. The per-row
+        stages (language ID, frozen-weight quality, URL canonicalization)
+        now stack into ONE projection chain over ONE scan (the operators'
+        `passthrough` hook keeps each stage's code the single verified
+        implementation), the URL-canonical flag folds the groupBy+semi-
+        join into a min-over-cu window (same boolean, one exchange), and
+        the only join left is the perplexity-bucket lookup against the
+        session-cached LM table. One corpus scan, cu-window exchange,
+        one doc-keyed join, dozen-group rollup.
         """
+        from pyspark.sql import Window
+
         from data_warehouse_flink_spark.functions.text import (
             canonicalize_url,
             language_id,
@@ -4076,34 +4099,31 @@ def _register_ccnet_funnel() -> None:
         )
 
         docs = _docs_wide(spark, sf_dir)
-        urls = docs.select(
-            "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
-        ).select("doc_id", canonicalize_url(F.col("url")).alias("cu"))
-        canonical = urls.groupBy("cu").agg(
-            F.min("doc_id").alias("canonical_doc_id")
+        with_cu = docs.select(
+            "doc_id",
+            "text",
+            F.expr(_URL_SYNTH_SPARK).alias("url"),  # needs source + lang
+        ).select(
+            "doc_id", "text", canonicalize_url(F.col("url")).alias("cu")
         )
-        url_keep = urls.join(
-            canonical,
-            urls["doc_id"] == canonical["canonical_doc_id"],
-            "left_semi",
-        ).select("doc_id", F.lit(True).alias("url_keep"))
-        q = linear_quality_score(docs).select(
-            "doc_id", F.col("keep").alias("q_keep")
+        staged = linear_quality_score(
+            language_id(with_cu, passthrough=("text", "cu")),
+            passthrough=("cu", "pred_lang"),
+        ).select("doc_id", "cu", "pred_lang", F.col("keep").alias("q_keep"))
+        flagged = staged.withColumn(
+            "u",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("cu")),
         )
-        lang = language_id(docs).select("doc_id", "pred_lang")
         ppl = doc_perplexity_bucket(spark, sf_dir).select(
             "doc_id", F.col("bucket").alias("ppl_bucket")
         )
         base = (
-            docs.select("doc_id")
-            .join(lang, "doc_id")
-            .join(q, "doc_id")
-            .join(url_keep, "doc_id", "left")
-            .join(ppl, "doc_id", "left")
+            flagged.join(ppl, "doc_id", "left")
             .select(
                 "pred_lang",
                 F.coalesce("ppl_bucket", F.lit("na")).alias("ppl_bucket"),
-                F.coalesce("url_keep", F.lit(False)).alias("u"),
+                "u",
                 "q_keep",
             )
         )

@@ -244,15 +244,32 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The EXISTS becomes a LEFT SEMI join — Catalyst's native form; no
     row explosion from multiple matching lineitems.
-    """
+
+    r14 (guide §3.2/§2.3): two reductions of the fact side before the
+    join. (a) The implied filter `l_shipdate > '1996-01-01'` is applied
+    explicitly — every order in the window has o_orderdate >= 1996-01-01,
+    so an earlier-shipped lineitem can never satisfy
+    `l_shipdate > o_orderdate`; the predicate pushes to the parquet scan.
+    (b) EXISTS(l_shipdate > o_orderdate) over an order's lineitems equals
+    `max(l_shipdate) > o_orderdate`, so lineitem pre-aggregates to one
+    (l_orderkey, max_ship) row per key — partial aggregation runs
+    map-side and the join side shrinks from every lineitem row to one row
+    per order at any scale."""
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
-    l = table(spark, sf_dir, "lineitem")
+    lmax = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
     semi = o.join(
-        l,
-        on=[o.o_orderkey == l.l_orderkey, l.l_shipdate > o.o_orderdate],
+        lmax,
+        on=[o.o_orderkey == lmax.l_orderkey, lmax.max_ship > o.o_orderdate],
         how="left_semi",
     )
     return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
@@ -766,12 +783,16 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheapest regional supplier per part (correlated min subquery →
-    join against a per-part min aggregate; reference shape TPC-H Q2)."""
-    ps = (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("l_extendedprice").alias("cost"))
-    )
+    join against a per-part min aggregate; reference shape TPC-H Q2).
+
+    r14 (guide §3.2): lineitem is SEMI-FILTERED through the two broadcast
+    dimension key sets BEFORE the (l_partkey, l_suppkey) aggregation. The
+    part filter (p_size=15 AND p_type='SMALL') and the EUROPE supplier
+    slice are both highly selective, and min-per-key over key-filtered
+    rows equals min-per-key over all rows for every surviving key (the
+    post-agg inner joins drop the rest anyway) — so the big keyed exchange
+    shrinks by the dimension selectivity instead of aggregating the whole
+    fact table first."""
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     rs = (
@@ -783,6 +804,21 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
     ).select("p_partkey", "p_name")
+    li = table(spark, sf_dir, "lineitem")
+    li = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    li = li.join(
+        F.broadcast(rs.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
     reg = (
         ps.join(F.broadcast(rs), ps.l_suppkey == rs.s_suppkey)
         .join(F.broadcast(p), ps.l_partkey == p.p_partkey)

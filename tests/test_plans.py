@@ -450,6 +450,59 @@ def test_plan_drift_comparator_unit():
     assert len(d) == 1 and "new section" in d[0]
 
 
+def test_contamination_train_side_not_prededuped(spark):
+    """r14: the train side streams the raw shingle explode into the
+    broadcast join — the (doc_id, gram) distinct (a full-corpus shuffle)
+    only survives on the tiny eval build side and in the post-join per-doc
+    aggregation. Pin: at most 3 hash-partitioned exchanges (eval distinct,
+    per-doc distinct agg pair), down from 4."""
+    plan = formatted_plan(spark, "doc_contamination")
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    ]
+    assert len(exchanges) <= 3, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q2_semi_filters_before_aggregation(spark):
+    """r14: lineitem is LEFT SEMI joined against the broadcast part and
+    supplier key sets BEFORE the (l_partkey, l_suppkey) min aggregate, so
+    the keyed exchange carries only dimension-surviving groups."""
+    plan = formatted_plan(spark, "tpch_q2")
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_order_priority_count_pushes_shipdate_and_preaggregates(spark):
+    """r14: the implied l_shipdate > 1996-01-01 filter must reach the
+    lineitem parquet scan, and the semi-join build side must be the
+    per-orderkey max aggregate, not the raw lineitem projection."""
+    plan = formatted_plan(spark, "order_priority_count")
+    assert "GreaterThan(l_shipdate" in plan, plan
+    assert "max(l_shipdate" in plan, plan
+
+
+def test_orders_integrity_checks_four_scans_no_union(spark):
+    """r14: the five checks fold into one orders probe scan (+ key build),
+    one lineitem scan, one customer scan — not one scan per check — and
+    the report rows explode from a single array, so there is no 5-way
+    union re-planning the stats subtrees."""
+    plan = formatted_plan(spark, "orders_integrity_checks")
+    assert _parquet_scan_count(plan) == 4, plan
+    assert "Union" not in plan, plan
+
+
+def test_ccnet_funnel_single_corpus_scan(spark):
+    """r14: the per-row funnel stages stack into one projection chain over
+    ONE documents scan (stage `passthrough` hook); the URL-canonical flag
+    is a min-over-cu window, and only the perplexity lookup joins."""
+    plan = formatted_plan(spark, "corpus_ccnet_funnel")
+    assert _parquet_scan_count(plan) == 1, plan
+    assert "Window" in plan, plan
+
+
 def test_plans_md_matches_live_plans(spark):
     """Regenerate the full report against this session and require it
     byte-identical (per section) to the committed PLANS.md. The committed
