@@ -15,9 +15,28 @@ from data_warehouse_flink_spark.schemas import TESTDATA_TABLES
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    """Register every testdata table as a temp view and run the SQL."""
+    """Register the testdata tables the SQL references as temp views and
+    run it.
+
+    r14 (guide §1.2 driver work): the original form re-registered ALL ten
+    testdata tables on EVERY invocation — ten `spark.read.parquet` schema
+    reads of driver-side listing per call, for queries that touch one or
+    two tables. Now only tables whose name appears in the SQL text are
+    registered (substring over-inclusion is harmless — a view nobody
+    reads costs one footer read; under-inclusion cannot happen because
+    FROM/JOIN must spell the table name), and registrations are memoized
+    per (session, sf_dir) so repeated invocations skip the read entirely.
+    A changed sf_dir re-registers — the memo maps view name → sf_dir."""
+    registered: dict[str, str] | None = getattr(
+        spark, "_dwfs_sql_views", None
+    )
+    if registered is None:
+        registered = {}
+        spark._dwfs_sql_views = registered
     for name in TESTDATA_TABLES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+        if name in sql and registered.get(name) != sf_dir:
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+            registered[name] = sf_dir
     return spark.sql(sql)
 
 

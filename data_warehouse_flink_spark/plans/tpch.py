@@ -591,6 +591,15 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = _dec("l_extendedprice") * (
         F.lit(1.0) - F.col("l_discount")
     ).cast("decimal(18,6)")
+    # r14 negative result, measured and reverted: pre-filtering customer
+    # to the ASIA slice through the broadcast nation→region dims BEFORE
+    # the fact join looked like a §2.3 win, but the join-derived size
+    # estimate pushed the (o ⨝ c_asia) join from auto-broadcast to an
+    # initial-plan SortMergeJoin that AQE did not recover — measured
+    # 0.89 → 1.24 s on a quiet box. At this tier every q8 join is
+    # broadcast (zero fact exchanges); at 100 TB the customer join flips
+    # to SMJ by size either way, and the late region filter rides the
+    # same exchange. Keeping the flat broadcast chain.
     base = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -1066,11 +1075,17 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count of qualifying suppliers per (brand, type, size) excluding
     flagged suppliers (distinct-pair join + NOT-IN subquery + count
-    distinct; reference shape TPC-H Q16)."""
-    pairs = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
+    distinct; reference shape TPC-H Q16).
+
+    r14 (guide §2.4): the explicit `.distinct()` on the full
+    (l_partkey, l_suppkey) projection — a whole-fact keyed exchange
+    BEFORE the selective part join — is dropped: the downstream
+    `count_distinct(l_suppkey)` already deduplicates (map-side partial
+    distinct on (brand, type, size, suppkey)), so the oracle's
+    DISTINCT-subquery semantics are preserved while the only exchange
+    left carries the part-filtered, partially-deduped pairs."""
+    pairs = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
     )
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")

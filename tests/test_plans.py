@@ -494,6 +494,37 @@ def test_orders_integrity_checks_four_scans_no_union(spark):
     assert "Union" not in plan, plan
 
 
+def test_tpch_q16_no_fact_keyed_exchange_before_join(spark):
+    """r14: the explicit distinct on the full (l_partkey, l_suppkey)
+    projection is gone — count_distinct's map-side partial dedup covers
+    it — so the plan must not exchange the raw fact on l_partkey before
+    the part join; the only keyed exchange carries the filtered
+    (brand, type, size, suppkey) partial-distinct rows."""
+    plan = formatted_plan(spark, "tpch_q16")
+    assert "hashpartitioning(l_partkey" not in plan, plan
+
+
+def test_run_sql_registers_only_referenced_tables_once(spark):
+    """r14: run_sql registers only the tables the SQL names (was: all ten
+    per invocation) and memoizes registrations per (session, sf_dir) —
+    a second call must not re-read parquet schemas; a changed sf_dir
+    must re-register."""
+    from data_warehouse_flink_spark.plans.sql_frontend import run_sql
+
+    spark._dwfs_sql_views = None  # isolate from other tests
+    del spark._dwfs_sql_views
+    sql = "SELECT count(*) AS n FROM orders"
+    n1 = run_sql(spark, SF_SMOKE, sql).collect()[0]["n"]
+    memo = spark._dwfs_sql_views
+    assert memo == {"orders": SF_SMOKE}, memo
+    run_sql(spark, SF_SMOKE, sql)
+    assert memo is spark._dwfs_sql_views  # same dict, no rebuild
+    other = "/root/testdata/sf0.01"
+    n2 = run_sql(spark, other, sql).collect()[0]["n"]
+    assert spark._dwfs_sql_views["orders"] == other
+    assert n2 > n1  # the view really moved to the bigger tier
+
+
 def test_ccnet_funnel_single_corpus_scan(spark):
     """r14: the per-row funnel stages stack into one projection chain over
     ONE documents scan (stage `passthrough` hook); the URL-canonical flag
