@@ -94,11 +94,13 @@ def test_tpch_q12_pushes_date_range(spark):
 def test_tpch_q21_aggregation_shape(spark):
     plan = formatted_plan(spark, "tpch_q21")
     # The EXISTS/NOT-EXISTS pair is collapsed into ONE per-orderkey
-    # aggregate (total + conditional distinct supplier counts → Spark's
-    # Expand-based multi-distinct), the status filter must reach the orders
-    # scan, supplier must broadcast, lineitem must be scanned exactly once,
-    # and no non-equi join may fall back to nested-loop.
-    assert "Expand" in plan
+    # aggregate; since r14 the distinct supplier counts come from an
+    # explicit (orderkey, suppkey) pre-aggregation, so Spark's 3x-row
+    # Expand-based multi-distinct rewrite must NOT appear. The status
+    # filter must reach the orders scan, supplier must broadcast, lineitem
+    # must be scanned exactly once, and no non-equi join may fall back to
+    # nested-loop.
+    assert "Expand" not in plan
     assert "EqualTo(o_orderstatus,F)" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
