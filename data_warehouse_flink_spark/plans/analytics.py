@@ -421,8 +421,12 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One events scan and ONE user-keyed exchange: the three stage
     # timestamps chain as window mins over the same partition spec (Catalyst
     # stacks the Window operators on a single shuffle — the join-per-stage
-    # form scanned events six times), then one Expand-based conditional
-    # distinct count per stage.
+    # form scanned events six times). The stage values are per-user
+    # CONSTANTS, so the counts reduce to user grain first: the
+    # groupBy(user_id) reuses the window exchange's partitioning (no new
+    # shuffle) and replaces the former Expand-based triple
+    # count_distinct — which streamed THREE copies of every event row
+    # into the final aggregate — with plain counts over one row per user.
     ev = _events(spark, sf_dir).filter(
         F.col("event_type").isin("view", "click", "purchase")
     )
@@ -441,15 +445,22 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(is_purchase & (us > F.col("t2")), us)).over(w),
         )
     )
-    return staged.agg(
-        F.count_distinct(
-            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    # count_distinct semantics: a NULL user_id is never counted.
+    uid_ok = F.col("user_id").isNotNull()
+    return per_user.agg(
+        F.count(
+            F.when(F.col("t1").isNotNull() & uid_ok, True)
         ).alias("n_view"),
-        F.count_distinct(
-            F.when(F.col("t2").isNotNull(), F.col("user_id"))
+        F.count(
+            F.when(F.col("t2").isNotNull() & uid_ok, True)
         ).alias("n_view_click"),
-        F.count_distinct(
-            F.when(F.col("t3").isNotNull(), F.col("user_id"))
+        F.count(
+            F.when(F.col("t3").isNotNull() & uid_ok, True)
         ).alias("n_view_click_purchase"),
     )
 

@@ -186,9 +186,13 @@ def test_user_value_outliers_single_scan(spark):
 
 def test_conversion_funnel_single_scan(spark):
     """The funnel's per-stage firsts are chained window mins over one user
-    exchange — one events scan."""
+    exchange — one events scan; since r14 the stage counts reduce to user
+    grain on that same exchange, so the Expand-based triple
+    count_distinct (3x every event row through the final aggregate) must
+    not reappear."""
     plan = formatted_plan(spark, "conversion_funnel")
     assert _parquet_scan_count(plan) == 1, plan
+    assert "Expand" not in plan, plan
 
 
 def test_rolling_fingerprint_zero_shuffle_sketch(spark):
