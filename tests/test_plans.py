@@ -195,6 +195,22 @@ def test_conversion_funnel_single_scan(spark):
     assert "Expand" not in plan, plan
 
 
+def test_events_key_skew_profile_distributed_topk(spark):
+    """The heavy-keys rank plans as distributed top-K: Spark rewrites the
+    unpartitioned `row_number() <= 5` into TakeOrderedAndProject
+    (per-partition top-5 + 5-row merge), so the key table is never
+    single-partition sorted. Pinned (r14) because the safety lives in an
+    optimizer rewrite, not in the query's own shape — if a future edit
+    breaks the rewrite (e.g. an expression between the rank and its
+    filter the rule cannot trace), the plan regresses to a full Sort
+    whose cost grows with key cardinality."""
+    plan = formatted_plan(spark, "events_key_skew_profile")
+    assert "TakeOrderedAndProject" in plan, plan
+    # the rewrite subsumes every sort: a standalone Sort node only
+    # reappears in the regressed single-partition-window shape
+    assert ") Sort" not in plan, plan
+
+
 def test_rolling_fingerprint_zero_shuffle_sketch(spark):
     """The bottom-8 sketch is a per-row array reduction: at most the one
     scan-parallelism exchange (io.ensure_scan_parallelism), never a
