@@ -658,12 +658,26 @@ def incremental_dedup_batch(
     policy whose state the audit path reads.
     """
     batch = batch_docs.localCheckpoint(eager=True)
-    grams = word_ngrams(batch, ngram, text_col=text_col)  # id is doc_id
+    # distinct=False: MinHash's per-component min is duplicate-insensitive
+    # (min over a multiset == min over its set), so deduplicating the
+    # (doc_id, gram) pairs — a full-batch shuffle — before the signature
+    # aggregation was pure waste; the explode now feeds the map-side
+    # partial min directly (r14).
+    grams = word_ngrams(
+        batch, ngram, text_col=text_col, distinct=False
+    )  # id is doc_id
     sigs = minhash_signatures(grams, num_hashes, gram_hash=gram_hash)
     keys = band_keys(
         sigs, bands, num_hashes // bands
     ).localCheckpoint(eager=True)
-    admitted_ids = lsh_admit_batch(keys, ledger)
+    # Materialize the (tiny) admitted id set once: BOTH returned frames'
+    # lineages contain this ledger-reading admit join — without the
+    # checkpoint each downstream action re-ran it, and any caller that
+    # appends to the ledger path had to eagerly checkpoint the full
+    # outputs (text payload included) before writing to avoid feeding a
+    # batch's own keys back into its unmaterialized plan. With the id set
+    # pinned, no output lineage touches the ledger at all (r14).
+    admitted_ids = lsh_admit_batch(keys, ledger).localCheckpoint(eager=True)
     keyed_ids = keys.select("doc_id").distinct()
     keyless = batch.select("doc_id").join(
         keyed_ids, on="doc_id", how="left_anti"

@@ -1431,23 +1431,37 @@ def streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="near_dedup_")
     replay = os.path.join(work, "replay")
+    staged = os.path.join(work, "staged")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    # one file per doc_id residue → 4 deterministic micro-batches; the file
-    # source orders by (mtime, path), so pin strictly increasing mtimes —
-    # equal fs timestamps would fall back to random part-file names and
-    # make the batch order (hence the first-seen winner) nondeterministic
-    seen: set[str] = set()
+    # one file per doc_id residue → 4 deterministic micro-batches. r14:
+    # ONE corpus scan stages all four residue files in a single
+    # partitioned write (was 4 full scan+coalesce(1) writes — the scan
+    # and the single-threaded parquet encode ran per residue). Each
+    # residue lives in exactly one task (partitionBy splits by value
+    # within a task, and a residue's rows hash to one partition), so
+    # every _b dir holds exactly one part file with the (doc_id, text)
+    # schema — the partition column stays in the directory name.
+    (
+        docs.withColumn("_b", F.pmod(F.col("doc_id"), F.lit(4)))
+        .repartition(4, "_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    os.makedirs(replay)
+    # the file source orders by (mtime, path): pin strictly increasing
+    # mtimes per residue — equal fs timestamps would fall back to random
+    # part-file names and make the batch order (hence the first-seen
+    # winner) nondeterministic
     for b in range(4):
-        (
-            docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(replay)
-        )
-        for name in os.listdir(replay):
-            if name.endswith(".parquet") and name not in seen:
-                os.utime(os.path.join(replay, name), (1_000_000_000 + b,) * 2)
-                seen.add(name)
+        part_dir = os.path.join(staged, f"_b={b}")
+        parts = [
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, (b, parts)
+        dst = os.path.join(replay, f"batch{b}.parquet")
+        shutil.move(os.path.join(part_dir, parts[0]), dst)
+        os.utime(dst, (1_000_000_000 + b,) * 2)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")

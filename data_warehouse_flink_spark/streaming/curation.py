@@ -123,12 +123,14 @@ def near_dedup_stream(
                 bands=bands,
                 gram_hash=gram_hash,
             )
-            # materialize BEFORE appending to state_path: both outputs'
-            # lineage lazily reads the ledger parquet, and the append below
-            # would feed this batch's own keys back into an unmaterialized
-            # plan
-            admitted = admitted.localCheckpoint(eager=True)
-            admitted_keys = admitted_keys.localCheckpoint(eager=True)
+            # No output checkpoints needed (r14): the kernel materializes
+            # the admitted id set eagerly, so neither output's lineage
+            # reads the ledger parquet anymore — appending to state_path
+            # below cannot feed this batch's own keys back into a lazy
+            # plan, and each write below materializes its (cheap,
+            # checkpoint-rooted) plan exactly once. The former full-frame
+            # checkpoints re-ran the admit join twice and materialized the
+            # text payload this sink never writes.
             (
                 admitted_keys.repartition("band")
                 .write.mode("append")
