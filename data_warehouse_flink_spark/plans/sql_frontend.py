@@ -26,15 +26,21 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     reads costs one footer read; under-inclusion cannot happen because
     FROM/JOIN must spell the table name), and registrations are memoized
     per (session, sf_dir) so repeated invocations skip the read entirely.
-    A changed sf_dir re-registers — the memo maps view name → sf_dir."""
+    A changed sf_dir re-registers — the memo maps view name → sf_dir.
+
+    r15 (VERDICT r14 #8): the substring match is case-insensitive — SQL
+    table identifiers are case-insensitive, so `SELECT ... FROM ORDERS`
+    must register the `orders` view exactly like the lowercase spelling
+    did before the r14 memoization narrowed registration."""
     registered: dict[str, str] | None = getattr(
         spark, "_dwfs_sql_views", None
     )
     if registered is None:
         registered = {}
         spark._dwfs_sql_views = registered
+    sql_lower = sql.lower()
     for name in TESTDATA_TABLES:
-        if name in sql and registered.get(name) != sf_dir:
+        if name in sql_lower and registered.get(name) != sf_dir:
             table(spark, sf_dir, name).createOrReplaceTempView(name)
             registered[name] = sf_dir
     return spark.sql(sql)

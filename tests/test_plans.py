@@ -547,6 +547,23 @@ def test_run_sql_registers_only_referenced_tables_once(spark):
     assert n2 > n1  # the view really moved to the bigger tier
 
 
+def test_run_sql_matches_tables_case_insensitively(spark):
+    """r15 (VERDICT r14 #8): SQL identifiers are case-insensitive, so an
+    uppercase `FROM ORDERS` must register the orders view just like the
+    lowercase spelling (the r14 memoization matched case-sensitively and
+    would have skipped registration)."""
+    from data_warehouse_flink_spark.plans.sql_frontend import run_sql
+
+    spark._dwfs_sql_views = None  # isolate from other tests
+    del spark._dwfs_sql_views
+    spark.catalog.dropTempView("orders")
+    n = run_sql(
+        spark, SF_SMOKE, "SELECT COUNT(*) AS N FROM ORDERS"
+    ).collect()[0]["N"]
+    assert n > 0
+    assert spark._dwfs_sql_views == {"orders": SF_SMOKE}
+
+
 def test_ccnet_funnel_single_corpus_scan(spark):
     """r14: the per-row funnel stages stack into one projection chain over
     ONE documents scan (stage `passthrough` hook); the URL-canonical flag
