@@ -1604,10 +1604,17 @@ def streaming_user_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from data_warehouse_flink_spark.streaming.jobs import (
+        adaptive_stateful_width,
+        scoped_shuffle_partitions,
+    )
     from data_warehouse_flink_spark.streaming.mart import (
         merge_upsert_foreachbatch,
     )
-    from data_warehouse_flink_spark.streaming.sources import stream_events
+    from data_warehouse_flink_spark.streaming.sources import (
+        source_bytes,
+        stream_events,
+    )
 
     stream = stream_events(spark, sf_dir)
     latest = stream.groupBy("user_id").agg(
@@ -1617,8 +1624,17 @@ def streaming_user_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="cdc_snapshot_")
     table = os.path.join(work, "snapshot")
-    q = merge_upsert_foreachbatch(latest, table, ["user_id"], n_buckets=16)
-    q.awaitTermination()
+    # r15 (VERDICT r14 #1, guide §2.5): the struct-max partial-aggregates
+    # map-side to one row per user per map task, so the stateful width can
+    # follow the replayed input like the rollup twin's (scoped — the
+    # snapshot read-back below keeps the session default).
+    with scoped_shuffle_partitions(
+        spark, adaptive_stateful_width(spark, source_bytes(sf_dir))
+    ):
+        q = merge_upsert_foreachbatch(
+            latest, table, ["user_id"], n_buckets=16
+        )
+        q.awaitTermination()
     snap = (
         spark.read.parquet(table)
         .filter(F.col("last.event_type") != "error")
@@ -1942,6 +1958,14 @@ def streaming_sessionize_gap_stats(
             - F.unix_micros(F.col("session_window.start"))
         ).alias("duration_us"),
     )
+    # r15, measured and deliberately left at the session default: unlike
+    # the day-grain twins (dq_anomaly / rollup), session_window cannot
+    # partial-aggregate map-side — every event row reaches the state task
+    # and the merge work scales with INPUT, not with state grain, so the
+    # adaptive narrow width serializes the merge (width sweep at sf0.1:
+    # 32 → 1.52 s, 8 → 1.08 s, 1 → 1.63 s). The local optimum of 8 has no
+    # scale-portable derivation (it is a local[32] balance point), so the
+    # width stays the compute default the cluster supplies.
     mat = run_stream_to_table(sessions, spark, output_mode="complete")
     band = (
         F.when(F.col("n_events") == 1, "1")
@@ -2063,13 +2087,24 @@ def streaming_dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim because count(a ∪ b) = count(a) + count(b).
     """
     from data_warehouse_flink_spark.streaming.jobs import run_stream_to_table
-    from data_warehouse_flink_spark.streaming.sources import stream_events
+    from data_warehouse_flink_spark.streaming.sources import (
+        source_bytes,
+        stream_events,
+    )
 
     stream = stream_events(spark, sf_dir)
     daily = stream.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count("*").alias("cnt"))
-    mat = run_stream_to_table(daily, spark, output_mode="complete")
+    # r15 (VERDICT r14 #1, guide §2.5): day-keyed counts are O(days) state —
+    # right-size the state-store width from the replayed input instead of
+    # paying `shuffle.partitions` store commits per micro-batch.
+    mat = run_stream_to_table(
+        daily,
+        spark,
+        output_mode="complete",
+        input_bytes=source_bytes(sf_dir),
+    )
 
     from pyspark.sql import Window
 
@@ -2121,10 +2156,17 @@ def streaming_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from data_warehouse_flink_spark.streaming.jobs import (
+        adaptive_stateful_width,
+        scoped_shuffle_partitions,
+    )
     from data_warehouse_flink_spark.streaming.mart import (
         merge_upsert_foreachbatch,
     )
-    from data_warehouse_flink_spark.streaming.sources import stream_events
+    from data_warehouse_flink_spark.streaming.sources import (
+        source_bytes,
+        stream_events,
+    )
 
     stream = stream_events(spark, sf_dir)
     agg = stream.groupBy(
@@ -2137,10 +2179,16 @@ def streaming_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="rollup_mart_")
     table = os.path.join(work, "mart")
-    q = merge_upsert_foreachbatch(
-        agg, table, ["event_type", "day"], n_buckets=16
-    )
-    q.awaitTermination()
+    # r15 (VERDICT r14 #1, guide §2.5): (event_type, day) state is
+    # dimension-sized — width follows the replayed input, scoped to the
+    # stream's span so the mart read-back below keeps the session default.
+    with scoped_shuffle_partitions(
+        spark, adaptive_stateful_width(spark, source_bytes(sf_dir))
+    ):
+        q = merge_upsert_foreachbatch(
+            agg, table, ["event_type", "day"], n_buckets=16
+        )
+        q.awaitTermination()
     out = (
         spark.read.parquet(table)
         .select("event_type", "day", "cnt", "sum_value_micro")
@@ -2272,19 +2320,44 @@ def _register_streaming_scd2() -> None:
         # order. Pin strictly increasing mtimes per day (the same
         # discipline as the watermark replay test) so maxFilesPerTrigger=1
         # delivers days in sequence deterministically.
-        seen: set[str] = set()
+        #
+        # r15 (guide §2.4, the r14 near-dedup staging lesson): the four
+        # per-day coalesce(1) writes collapse into ONE day-partitioned
+        # write — repartition("_day") puts each day in exactly one task,
+        # so each day directory holds exactly one part file, which then
+        # moves into the flat replay dir under its pinned mtime. One job
+        # instead of four over the same checkpointed slice.
+        staged = os.path.join(work, "staged")
+        (
+            ev.withColumn("_day", F.to_date("ts").cast("string"))
+            .repartition("_day")
+            .write.partitionBy("_day")
+            .parquet(staged)
+        )
+        os.makedirs(replay, exist_ok=True)
         for i, day in enumerate(_SCD2_DAYS):
-            (
-                ev.filter(F.to_date("ts") == day)
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(replay)
-            )
-            for fname in os.listdir(replay):
-                if fname.endswith(".parquet") and fname not in seen:
-                    seen.add(fname)
-                    fp = os.path.join(replay, fname)
-                    os.utime(fp, (1_000_000_000 + i, 1_000_000_000 + i))
+            part_dir = os.path.join(staged, f"_day={day}")
+            if not os.path.isdir(part_dir):
+                continue  # empty day: old form appended an empty file,
+                # whose batch the apply loop skipped — skipping the file
+                # keeps the same day sequence (mtimes still ordered by i)
+            parts = [
+                p
+                for p in os.listdir(part_dir)
+                if p.endswith(".parquet")
+            ]
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"expected one part file per day, got {parts} for {day}"
+                )
+            dst = os.path.join(replay, f"day{i}.parquet")
+            os.rename(os.path.join(part_dir, parts[0]), dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        from data_warehouse_flink_spark.streaming.jobs import (
+            adaptive_stateful_width,
+            scoped_shuffle_partitions,
+        )
+
         stream = (
             spark.readStream.schema(
                 "user_id long, ts timestamp, value double"
@@ -2295,13 +2368,13 @@ def _register_streaming_scd2() -> None:
         state: dict = {"hist": None}
 
         def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            # foreachBatch re-reads the batch's file slice per action and
-            # this body takes three (isEmpty, the day-floor collect, the
-            # apply's eager checkpoint) — persist once per batch.
+            # foreachBatch re-reads the batch's file slice per action —
+            # persist once per batch. r15: the isEmpty probe and the
+            # day-floor collect fuse into ONE action (min over an empty
+            # batch is NULL, so the collect doubles as the emptiness
+            # check) — two driver round-trips per micro-batch, not three.
             batch_df.persist()
             try:
-                if batch_df.isEmpty():
-                    return
                 # the batch IS one day; its effective-from is that day's
                 # floor
                 day_us = batch_df.agg(
@@ -2309,6 +2382,8 @@ def _register_streaming_scd2() -> None:
                         "d"
                     )
                 ).collect()[0]["d"]
+                if day_us is None:
+                    return  # empty batch
                 s = F.sum(F.col("value").cast("decimal(18,6)"))
                 snap = batch_df.groupBy("user_id").agg(
                     F.when(s >= 100, "gold")
@@ -2328,13 +2403,24 @@ def _register_streaming_scd2() -> None:
             finally:
                 batch_df.unpersist()
 
-        q = (
-            stream.writeStream.outputMode("append")
-            .foreachBatch(per_batch)
-            .trigger(availableNow=True)
-            .start()
+        # r15 (VERDICT r14 #1, guide §2.5): the apply chain's joins run on
+        # dimension-sized day slices — width follows the replay's on-disk
+        # size for the stream's span (the final history select below keeps
+        # the session default).
+        replay_bytes = sum(
+            os.path.getsize(os.path.join(replay, f))
+            for f in os.listdir(replay)
         )
-        q.awaitTermination()
+        with scoped_shuffle_partitions(
+            spark, adaptive_stateful_width(spark, replay_bytes)
+        ):
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(per_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         shutil.rmtree(work, ignore_errors=True)
         return state["hist"].select(
             "user_id",

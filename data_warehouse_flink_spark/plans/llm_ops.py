@@ -1457,10 +1457,22 @@ def streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winner) nondeterministic
     for b in range(4):
         part_dir = os.path.join(staged, f"_b={b}")
+        if not os.path.isdir(part_dir):
+            # an empty residue class writes no _b dir (the pre-r14
+            # coalesce(1).append path wrote an empty part file instead);
+            # skipping keeps a stable batch index for the residues that
+            # do exist — an empty batch admits nothing either way
+            continue
         parts = [
             f for f in os.listdir(part_dir) if f.endswith(".parquet")
         ]
-        assert len(parts) == 1, (b, parts)
+        if len(parts) != 1:
+            # loud, -O-proof guard (ADVICE r14): the one-file-per-residue
+            # invariant is what makes batch order deterministic — picking
+            # parts[0] of a wrong listing would silently reorder batches
+            raise RuntimeError(
+                f"expected one part file for residue {b}, got {parts}"
+            )
         dst = os.path.join(replay, f"batch{b}.parquet")
         shutil.move(os.path.join(part_dir, parts[0]), dst)
         os.utime(dst, (1_000_000_000 + b,) * 2)

@@ -100,8 +100,9 @@ def near_dedup_stream(
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # foreachBatch re-executes the micro-batch source per action; this
-        # body takes three (isEmpty + the two eager checkpoints, whose
-        # shingle/signature lineage each re-reads batch_df) — persist once.
+        # body still takes more than one (isEmpty + the kernel's internal
+        # localCheckpoint of the batch/keys/admitted-ids, whose shingle/
+        # signature lineage re-reads batch_df) — persist once.
         batch_df.persist()
         try:
             if batch_df.isEmpty():

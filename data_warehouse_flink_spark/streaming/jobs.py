@@ -12,6 +12,8 @@ single continuous query, exactly like the reference's second keyBy).
 
 from __future__ import annotations
 
+import contextlib
+import math
 import uuid
 from collections.abc import Callable
 
@@ -27,11 +29,71 @@ def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     return df.withWatermark(ts_col, delay)
 
 
+_SIZE_UNITS = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_size_bytes(text: str) -> int:
+    """Spark size-conf string ('64m', '64MB', '67108864b', '67108864')
+    to bytes."""
+    s = text.strip().lower()
+    digits = s.rstrip("kmgtb")
+    return int(digits) * _SIZE_UNITS[s[len(digits):]]
+
+
+def adaptive_stateful_width(spark: SparkSession, input_bytes: int) -> int:
+    """Shuffle-partition count for a STATEFUL streaming query, derived the
+    way AQE sizes a batch exchange (guide §2.2/§2.5): one partition per
+    advisory-size chunk of the replayed input, clamped to [1, the session
+    default].
+
+    Why this exists: AQE cannot touch a streaming plan, and the state-store
+    partition count is frozen at the query's first checkpoint — so a
+    stateful micro-batch always runs `spark.sql.shuffle.partitions` state
+    tasks (one store open + delta-file commit EACH, every micro-batch)
+    regardless of data volume. Under a dimension-sized state that fixed
+    per-partition overhead IS the query's floor. The clamp keeps the rule
+    scale-adaptive rather than local-tuned: at 100 TB the input-derived
+    count exceeds any session default and the cluster width wins; at the
+    local tiers the width follows the data like a coalesced batch
+    exchange would."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    advisory = _parse_size_bytes(
+        spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+        )
+    )
+    return max(1, min(default, math.ceil(max(0, input_bytes) / advisory)))
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Set spark.sql.shuffle.partitions for the duration of a streaming
+    query's start→awaitTermination span and restore it after, so the
+    narrow stateful width never leaks into the session's batch queries
+    (those keep the default + AQE coalescing). No-op when n is None."""
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_stream_to_table(
     df: DataFrame,
     spark: SparkSession,
     output_mode: str = "complete",
     name: str | None = None,
+    input_bytes: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and return
     the materialized result as a batch DataFrame.
@@ -39,16 +101,28 @@ def run_stream_to_table(
     Uses availableNow semantics (process everything, then stop): the local
     stand-in for a continuously running job; tests and the correctness gate
     compare this output against the batch plan on the same data.
-    """
+
+    `input_bytes` (optional, r15): the replayed source's on-disk size; when
+    given, the query's stateful shuffle width is right-sized via
+    `adaptive_stateful_width` for the start→awaitTermination span only —
+    the returned batch table and everything after it keep the session
+    default. Results are unchanged (an aggregation's output does not
+    depend on its partition count)."""
     table = name or f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(table)
-        .trigger(availableNow=True)
-        .start()
+    width = (
+        adaptive_stateful_width(spark, input_bytes)
+        if input_bytes is not None
+        else None
     )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, width):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(table)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 

@@ -15,6 +15,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+def source_bytes(sf_dir: str, table: str = "events") -> int:
+    """On-disk size of a replayed source — the input-volume proxy
+    `jobs.adaptive_stateful_width` sizes a stateful stream's shuffle
+    width from. Handles both the single-file testdata layout and a
+    directory of part files."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return os.path.getsize(path)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: replay the events table as a file stream.
 

@@ -1048,3 +1048,34 @@ def test_knn_stream_matches_batch_bruteforce(spark, tmp_path):
         for r in knn_bruteforce(corpus, queries, k=3).collect()
     )
     assert got == want and len(got) == 9
+
+
+def test_adaptive_stateful_width_and_scoped_conf(spark):
+    """r15 (VERDICT r14 #1): the stateful-stream width helper follows the
+    AQE advisory-size rule, clamped to [1, session default], and the
+    scoped conf restores the default afterwards (so the narrow stateful
+    width never leaks into batch queries)."""
+    from data_warehouse_flink_spark.streaming.jobs import (
+        _parse_size_bytes,
+        adaptive_stateful_width,
+        scoped_shuffle_partitions,
+    )
+
+    assert _parse_size_bytes("64MB") == 64 * 1024 * 1024
+    assert _parse_size_bytes("64m") == 64 * 1024 * 1024
+    assert _parse_size_bytes("1g") == 1 << 30
+    assert _parse_size_bytes("67108864b") == 1 << 26
+    assert _parse_size_bytes("123") == 123
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert adaptive_stateful_width(spark, 0) == 1  # floor
+    assert adaptive_stateful_width(spark, 1) == 1
+    # a 100 TB input clamps to the session default — cluster width wins
+    assert adaptive_stateful_width(spark, 100 * (1 << 40)) == default
+
+    with scoped_shuffle_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == default
+    # None = no-op
+    with scoped_shuffle_partitions(spark, None):
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == default

@@ -1,8 +1,10 @@
 """Guide-1.4 measurement audit: time each headline query's `.count()`
 (the bench's timed action since r1) against the noop sink
 (`write.format("noop")`, which computes every column of every row) in one
-session, min-of-2 each, and flag queries where noop reads >= 2x count —
-i.e. where count() lets Catalyst prune real compute out of the timed plan.
+session, min-of-2 each, and flag queries where noop reads strictly above
+BOTH 2x count and count + 0.3 s (the absolute floor suppresses sub-300 ms
+deltas that are pure noise at this tier) — i.e. where count() lets
+Catalyst prune real compute out of the timed plan.
 
 Receipt: NOOP_AUDIT_r14.json (r14 reading: totals equal within noise,
 8 projection/sketch-shaped queries flagged; decision recorded there is to
