@@ -482,16 +482,30 @@ def main() -> None:
     # one-time codegen/janino compilation and page-cache misses, which a
     # long-running cluster job would amortize away; the extra rep guards
     # the recorded number against a stray GC pause).
+    #
+    # r15 (VERDICT r14 #3): rep-1 wall time is ALSO recorded, sidecar-only
+    # (`queries_first_rep`). The min-of-3 headline number excludes any
+    # session-scoped one-time work — most notably the shared ANN index
+    # build (`_lsh_bucketed`: the first of knn_lsh/knn_ivf/knn_rrf to run
+    # pays the LSH/IVF/simhash/trigram index localCheckpoint, later reps
+    # and queries read it back). first_rep makes that build cost visible
+    # in every record instead of vanishing into rep 1: the build shows up
+    # as first_rep >> min for the first _cached consumer. Methodology of
+    # the headline number is unchanged (cross-round comparability).
     timings: dict[str, float] = {}
+    first_rep: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         q = queries[name]
         best = float("inf")
         try:
-            for _ in range(3):
+            for rep in range(3):
                 t0 = time.perf_counter()
                 q.spark_fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
+                elapsed = time.perf_counter() - t0
+                if rep == 0:
+                    first_rep[name] = round(elapsed, 3)
+                best = min(best, elapsed)
             timings[name] = round(best, 3)
         except Exception as exc:  # one broken query must not kill the record
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
@@ -659,7 +673,41 @@ def main() -> None:
     # which silently starves any off-default-SF or low-core driver rerun
     # of per-query timings. Strictly additive restore.
     payload["queries"] = timings
-    sidecar = {**payload, "queries": timings}
+    # Sidecar-only columns (kept off the printed line, which the driver's
+    # output-tail capture truncates):
+    # - queries_first_rep (r15, VERDICT r14 #3): rep-1 wall per query; see
+    #   the timing-loop comment. first_rep >> min marks one-time
+    #   session-scoped work (ANN index build, codegen) the headline min
+    #   excludes.
+    # - noop_audit (r15, VERDICT r14 #9): the flagged queries from the
+    #   newest NOOP_AUDIT_r*.json receipt — queries whose count() timed
+    #   action lets Catalyst prune real compute (guide §1.4). Copied into
+    #   each round's record so the pruning deficit stays visible while
+    #   count() remains the cross-round timed action.
+    sidecar = {**payload, "queries": timings,
+               "queries_first_rep": first_rep}
+    noop_rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO_ROOT, "NOOP_AUDIT_r*.json"))
+        if (m := re.match(r"NOOP_AUDIT_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    if noop_rounds:
+        noop_path = os.path.join(
+            REPO_ROOT, f"NOOP_AUDIT_r{max(noop_rounds)}.json"
+        )
+        try:
+            with open(noop_path) as fh:
+                audit = json.load(fh)
+            sidecar["noop_audit"] = {
+                "receipt": os.path.basename(noop_path),
+                "flagged": audit.get("flagged_noop_over_2x_count", {}),
+            }
+        except (OSError, ValueError, TypeError) as exc:
+            print(
+                f"NOTE: noop audit column withheld "
+                f"({type(exc).__name__}: {exc})",
+                file=sys.stderr,
+            )
     names = (
         [f"BENCH_QUERIES_{tag}.json", "BENCH_QUERIES_latest.json"]
         if is_default_sf
