@@ -1007,13 +1007,27 @@ def events_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stats a cost-based optimizer and a data-quality monitor both feed
     on, emitted as one row per column.
 
-    One scan: all six columns' aggregates run in a single HashAggregate
-    (Catalyst expands the multi-DISTINCT into one Expand + two-phase agg).
     Exact NDV is the oracle-checkable choice at test scale; at 100 TB the
     drop-in swap is `approx_count_distinct` (HLL, one pass, no Expand),
     same shape otherwise. Canonical renderings dodge cross-engine float
     formatting: BIGINTs/strings verbatim, timestamps as epoch-micro
     strings, doubles via fixed-scale DECIMAL(18,6).
+
+    r15 (VERDICT r14 #7, guide §2.3): the six NDVs and the plain
+    min/max/null aggregates are computed in SEPARATE aggregates and
+    combined with a 1-row×1-row broadcast cross join. The r14 single-agg
+    form looked tidier ("one scan") but planned catastrophically: the
+    string-typed min/max buffers (event_type, props) disqualify
+    HashAggregate for the WHOLE aggregate, so the multi-distinct Expand's
+    7× row blow-up went through TWO full Sorts and a four-deep
+    SortAggregate chain (plans/r15/events_column_stats_before.txt). Split,
+    the Expand path carries only hashable dedup keys (HashAggregate,
+    sort-free) and the string min/max run as a global fold with no
+    grouping keys — no Sort exists anywhere in the plan. The second scan
+    is column-pruned and runs in parallel; at 100 TB two one-pass scans
+    beat sorting 7× the corpus twice. Measured 0.50 → 0.35 s at sf0.1
+    (count action; the noop delta is larger — this query is on the
+    NOOP_AUDIT list precisely because count() prunes part of it).
     """
     ev = _events(spark, sf_dir)
     cols = {
@@ -1032,11 +1046,14 @@ def events_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c, (lo, hi) in cols.items():
         aggs += [
             (F.count("*") - F.count(c)).alias(f"nu_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
             F.expr(lo).alias(f"lo_{c}"),
             F.expr(hi).alias(f"hi_{c}"),
         ]
-    a = ev.agg(*aggs)
+    base = ev.agg(*aggs)
+    nd = ev.agg(
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols]
+    )
+    a = base.crossJoin(F.broadcast(nd))
     stacked = a.select(
         F.explode(
             F.array(
@@ -1067,16 +1084,29 @@ def _hist_bin_expr():
 
 
 def _hist_quantiles_from_bins(
-    spark: SparkSession, binned: DataFrame, stats: DataFrame
+    spark: SparkSession, binned: DataFrame
 ) -> DataFrame:
-    """Quantile read-off from a (bin, cnt) sketch table: cumulative counts,
-    first crossing bin per requested quantile, in-bin linear interpolation.
-    Shared by the batch query and its streaming twin — mergeability means
-    the sketch TABLE is the contract, not how it was accumulated."""
+    """Quantile read-off from a (bin, cnt, lo, hi, n) sketch table
+    (lo/hi/n constant across rows): cumulative counts, first crossing bin
+    per requested quantile, in-bin linear interpolation. Shared by the
+    batch query and its streaming twin — mergeability means the sketch
+    TABLE is the contract, not how it was accumulated.
+
+    r15 (VERDICT r14 #7, guide §2.4): the helper used to take `stats`
+    (lo/hi/n) as a SECOND frame and crossJoin it onto the quantile seeds —
+    in the batch query that planned the whole scan+agg stats subtree a
+    second time (3 events scans for a 2-pass sketch, verified in
+    plans/r15/event_value_histogram_quantiles_before.txt; AQE exchange
+    reuse does not fire because the two broadcasts differ). The stats now
+    ride the bin rows as constant columns, so the range pass is planned
+    exactly once and one BroadcastNestedLoopJoin disappears."""
     w = Window.orderBy("bin")
     cum = binned.select(
         "bin",
         "cnt",
+        "lo",
+        "hi",
+        "n",
         F.sum("cnt").over(w).alias("cum"),
         F.coalesce(
             F.sum("cnt").over(
@@ -1092,9 +1122,11 @@ def _hist_quantiles_from_bins(
         "quantile string, p double",
     )
     hits = (
-        qs.crossJoin(F.broadcast(stats))
+        qs.join(
+            F.broadcast(cum),
+            F.col("cum") >= F.expr("CAST(ceil(p * n) AS BIGINT)"),
+        )
         .withColumn("rank", F.expr("CAST(ceil(p * n) AS BIGINT)"))
-        .join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
         .groupBy("quantile", "p", "lo", "hi", "n", "rank")
         .agg(F.min(F.struct("bin", "cnt", "cum_before")).alias("h"))
     )
@@ -1160,7 +1192,9 @@ def event_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     state is 1000 BIGINT cells that sum across partitions — exactly what
     Catalyst's partial aggregation already does — so the same query shape
     rolls up per-day sketches at 100 TB. Two scans by construction (range
-    pass, bin pass), both full-pushdown column-pruned.
+    pass, bin pass), both full-pushdown column-pruned: lo/hi/n ride the
+    bin rows as constant grouping columns so the read-off needs no second
+    copy of the range pass (r15; see `_hist_quantiles_from_bins`).
     """
     ev = _events(spark, sf_dir).select("value")
     stats = ev.agg(
@@ -1170,11 +1204,11 @@ def event_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     )
     binned = (
         ev.crossJoin(F.broadcast(stats))
-        .select(_hist_bin_expr().alias("bin"))
-        .groupBy("bin")
+        .select(_hist_bin_expr().alias("bin"), "lo", "hi", "n")
+        .groupBy("bin", "lo", "hi", "n")
         .agg(F.count("*").alias("cnt"))
     )
-    return _hist_quantiles_from_bins(spark, binned, stats)
+    return _hist_quantiles_from_bins(spark, binned)
 
 
 @register(
@@ -1256,7 +1290,12 @@ def streaming_value_histogram_quantiles(
     stats = spark.createDataFrame(
         [(float(lo), float(hi), int(n))], "lo double, hi double, n long"
     )
-    return _hist_quantiles_from_bins(spark, binned, stats)
+    # the sketch-table contract now carries the (constant) bounds on the
+    # bin rows; attaching the 1-row local stats here costs nothing — the
+    # scan-dedup motive lives in the batch twin (see the helper docstring)
+    return _hist_quantiles_from_bins(
+        spark, binned.crossJoin(F.broadcast(stats))
+    )
 
 
 @register(

@@ -2862,16 +2862,26 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    q = linear_quality_score(docs).select(
-        "doc_id", F.col("keep").alias("q_keep")
-    )
-    imp = doc_importance_weights(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("imp_keep")
-    )
+    # r15 (guide §2.4, the ccnet_funnel passthrough lesson): the quality
+    # classifier is a pure per-row projection, so joining it back on
+    # doc_id was an identity join over a second corpus scan — the
+    # `passthrough` hook computes q_keep and the content hash in the SAME
+    # scan. The DSIR keep stays a join: its weights are corpus-level, not
+    # per-row.
     base = (
-        docs.select("doc_id", "source", F.md5("text").alias("h"))
-        .join(q, "doc_id")
-        .join(imp, "doc_id")
+        linear_quality_score(docs, passthrough=("source", "text"))
+        .select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("h"),
+            F.col("keep").alias("q_keep"),
+        )
+        .join(
+            doc_importance_weights(spark, sf_dir).select(
+                "doc_id", F.col("keep").alias("imp_keep")
+            ),
+            "doc_id",
+        )
     )
     w = Window.partitionBy("h")
     flagged = base.withColumn(
