@@ -2370,29 +2370,35 @@ def _dsir_weights(
 ) -> DataFrame:
     b = _DSIR_BUCKETS
     g = _dsir_grams(spark, sf_dir, bucket_hash)
-    # Two consumers of g (bucket stats, scoring) = two corpus scans; the
-    # tot crossJoin plans a THIRD copy of the gram subtree, which an r14
-    # window-fold over bstats (1024 rows) removed — and measured SLOWER
-    # (1.08 → 1.16 s; curation_v2 1.20 → 1.55 s): the duplicate 1-task
-    # scan subtrees run in PARALLEL on idle cores, wall-clock-free, while
-    # the single-partition window serializes two extra stage latencies
-    # into the broadcast's critical path. Reverted; the fold is the right
-    # move only where the plan is resource-bound, not latency-bound (see
-    # OPTIMIZATION_r14.md). Deliberately NO localCheckpoint either: a
-    # per-invocation eager checkpoint leaks a cached block per call, and
-    # across a long bench/driver session that heap pressure cost far more
-    # than the extra scan (13.7 s vs ~1.5 s at sf0.1, measured).
+    # Two consumers of g (bucket stats, scoring) = two corpus scans. The
+    # grand totals fold over bstats (1024 rows) as a GLOBAL WINDOW rather
+    # than an agg+crossJoin — the crossJoin form planned a THIRD copy of
+    # the whole gram subtree. History (VERDICT r14 #6): the fold was tried
+    # in r14 and reverted on an sf0.1 reading (1.08 → 1.16 s) arguing the
+    # duplicate 1-task scans run wall-clock-free on idle cores; re-measured
+    # in r15 at BOTH tiers, the fold is a wash at sf0.1 (0.812 vs 0.820 s
+    # min-of-5, same session) and 1.22x FASTER at generated sf1 (1.10 vs
+    # 1.34 s) where the third scan is real I/O — so the scale-correct
+    # shape wins. Deliberately NO localCheckpoint: a per-invocation eager
+    # checkpoint leaks a cached block per call, and across a long
+    # bench/driver session that heap pressure cost far more than the
+    # extra scan (13.7 s vs ~1.5 s at sf0.1, measured in r14).
     bstats = g.groupBy("bucket").agg(
         F.count("*").alias("rawc"),
         F.sum(F.when(F.col("is_t"), F.lit(1)).otherwise(F.lit(0))).alias(
             "tgtc"
         ),
     )
-    tot = bstats.agg(
-        F.sum("rawc").alias("rawn"),
-        F.sum("tgtc").alias("tgtn"),
-    )
-    lr = bstats.crossJoin(F.broadcast(tot)).select(
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    lr = bstats.select(
+        "bucket",
+        "rawc",
+        "tgtc",
+        F.sum("rawc").over(w_all).alias("rawn"),
+        F.sum("tgtc").over(w_all).alias("tgtn"),
+    ).select(
         "bucket",
         F.expr(
             f"CAST(round(ln("
